@@ -1,0 +1,11 @@
+from cdm_cbioportal_etl_spark.cdc.generator import REPOS_SCHEMA, gen_change_events
+from cdm_cbioportal_etl_spark.cdc.replayer import CdcReplayer, expected_final_state
+from cdm_cbioportal_etl_spark.cdc.registry import SchemaRegistry
+
+__all__ = [
+    "REPOS_SCHEMA",
+    "gen_change_events",
+    "CdcReplayer",
+    "expected_final_state",
+    "SchemaRegistry",
+]

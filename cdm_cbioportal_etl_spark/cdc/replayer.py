@@ -1,0 +1,104 @@
+"""CDC replay driver: WAL tail → batched exactly-once MERGE into a lake table.
+
+The reference pipeline re-extracts and blind-overwrites every table on every
+run (reference pipeline/lib/summary/summary_config_processor.py:373-419);
+this module replaces that with incremental replay:
+
+- the WAL is consumed in LSN-ordered batches,
+- each batch is reduced (latest-per-key, map-side-combinable ``max_by``)
+  and MERGEd copy-on-write into the target,
+- the LSN ledger + lineage record commit atomically with the data
+  (``LakeTable.merge``), so a crash between batches resumes for free and a
+  crash *inside* a batch replays it idempotently,
+- ``resume()`` skips whole batches below the ledger watermark without
+  reading their data (LSN-range metadata short-circuit).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, functions as F
+
+from cdm_cbioportal_etl_spark.lake import LakeTable
+from cdm_cbioportal_etl_spark.lake.table import MergeStats
+
+
+def expected_final_state(events: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Directly-computed final state: max-LSN row per key, deletes removed.
+
+    This is the batch 'oracle' the north rule compares replay against
+    (replay(events) must equal batch(final_rows) per-row).
+    """
+    data_cols = [c for c in events.columns if c not in (*key_cols, "lsn", "op")]
+    return (
+        events.groupBy(*key_cols)
+        .agg(F.max_by(F.struct("op", "lsn", *data_cols), F.col("lsn")).alias("_p"))
+        .select(*key_cols, "_p.*")
+        .filter(F.col("op") != "delete")
+        .drop("op", "lsn")
+    )
+
+
+@dataclass
+class ReplayReport:
+    batches_applied: int = 0
+    batches_skipped: int = 0
+    events_seen: int = 0
+    stats: list[MergeStats] = field(default_factory=list)
+
+
+class CdcReplayer:
+    """Replays an LSN-keyed event stream into a LakeTable in range batches."""
+
+    def __init__(self, table: LakeTable, lsn_col: str = "lsn", op_col: str = "op"):
+        self.table = table
+        self.lsn_col = lsn_col
+        self.op_col = op_col
+
+    def replay_range_batches(
+        self,
+        events: DataFrame,
+        lsn_lo: int,
+        lsn_hi: int,
+        batch_size: int,
+        source: str = "wal",
+    ) -> ReplayReport:
+        """Apply events with lsn in [lsn_lo, lsn_hi) in fixed LSN windows.
+
+        Batch boundaries are pure LSN arithmetic — no driver collect of the
+        stream — and each batch filter (`lsn >= a AND lsn < b`) pushes down
+        to the parquet/WAL scan, so a resumed run never re-reads applied
+        segments.
+        """
+        report = ReplayReport()
+        applied = self.table.snapshot["ledger"]["applied_lsn"]
+        lo = lsn_lo
+        while lo < lsn_hi:
+            hi = min(lo + batch_size, lsn_hi)
+            if hi - 1 <= applied:
+                report.batches_skipped += 1
+                lo = hi
+                continue
+            batch = events.filter(
+                (F.col(self.lsn_col) >= F.lit(lo)) & (F.col(self.lsn_col) < F.lit(hi))
+            )
+            stats = self.table.merge(
+                batch,
+                lsn_col=self.lsn_col,
+                op_col=self.op_col,
+                batch_id=f"{source}:{lo}-{hi}",
+                source_watermarks={source: hi - 1},
+                extra_lineage={"lsn_range": [lo, hi]},
+            )
+            report.batches_applied += 1
+            report.events_seen += stats.batch_rows
+            report.stats.append(stats)
+            lo = hi
+        return report
+
+    def resume(self, events: DataFrame, lsn_hi: int, batch_size: int) -> ReplayReport:
+        """Continue from the ledger watermark (crash-recovery entry point)."""
+        applied = self.table.snapshot["ledger"]["applied_lsn"]
+        start = ((applied + 1) // batch_size) * batch_size if applied >= 0 else 0
+        return self.replay_range_batches(events, start, lsn_hi, batch_size)

@@ -1,0 +1,463 @@
+"""Copy-on-write snapshot table format on parquet ("lake table").
+
+Iceberg-style semantics implemented portably (no external jars):
+
+- **Snapshots**: every commit writes an immutable ``snap-XXXXXXXX.json``
+  manifest listing data files per hash bucket; a ``VERSION`` pointer file is
+  swapped atomically (``os.replace``), so readers always see a consistent
+  snapshot and a crashed writer leaves only orphan files, never a corrupt
+  table.
+- **Hash-bucket layout**: rows are bucketed by ``pmod(xxhash64(key), N)``.
+  A MERGE only reads + rewrites the buckets its batch touches
+  (copy-on-write with pruning) — merge cost is proportional to touched
+  data, not table size.  At 100 TB you raise ``n_buckets`` (e.g. 4096) so
+  each bucket rewrite stays ~25 GB; on a real cluster this layer is
+  swappable for Apache Iceberg ``MERGE INTO`` with a bucket partition spec.
+- **MERGE INTO (latest-LSN-wins upsert)**: resolution uses
+  ``groupBy(key).agg(max_by(struct(...), lsn))`` — a hash aggregate with
+  map-side partial combine — NOT a row_number window, so hot keys are
+  pre-reduced on the map side and skew never concentrates on one reducer.
+- **Exactly-once ledger**: the max applied LSN (and per-source-partition
+  watermarks) live in the snapshot manifest, so the ledger update commits
+  atomically with the data it covers.  Replaying a batch twice is a no-op.
+- **Schema evolution**: add-column and int→long / float→double widening;
+  old files are never rewritten — each file records its schema id and is
+  aligned (cast / null-fill) at read time.
+- **Lineage**: every commit appends a record (batch id, LSN range, row
+  counts, merge stats) — the resumability contract.
+
+Reference semantics being replaced: cdm-cbioportal-etl persists state by
+blind whole-table overwrite (``write_db_obj(..., overwrite=True)``,
+reference pipeline/lib/summary/summary_config_processor.py:373-419); this
+module gives the same idempotence with incremental cost.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from dataclasses import dataclass
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+# system columns stored in data files alongside user columns
+LSN_COL = "_lsn"  # LSN that last wrote this row (latest-wins arbiter)
+
+_ATOMIC_TYPES: dict[str, T.DataType] = {
+    "string": T.StringType(),
+    "int": T.IntegerType(),
+    "long": T.LongType(),
+    "float": T.FloatType(),
+    "double": T.DoubleType(),
+    "boolean": T.BooleanType(),
+    "date": T.DateType(),
+    "timestamp": T.TimestampType(),
+    "binary": T.BinaryType(),
+}
+_WIDENINGS = {("int", "long"), ("float", "double"), ("int", "double")}
+
+
+class SchemaEvolutionError(ValueError):
+    pass
+
+
+def _type_name(dt: T.DataType) -> str:
+    return dt.simpleString()
+
+
+def schema_to_json(schema: T.StructType) -> list[dict[str, str]]:
+    return [{"name": f.name, "type": _type_name(f.dataType)} for f in schema.fields]
+
+
+def schema_from_json(fields: list[dict[str, str]]) -> T.StructType:
+    out = []
+    for f in fields:
+        if f["type"] not in _ATOMIC_TYPES:
+            raise ValueError(f"unsupported lake column type: {f['type']}")
+        out.append(T.StructField(f["name"], _ATOMIC_TYPES[f["type"]], True))
+    return T.StructType(out)
+
+
+@dataclass
+class MergeStats:
+    batch_rows: int
+    batch_keys: int
+    touched_buckets: int
+    total_buckets: int
+    upserts: int
+    deletes: int
+    rows_after: int
+    skipped_already_applied: int
+
+
+class LakeTable:
+    """A bucketed copy-on-write table rooted at a local/posix directory."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = os.path.abspath(root)
+        self._meta_dir = os.path.join(self.root, "_meta")
+        self._data_dir = os.path.join(self.root, "data")
+        self._snap: dict[str, Any] | None = None
+
+    # ------------------------------------------------------------------ #
+    # metadata plumbing
+    # ------------------------------------------------------------------ #
+    @property
+    def snapshot(self) -> dict[str, Any]:
+        if self._snap is None:
+            self.refresh()
+        assert self._snap is not None
+        return self._snap
+
+    def refresh(self) -> None:
+        vfile = os.path.join(self._meta_dir, "VERSION")
+        with open(vfile) as fh:
+            version = int(fh.read().strip())
+        with open(os.path.join(self._meta_dir, f"snap-{version:08d}.json")) as fh:
+            self._snap = json.load(fh)
+
+    def _commit(self, snap: dict[str, Any]) -> None:
+        """Write manifest then atomically swing the VERSION pointer."""
+        os.makedirs(self._meta_dir, exist_ok=True)
+        version = snap["version"]
+        path = os.path.join(self._meta_dir, f"snap-{version:08d}.json")
+        with open(path, "w") as fh:
+            json.dump(snap, fh)
+        tmp = os.path.join(self._meta_dir, f".VERSION.{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            fh.write(str(version))
+        os.replace(tmp, os.path.join(self._meta_dir, "VERSION"))
+        self._snap = snap
+
+    @classmethod
+    def exists(cls, root: str) -> bool:
+        return os.path.exists(os.path.join(root, "_meta", "VERSION"))
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        root: str,
+        schema: T.StructType,
+        key_cols: list[str],
+        n_buckets: int = 32,
+        properties: dict[str, Any] | None = None,
+    ) -> "LakeTable":
+        t = cls(spark, root)
+        if cls.exists(root):
+            raise ValueError(f"table already exists at {root}")
+        os.makedirs(t._data_dir, exist_ok=True)
+        fields = schema_to_json(schema)
+        for k in key_cols:
+            if k not in [f["name"] for f in fields]:
+                raise ValueError(f"key column {k} not in schema")
+        snap = {
+            "version": 0,
+            "schema_id": 0,
+            "schemas": {"0": fields},
+            "key_cols": key_cols,
+            "n_buckets": n_buckets,
+            "buckets": {},
+            "properties": properties or {},
+            "ledger": {"applied_lsn": -1, "source_watermarks": {}},
+            "lineage": [],
+        }
+        t._commit(snap)
+        return t
+
+    # ------------------------------------------------------------------ #
+    # schema
+    # ------------------------------------------------------------------ #
+    @property
+    def schema(self) -> T.StructType:
+        s = self.snapshot
+        return schema_from_json(s["schemas"][str(s["schema_id"])])
+
+    @property
+    def key_cols(self) -> list[str]:
+        return list(self.snapshot["key_cols"])
+
+    def evolve_schema(self, new_schema: T.StructType) -> bool:
+        """ALTER TABLE: add columns / widen types.  Returns True if changed.
+
+        Mirrors the reference's implicit evolution ("new YAML config ⇒ new
+        summary columns", reference pipeline/lib/summary/summary_merger.py:
+        196-250) but makes it an explicit, validated registry step: drops
+        and narrowings are rejected, old data files are never rewritten.
+        """
+        cur = {f.name: _type_name(f.dataType) for f in self.schema.fields}
+        new = {f.name: _type_name(f.dataType) for f in new_schema.fields}
+        for name, t_cur in cur.items():
+            if name not in new:
+                raise SchemaEvolutionError(f"column drop not allowed: {name}")
+            t_new = new[name]
+            if t_new != t_cur and (t_cur, t_new) not in _WIDENINGS:
+                raise SchemaEvolutionError(
+                    f"illegal type change {name}: {t_cur} -> {t_new}"
+                )
+        if new == cur:
+            return False
+        snap = dict(self.snapshot)
+        snap["version"] = snap["version"] + 1
+        sid = snap["schema_id"] + 1
+        snap["schema_id"] = sid
+        snap = json.loads(json.dumps(snap))  # deep copy
+        snap["schemas"][str(sid)] = schema_to_json(new_schema)
+        self._commit(snap)
+        return True
+
+    # ------------------------------------------------------------------ #
+    # read path
+    # ------------------------------------------------------------------ #
+    def _align(self, df: DataFrame, target: T.StructType, with_lsn: bool) -> DataFrame:
+        cols = []
+        have = set(df.columns)
+        for f in target.fields:
+            if f.name in have:
+                cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+            else:
+                cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        if with_lsn:
+            cols.append(
+                (F.col(LSN_COL) if LSN_COL in have else F.lit(None)).cast("long").alias(LSN_COL)
+            )
+        return df.select(*cols)
+
+    def _empty(self, with_lsn: bool) -> DataFrame:
+        target = self.schema
+        fields = list(target.fields)
+        if with_lsn:
+            fields = fields + [T.StructField(LSN_COL, T.LongType(), True)]
+        return self.spark.createDataFrame([], T.StructType(fields))
+
+    def read(self, buckets: set[int] | None = None, with_lsn: bool = False) -> DataFrame:
+        """Scan the current snapshot, optionally pruned to a bucket subset.
+
+        Files written under older schema ids are read in per-schema groups
+        and aligned (cast / null-fill) to the current schema — the Iceberg
+        read-time projection model, no data rewrite on evolution.
+        """
+        snap = self.snapshot
+        target = self.schema
+        by_schema: dict[int, list[str]] = {}
+        for b, files in snap["buckets"].items():
+            if buckets is not None and int(b) not in buckets:
+                continue
+            for fobj in files:
+                by_schema.setdefault(fobj["schema_id"], []).append(
+                    os.path.join(self.root, fobj["path"])
+                )
+        if not by_schema:
+            return self._empty(with_lsn)
+        parts = []
+        for sid, paths in sorted(by_schema.items()):
+            raw = self.spark.read.parquet(*paths)
+            parts.append(self._align(raw, target, with_lsn))
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        return df
+
+    # ------------------------------------------------------------------ #
+    # write path
+    # ------------------------------------------------------------------ #
+    def _bucket_expr(self) -> F.Column:
+        # xxhash64 is seed-stable across sessions/executors → deterministic
+        # bucket assignment, the precondition for metadata-only pruning.
+        return F.pmod(F.xxhash64(*self.key_cols), F.lit(self.snapshot["n_buckets"])).cast("int")
+
+    def _write_bucket_files(self, df: DataFrame, schema_id: int) -> dict[str, list[dict]]:
+        """Write df (must carry ``_bucket``) partitioned by bucket; return
+        the bucket→files mapping for the manifest."""
+        out_rel = os.path.join("data", f"w-{uuid.uuid4().hex}")
+        out_abs = os.path.join(self.root, out_rel)
+        n = self.snapshot["n_buckets"]
+        (
+            df.repartition(min(n, 64), "_bucket")
+            .sortWithinPartitions("_bucket", *self.key_cols)
+            .write.partitionBy("_bucket")
+            .parquet(out_abs)
+        )
+        mapping: dict[str, list[dict]] = {}
+        for entry in sorted(os.listdir(out_abs)):
+            if not entry.startswith("_bucket="):
+                continue
+            b = entry.split("=", 1)[1]
+            files = []
+            bdir = os.path.join(out_abs, entry)
+            for fn in sorted(os.listdir(bdir)):
+                if fn.endswith(".parquet"):
+                    files.append(
+                        {"path": os.path.join(out_rel, entry, fn), "schema_id": schema_id}
+                    )
+            if files:
+                mapping[b] = files
+        return mapping
+
+    def overwrite(self, df: DataFrame, lsn: int = 0) -> None:
+        """Full rewrite (the reference's only persistence mode)."""
+        snap = json.loads(json.dumps(self.snapshot))
+        df = self._align(df, self.schema, with_lsn=False)
+        staged = df.withColumn(LSN_COL, F.lit(lsn).cast("long")).withColumn(
+            "_bucket", self._bucket_expr()
+        )
+        mapping = self._write_bucket_files(staged, snap["schema_id"])
+        snap["version"] += 1
+        snap["buckets"] = mapping
+        snap["ledger"]["applied_lsn"] = lsn
+        self._commit(snap)
+
+    # ------------------------------------------------------------------ #
+    # MERGE INTO
+    # ------------------------------------------------------------------ #
+    def merge(
+        self,
+        batch: DataFrame,
+        lsn_col: str = "lsn",
+        op_col: str = "op",
+        batch_id: str | None = None,
+        source_watermarks: dict[str, int] | None = None,
+        extra_lineage: dict[str, Any] | None = None,
+    ) -> MergeStats:
+        """Latest-LSN-wins upsert of a change batch (ops: upsert-ish/delete).
+
+        Exactly-once: rows with ``lsn <= ledger.applied_lsn`` are filtered
+        out first, and the new ledger high-water-mark commits in the same
+        snapshot as the data — at-least-once redelivery (including a full
+        batch replay after a crash) is a no-op.
+
+        Scale notes: batch reduction is a ``max_by`` hash aggregate
+        (map-side combine absorbs hot-key skew); only touched buckets are
+        read and rewritten (COW + pruning); the existing-side scan is
+        pruned by bucket id from metadata alone, no data read for
+        untouched buckets.
+        """
+        snap = json.loads(json.dumps(self.snapshot))
+        target = self.schema
+        keys = self.key_cols
+        applied = snap["ledger"]["applied_lsn"]
+
+        batch = batch.withColumn(lsn_col, F.col(lsn_col).cast("long"))
+        new_events = batch.filter(F.col(lsn_col) > F.lit(applied))
+
+        # latest event per key within the batch: hash-agg, partial-combinable
+        data_cols = [f.name for f in target.fields]
+        have = set(new_events.columns)
+        payload = F.struct(
+            *[
+                (F.col(f.name) if f.name in have else F.lit(None))
+                .cast(f.dataType)
+                .alias(f.name)
+                for f in target.fields
+            ],
+            F.col(op_col).alias("_op"),
+            F.col(lsn_col).alias(LSN_COL),
+        )
+        reduced = (
+            new_events.groupBy(*keys)
+            .agg(F.max_by(payload, F.col(lsn_col)).alias("_p"),
+                 F.count(F.lit(1)).alias("_n_events"))
+            .select(*keys, "_p._op", f"_p.{LSN_COL}",
+                    *[F.col(f"_p.{c}").alias(c) for c in data_cols if c not in keys],
+                    "_n_events")
+            .withColumn("_bucket", self._bucket_expr())
+        ).localCheckpoint(eager=True)  # cut lineage; reused for stats + merge
+
+        agg = reduced.agg(
+            F.count(F.lit(1)).alias("keys"),
+            F.sum("_n_events").alias("rows"),
+            F.sum(F.when(F.col("_op") == "delete", 1).otherwise(0)).alias("dels"),
+            F.collect_set("_bucket").alias("buckets"),
+            F.max(LSN_COL).alias("max_lsn"),
+        ).collect()[0]
+        batch_total = batch.count()
+        if not agg["keys"]:
+            # everything already applied — pure idempotent no-op
+            return MergeStats(
+                batch_rows=batch_total, batch_keys=0, touched_buckets=0,
+                total_buckets=snap["n_buckets"], upserts=0, deletes=0,
+                rows_after=-1, skipped_already_applied=batch_total,
+            )
+        touched = {int(b) for b in agg["buckets"]}
+
+        existing = (
+            self.read(buckets=touched, with_lsn=True)
+            .withColumn("_op", F.lit("upsert"))
+            .withColumn("_bucket", self._bucket_expr())
+            .withColumn("_n_events", F.lit(0).cast("long"))
+        )
+        resolved = (
+            existing.unionByName(reduced.select(*existing.columns))
+            .groupBy(*keys)
+            .agg(F.max_by(
+                F.struct(*[c for c in data_cols if c not in keys],
+                         "_op", LSN_COL, "_bucket"),
+                F.col(LSN_COL)).alias("_p"))
+            .select(*keys, "_p.*")
+            .filter(F.col("_op") != "delete")
+            .drop("_op")
+        )
+        mapping = self._write_bucket_files(resolved, snap["schema_id"])
+
+        # new snapshot: untouched buckets carried over, touched replaced
+        buckets_meta = {
+            b: files for b, files in snap["buckets"].items() if int(b) not in touched
+        }
+        buckets_meta.update(mapping)
+        rows_after = self._count_rows(buckets_meta)
+        snap["version"] += 1
+        snap["buckets"] = buckets_meta
+        snap["ledger"]["applied_lsn"] = max(applied, int(agg["max_lsn"]))
+        if source_watermarks:
+            snap["ledger"]["source_watermarks"].update(
+                {k: max(int(v), int(snap["ledger"]["source_watermarks"].get(k, -1)))
+                 for k, v in source_watermarks.items()}
+            )
+        stats = MergeStats(
+            batch_rows=batch_total,
+            batch_keys=int(agg["keys"]),
+            touched_buckets=len(touched),
+            total_buckets=snap["n_buckets"],
+            upserts=int(agg["keys"]) - int(agg["dels"]),
+            deletes=int(agg["dels"]),
+            rows_after=rows_after,
+            skipped_already_applied=batch_total - int(agg["rows"]),
+        )
+        lineage = {
+            "batch_id": batch_id or uuid.uuid4().hex,
+            "lsn_max": int(agg["max_lsn"]),
+            "batch_rows": stats.batch_rows,
+            "batch_keys": stats.batch_keys,
+            "touched_buckets": sorted(touched),
+            "deletes": stats.deletes,
+            "skipped_already_applied": stats.skipped_already_applied,
+        }
+        if extra_lineage:
+            lineage.update(extra_lineage)
+        snap["lineage"].append(lineage)
+        self._commit(snap)
+        return stats
+
+    # ------------------------------------------------------------------ #
+    # maintenance
+    # ------------------------------------------------------------------ #
+    def _count_rows(self, buckets_meta: dict[str, list[dict]]) -> int:
+        """Row count from parquet footers only — metadata-scale, no scan."""
+        import pyarrow.parquet as pq
+
+        total = 0
+        for files in buckets_meta.values():
+            for fobj in files:
+                total += pq.ParquetFile(os.path.join(self.root, fobj["path"])).metadata.num_rows
+        return total
+
+    def row_count(self) -> int:
+        return self._count_rows(self.snapshot["buckets"])
+
+    def drop(self) -> None:
+        shutil.rmtree(self.root, ignore_errors=True)

@@ -1,0 +1,160 @@
+import os
+
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from cdm_cbioportal_etl_spark.lake import LakeTable, SchemaEvolutionError
+from cdm_cbioportal_etl_spark.cdc import REPOS_SCHEMA
+
+
+def _mk(spark, tmp_path, n_buckets=8):
+    return LakeTable.create(
+        spark, str(tmp_path / "t"), REPOS_SCHEMA, ["repo", "path"], n_buckets=n_buckets
+    )
+
+
+def _batch(spark, rows):
+    schema = T.StructType(
+        [
+            T.StructField("lsn", T.LongType()),
+            T.StructField("op", T.StringType()),
+            *REPOS_SCHEMA.fields,
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def test_create_read_empty(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    assert t.read().count() == 0
+    assert t.read().columns == ["repo", "path", "commit", "lang", "content"]
+
+
+def test_merge_upsert_delete(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    b1 = _batch(
+        spark,
+        [
+            (1, "insert", "r1", "a.py", "c1", "python", "v1"),
+            (2, "insert", "r1", "b.py", "c2", "python", "v1"),
+            (3, "update", "r1", "a.py", "c3", "python", "v2"),
+        ],
+    )
+    s = t.merge(b1)
+    assert s.batch_keys == 2 and s.deletes == 0
+    got = {(r.repo, r.path): r.content for r in t.read().collect()}
+    assert got == {("r1", "a.py"): "v2", ("r1", "b.py"): "v1"}
+
+    b2 = _batch(
+        spark,
+        [
+            (4, "delete", "r1", "b.py", None, None, None),
+            (5, "update", "r1", "a.py", "c4", "python", "v3"),
+        ],
+    )
+    t.merge(b2)
+    got = {(r.repo, r.path): r.content for r in t.read().collect()}
+    assert got == {("r1", "a.py"): "v3"}
+    assert t.row_count() == 1
+
+
+def test_merge_latest_lsn_wins_out_of_order(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    # shuffled delivery within a batch: lsn order must win, not row order
+    b = _batch(
+        spark,
+        [
+            (9, "update", "r", "p", "c9", "go", "late"),
+            (3, "insert", "r", "p", "c3", "go", "early"),
+            (7, "update", "r", "p", "c7", "go", "mid"),
+        ],
+    )
+    t.merge(b)
+    assert t.read().collect()[0].content == "late"
+
+
+def test_merge_exactly_once_replay(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    b1 = _batch(spark, [(1, "insert", "r", "p", "c1", "md", "x")])
+    t.merge(b1)
+    v_before = t.snapshot["version"]
+    # at-least-once: full redelivery of the same batch is a no-op
+    s = t.merge(b1)
+    assert s.skipped_already_applied == 1 and s.batch_keys == 0
+    assert t.snapshot["version"] == v_before
+    assert t.read().count() == 1
+
+
+def test_merge_prunes_untouched_buckets(spark, tmp_path):
+    t = _mk(spark, tmp_path, n_buckets=16)
+    rows = [(i, "insert", f"r{i}", f"p{i}.py", f"c{i}", "rust", f"v{i}") for i in range(50)]
+    t.merge(_batch(spark, rows))
+    files_before = dict(t.snapshot["buckets"])
+    # single-key update must rewrite only that key's bucket
+    s = t.merge(_batch(spark, [(100, "update", "r0", "p0.py", "cX", "rust", "vX")]))
+    assert s.touched_buckets == 1
+    changed = [
+        b for b in t.snapshot["buckets"]
+        if t.snapshot["buckets"][b] != files_before.get(b)
+    ]
+    assert len(changed) == 1
+
+
+def test_commit_atomicity_crash_before_pointer(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.merge(_batch(spark, [(1, "insert", "r", "p", "c1", "md", "x")]))
+    # simulate a crashed writer: manifest exists but VERSION not swung
+    snap = dict(t.snapshot)
+    snap["version"] += 1
+    import json
+
+    with open(os.path.join(t._meta_dir, f"snap-{snap['version']:08d}.json"), "w") as fh:
+        json.dump(snap, fh)
+    t2 = LakeTable(spark, t.root)
+    assert t2.snapshot["version"] == 1  # readers still see committed state
+    assert t2.read().count() == 1
+
+
+def test_schema_evolution_add_and_widen(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.merge(_batch(spark, [(1, "insert", "r", "p", "c1", "md", "x")]))
+    new = T.StructType(
+        list(REPOS_SCHEMA.fields) + [T.StructField("license", T.StringType())]
+    )
+    assert t.evolve_schema(new) is True
+    # old files readable, new column null-filled
+    row = t.read().collect()[0]
+    assert row.license is None
+    # merge a batch carrying the new column
+    schema = T.StructType(
+        [T.StructField("lsn", T.LongType()), T.StructField("op", T.StringType())]
+        + list(new.fields)
+    )
+    b = spark.createDataFrame([(2, "update", "r", "p", "c2", "md", "y", "MIT")], schema)
+    t.merge(b)
+    row = t.read().collect()[0]
+    assert row.license == "MIT" and row.content == "y"
+
+
+def test_schema_evolution_rejects_drop_and_narrow(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    with pytest.raises(SchemaEvolutionError):
+        t.evolve_schema(T.StructType(REPOS_SCHEMA.fields[:-1]))
+    bad = T.StructType(
+        [
+            T.StructField("repo", T.IntegerType()),
+            *REPOS_SCHEMA.fields[1:],
+        ]
+    )
+    with pytest.raises(SchemaEvolutionError):
+        t.evolve_schema(bad)
+
+
+def test_overwrite(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    df = spark.createDataFrame(
+        [("r", "p", "c", "md", "x"), ("r", "q", "c", "md", "y")], REPOS_SCHEMA
+    )
+    t.overwrite(df, lsn=10)
+    assert t.read().count() == 2
+    assert t.snapshot["ledger"]["applied_lsn"] == 10
