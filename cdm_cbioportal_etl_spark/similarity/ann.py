@@ -1,0 +1,134 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk_bruteforce``: the exact baseline — join + higher-order
+  dot product (``zip_with``/``aggregate``, JVM-side) + per-query top-k.
+  O(Q·N); correct answer, oracle-checkable.
+- ``lsh_bucketed_ann``: the scale path — random-hyperplane LSH buckets
+  shrink the candidate set from N to the bucket population, then the
+  exact scorer runs on candidates only.  Hyperplanes are generated
+  deterministically from a seed with a hash-PRNG (stable under retries);
+  at 100 TB the bucket join replaces the full cross product, and bucket
+  keys are uniform by construction (sign bits), so no skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_topk_bruteforce(
+    items: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query.
+
+    ``queries`` (query_id, embedding) is broadcast — Q small by
+    assumption; the N-side scan streams.  Ties broken by neighbor id for
+    determinism.  Returns (query_id, neighbor_id, cosine, rank).
+    """
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    it = items.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_iv"))
+    scored = it.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "neighbor_id",
+        (_dot(F.col("_qv"), F.col("_iv")) / (_norm(F.col("_qv")) * _norm(F.col("_iv")))).alias(
+            "_cos"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("_cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("_cos", 4).alias("cosine"), "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    """Deterministic pseudo-Gaussian hyperplanes (sum of 4 hash-uniforms
+    per coordinate — CLT approximation; plenty for sign-bucket LSH)."""
+    import hashlib
+
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            acc = 0.0
+            for r in range(4):
+                h = hashlib.md5(f"{seed}:{p}:{d}:{r}".encode()).hexdigest()
+                acc += int(h[:8], 16) / 0xFFFFFFFF - 0.5
+            row.append(acc)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucketed_ann(
+    items: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates = items sharing an LSH sign-bucket
+    with the query in ANY of ``n_tables`` hash tables, then exact cosine
+    re-rank on candidates only."""
+    dim = len(items.select(vec_col).first()[0])
+    buckets = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed + 1000 * t)
+        bits = [
+            F.when(
+                _dot(F.col(vec_col), F.array(*[F.lit(v) for v in plane])) >= 0, "1"
+            ).otherwise("0")
+            for plane in planes
+        ]
+        buckets.append(F.concat(F.lit(f"t{t}:"), *bits).alias(f"_bkt_{t}"))
+    bucket_names = [f"_bkt_{t}" for t in range(n_tables)]
+
+    it = items.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_iv"), *buckets)
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qv"), *buckets
+    )
+    it_long = it.unpivot(
+        ["neighbor_id", "_iv"], bucket_names, "_tbl", "_bucket"
+    )
+    q_long = q.unpivot(["query_id", "_qv"], bucket_names, "_tbl", "_bucket")
+    cands = (
+        it_long.join(F.broadcast(q_long), ["_tbl", "_bucket"])
+        .select("query_id", "neighbor_id", "_qv", "_iv")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cands.select(
+        "query_id",
+        "neighbor_id",
+        (_dot(F.col("_qv"), F.col("_iv")) / (_norm(F.col("_qv")) * _norm(F.col("_iv")))).alias(
+            "_cos"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("_cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("_cos", 4).alias("cosine"), "rank")
+    )

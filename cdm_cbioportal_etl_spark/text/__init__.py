@@ -1,0 +1,25 @@
+from cdm_cbioportal_etl_spark.text.dedup import (
+    exact_dedup,
+    minhash_signatures,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_fingerprint,
+)
+from cdm_cbioportal_etl_spark.text.analysis import (
+    document_fingerprint,
+    language_id,
+    quality_score,
+    token_count,
+)
+
+__all__ = [
+    "exact_dedup",
+    "minhash_signatures",
+    "minhash_lsh_candidates",
+    "ngram_jaccard_pairs",
+    "simhash_fingerprint",
+    "document_fingerprint",
+    "language_id",
+    "quality_score",
+    "token_count",
+]

@@ -1,0 +1,183 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale shape:
+
+- **exact**: one hash aggregate on a canonical content fingerprint —
+  map-side combinable, no window, no sort.
+- **MinHash LSH**: shingle → H portable min-hashes → band keys → self-join
+  on band key.  The only shuffle keys are band hashes (uniform by
+  construction), so the candidate join never skews; at 100 TB you bound
+  candidate blowup by banding (r rows/band) instead of an O(n²) cross.
+- **n-gram Jaccard**: exact verification on candidate pairs only
+  (explode-join-aggregate), the standard verify step after LSH.
+- Hash primitive is md5 (identical bytes in Spark and DuckDB) so every
+  operator here is oracle-checkable cross-engine; xxhash64 would be
+  faster JVM-side but engine-private — swap via ``hash_fn`` if parity
+  isn't needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Column, functions as F
+
+
+def _canon(col) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
+
+
+def tokens(col) -> Column:
+    t = F.trim(_canon(col))
+    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def shingles(col, k: int = 3) -> Column:
+    """Distinct word k-shingles as an array<string> column."""
+    toks = tokens(col)
+    return F.array_distinct(
+        F.when(
+            F.size(toks) >= k,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - k),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", toks)))
+    )
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact-duplicate groups on canonicalized content: per fingerprint the
+    kept (minimum) id and the duplicate count.  Single hash aggregate."""
+    return (
+        docs.select(F.md5(_canon(text_col)).alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """H engine-portable min-hashes per doc: hash family i is
+    ``md5(i || ':' || shingle)``; the signature element is the
+    *lexicographic* minimum hex digest — a valid min-hash that is
+    bit-identical across engines (no integer conversion needed)."""
+    sh = shingles(text_col, shingle_k)
+    cols = [
+        F.array_min(
+            F.transform(sh, lambda s, i=i: F.md5(F.concat_ws(":", F.lit(str(i)), s)))
+        ).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return docs.select(F.col(id_col), *cols)
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs: docs sharing ≥1 LSH band.
+
+    Signature split into ``bands`` bands of r = H/bands rows; band key =
+    md5 of the concatenated band slice; self-join per band; pairs
+    deduped with id_a < id_b.
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sig = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_k)
+    band_cols = [
+        F.md5(F.concat_ws("|", *[F.col(f"mh_{b * r + j}") for j in range(r)])).alias(
+            f"band_{b}"
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(F.col(id_col), *band_cols)
+    long = banded.unpivot(id_col, [f"band_{b}" for b in range(bands)], "band_idx", "band_key")
+    left = long.select(
+        F.col(id_col).alias("id_a"), "band_idx", "band_key"
+    )
+    right = long.select(F.col(id_col).alias("id_b"), "band_idx", "band_key")
+    return (
+        left.join(right, ["band_idx", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    pairs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity per pair.
+
+    With ``pairs`` given (id_a, id_b), verifies only those candidates —
+    the LSH-then-verify pattern.  Without, compares all pairs sharing at
+    least one shingle (still never a cross join: the shingle join IS the
+    candidate generator).
+    """
+    sh = docs.select(
+        F.col(id_col), shingles(text_col, shingle_k).alias("sh"), F.size(
+            shingles(text_col, shingle_k)
+        ).alias("n_sh"),
+    )
+    ex = sh.select(id_col, "n_sh", F.explode("sh").alias("s"))
+    a = ex.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na"), "s")
+    b = ex.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb"), "s")
+    common = (
+        a.join(b, "s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    if pairs is not None:
+        common = common.join(pairs, ["id_a", "id_b"], "left_semi")
+    return common.select(
+        "id_a",
+        "id_b",
+        F.round(
+            F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6
+        ).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
+
+
+def simhash_fingerprint(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32
+) -> DataFrame:
+    """Per-doc SimHash: sign-aggregated token-hash bits → one integer.
+
+    Token hash = first 8 hex chars of md5 (32 bits, engine-portable via
+    conv/hex-cast).  Implemented as explode + 32 conditional sums in ONE
+    hash aggregate — vectorized, no UDF, map-side combinable.
+    """
+    toks = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    h = F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+    sums = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    agg = toks.groupBy(id_col).agg(*sums)
+    sim = None
+    for i in range(bits):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(2 ** i).cast("long")).otherwise(F.lit(0).cast("long"))
+        sim = bit if sim is None else sim + bit
+    return agg.select(F.col(id_col), sim.alias("simhash"))

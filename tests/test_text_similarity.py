@@ -1,0 +1,143 @@
+"""Tests for dedup / text-analysis / similarity / multimodal operators."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdm_cbioportal_etl_spark.similarity import cosine_topk_bruteforce, lsh_bucketed_ann
+from cdm_cbioportal_etl_spark.text import (
+    exact_dedup,
+    language_id,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    quality_score,
+    simhash_fingerprint,
+    token_count,
+)
+from cdm_cbioportal_etl_spark.text.multimodal import extract_features, synth_media
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog and runs away fast"),
+    (2, "the quick brown fox jumps over the lazy dog and runs away fast"),  # exact dup of 1
+    (3, "the quick brown fox jumps over the lazy cat and runs away fast"),  # near dup of 1
+    (4, "completely different content about spark distributed computing engines"),
+    (5, "le chat est sur la table et le chien est dans le jardin"),
+    (6, ""),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, docs):
+    out = exact_dedup(docs).collect()
+    groups = {r.keep_id: r.n_docs for r in out}
+    assert groups[1] == 2  # docs 1+2 collapse
+    assert groups[3] == 1 and groups[4] == 1
+    assert len(out) == 5  # 6 docs, one pair merged
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    pairs = {(r.id_a, r.id_b) for r in minhash_lsh_candidates(docs, num_hashes=16, bands=8).collect()}
+    assert (1, 2) in pairs          # exact dups always collide
+    assert (1, 3) in pairs or (2, 3) in pairs  # near dup shares bands
+    assert (1, 4) not in pairs      # unrelated docs don't
+
+
+def test_minhash_signature_properties(spark, docs):
+    sig = minhash_signatures(docs, num_hashes=8).collect()
+    by_id = {r.doc_id: [r[f"mh_{i}"] for i in range(8)] for r in sig}
+    assert by_id[1] == by_id[2]  # identical text → identical signature
+    overlap_near = sum(a == b for a, b in zip(by_id[1], by_id[3]))
+    overlap_far = sum(a == b for a, b in zip(by_id[1], by_id[4]))
+    assert overlap_near > overlap_far
+
+
+def test_ngram_jaccard(spark, docs):
+    out = {(r.id_a, r.id_b): r.jaccard for r in ngram_jaccard_pairs(docs).collect()}
+    assert out[(1, 2)] == 1.0
+    assert 0.3 < out[(1, 3)] < 1.0
+    assert (1, 4) not in out  # no shared shingles → never a candidate
+
+
+def test_jaccard_verify_on_lsh_candidates(spark, docs):
+    cands = minhash_lsh_candidates(docs, num_hashes=16, bands=8)
+    out = ngram_jaccard_pairs(docs, pairs=cands, threshold=0.5)
+    got = {(r.id_a, r.id_b) for r in out.collect()}
+    assert (1, 2) in got
+
+
+def test_simhash(spark, docs):
+    out = {r.doc_id: r.simhash for r in simhash_fingerprint(docs).collect()}
+    assert out[1] == out[2]
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+    assert hamming(out[1], out[3]) < hamming(out[1], out[4])
+
+
+def test_language_id(spark, docs):
+    out = {r.doc_id: r.lang for r in docs.select("doc_id", language_id("text").alias("lang")).collect()}
+    assert out[1] == "en" and out[5] == "fr" and out[6] == "und"
+
+
+def test_token_count_and_quality(spark, docs):
+    out = {
+        r.doc_id: (r.n, r.q)
+        for r in docs.select(
+            "doc_id", token_count("text").alias("n"), quality_score("text").alias("q")
+        ).collect()
+    }
+    assert out[1][0] == 13 and out[6][0] == 0
+    assert out[1][1] > out[6][1]  # real text scores above empty
+    assert all(0.0 <= v[1] <= 1.0 for v in out.values())
+
+
+def test_cosine_topk_exact(spark):
+    items = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0]), (4, [-1.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    queries = spark.createDataFrame([(100, [1.0, 0.0])], "query_id long, embedding array<float>")
+    out = cosine_topk_bruteforce(items, queries, k=2).orderBy("rank").collect()
+    assert [r.neighbor_id for r in out] == [1, 2]
+    assert out[0].cosine == 1.0
+
+
+def test_lsh_ann_recall_vs_bruteforce(spark):
+    import random
+
+    random.seed(7)
+    dim = 16
+    items = spark.createDataFrame(
+        [(i, [random.gauss(0, 1) for _ in range(dim)]) for i in range(200)],
+        "vec_id long, embedding array<float>",
+    )
+    queries = spark.createDataFrame(
+        [(i, [random.gauss(0, 1) for _ in range(dim)]) for i in range(5)],
+        "query_id long, embedding array<float>",
+    )
+    exact = cosine_topk_bruteforce(items, queries, k=5).collect()
+    approx = lsh_bucketed_ann(items, queries, k=5, n_planes=6, n_tables=6).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5  # approximate, but must beat random by far
+
+
+def test_multimodal_feature_extraction(spark):
+    media = synth_media(spark, n=32)
+    feats = extract_features(media, feature_dim=8).collect()
+    assert len(feats) == 32
+    assert all(len(r.feature) == 8 for r in feats)
+    assert all(0.0 <= v <= 1.0 for r in feats for v in r.feature)
+    # determinism
+    feats2 = extract_features(synth_media(spark, n=32), feature_dim=8).collect()
+    assert sorted(map(str, feats)) == sorted(map(str, feats2))
+
+
+def test_multimodal_stub_gate(spark):
+    media = synth_media(spark, n=4)
+    with pytest.raises(Exception):  # NotImplementedError surfaces as PythonException
+        extract_features(media, decode_stub=False).collect()
