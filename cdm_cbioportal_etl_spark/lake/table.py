@@ -47,10 +47,12 @@ from pyspark.sql import types as T
 # system columns stored in data files alongside user columns
 LSN_COL = "_lsn"  # LSN that last wrote this row (latest-wins arbiter)
 
+# keyed by DataType.simpleString() names
 _ATOMIC_TYPES: dict[str, T.DataType] = {
     "string": T.StringType(),
+    "smallint": T.ShortType(),
     "int": T.IntegerType(),
-    "long": T.LongType(),
+    "bigint": T.LongType(),
     "float": T.FloatType(),
     "double": T.DoubleType(),
     "boolean": T.BooleanType(),
@@ -58,7 +60,13 @@ _ATOMIC_TYPES: dict[str, T.DataType] = {
     "timestamp": T.TimestampType(),
     "binary": T.BinaryType(),
 }
-_WIDENINGS = {("int", "long"), ("float", "double"), ("int", "double")}
+_WIDENINGS = {
+    ("smallint", "int"),
+    ("smallint", "bigint"),
+    ("int", "bigint"),
+    ("float", "double"),
+    ("int", "double"),
+}
 
 
 class SchemaEvolutionError(ValueError):

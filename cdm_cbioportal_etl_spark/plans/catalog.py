@@ -1,0 +1,774 @@
+"""Query catalog: every implemented operator as a (spark_fn, duckdb_sql) pair.
+
+Each Spark query and its ANSI/DuckDB oracle compute the SAME named,
+typed columns so the driver's order-insensitive value-hash matches.
+Parity rules used throughout:
+
+- md5/sha256 only (engine-identical hex), never xxhash64 in checked output;
+- integer computed columns cast to BIGINT on the Spark side (DuckDB's
+  natural width);
+- double aggregates rounded at the end (partial-sum order differs between
+  engines by design; rounding removes the ulp noise, not the semantics);
+- deterministic tie-breaks on every top-k / argmin (composite order keys).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from cdm_cbioportal_etl_spark.functions import (
+    clamp_age,
+    days_to_readable,
+)
+from cdm_cbioportal_etl_spark.lake import LakeTable
+from cdm_cbioportal_etl_spark.cdc import CdcReplayer
+from cdm_cbioportal_etl_spark.similarity import cosine_topk_bruteforce
+from cdm_cbioportal_etl_spark.text import (
+    exact_dedup,
+    language_id,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    quality_score,
+    token_count,
+)
+from cdm_cbioportal_etl_spark.text.analysis import document_fingerprint
+from pyspark.sql import types as T
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _register(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# --------------------------------------------------------------------- #
+# TPC-H-ish relational core (reference operator families §2.2-2.8)
+# --------------------------------------------------------------------- #
+@_register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                   AS sum_qty,
+           round(sum(l_extendedprice), 2)                              AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 4)                                   AS avg_qty,
+           round(avg(l_extendedprice), 4)                              AS avg_price,
+           round(avg(l_discount), 4)                                   AS avg_disc,
+           count(*)                                                    AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@_register(
+    "q3_shipping_priority",
+    """
+    SELECT o.o_orderkey AS orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l.l_shipdate  > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY o.o_orderkey
+    ORDER BY revenue DESC, orderkey
+    LIMIT 10
+    """,
+)
+def q3(spark, sf_dir):
+    cutoff = F.lit("1995-03-15 00:00:00").cast("timestamp")
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)  # customer is the small dim
+        .groupBy(F.col("o_orderkey").alias("orderkey"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), F.asc("orderkey"))
+        .limit(10)
+    )
+
+
+@_register(
+    "q5_region_revenue",
+    """
+    SELECT n.n_name AS nation,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM region r JOIN nation n   ON n.n_regionkey = r.r_regionkey
+                  JOIN supplier s ON s.s_nationkey = n.n_nationkey
+                  JOIN lineitem l ON l.l_suppkey = s.s_suppkey
+                  JOIN orders o   ON o.o_orderkey = l.l_orderkey
+                  JOIN customer c ON c.c_custkey = o.o_custkey
+                                 AND c.c_nationkey = s.s_nationkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+)
+def q5(spark, sf_dir):
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    # dims (region/nation/supplier/customer) broadcast; facts join on keys
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(
+            F.broadcast(c),
+            (o.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@_register(
+    "q6_filter_agg",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+           count(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1995-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1994-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_discount").between(0.05, 0.07))
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# --- reference operator analogs over events/orders --------------------- #
+@_register(
+    "anchor_min_dates",
+    """
+    SELECT user_id, min(ts) AS anchor_ts
+    FROM events GROUP BY user_id
+    """,
+)
+def anchor_min(spark, sf_dir):
+    # A1 analog: anchor date = group-min (reference get_anchor_dates.py:55)
+    return _t(spark, sf_dir, "events").groupBy("user_id").agg(F.min("ts").alias("anchor_ts"))
+
+
+@_register(
+    "integrity_gate_anchor",
+    """
+    WITH viol AS (
+      SELECT user_id FROM events GROUP BY user_id
+      HAVING count(DISTINCT event_type) >= 5
+    )
+    SELECT e.user_id, min(e.ts) AS anchor_ts
+    FROM events e LEFT JOIN viol v ON e.user_id = v.user_id
+    WHERE v.user_id IS NULL
+    GROUP BY e.user_id
+    """,
+)
+def integrity_gate(spark, sf_dir):
+    # A5+P10 analog of the reference's ID-integrity gate
+    # (get_anchor_dates.py:41-64): cardinality audit → anti-join violators
+    ev = _t(spark, sf_dir, "events")
+    viol = (
+        ev.groupBy("user_id")
+        .agg(F.countDistinct("event_type").alias("n"))
+        .filter(F.col("n") >= 5)
+        .select("user_id")
+    )
+    return (
+        ev.join(viol, "user_id", "left_anti")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("anchor_ts"))
+    )
+
+
+@_register(
+    "deid_day_intervals",
+    """
+    WITH a AS (SELECT user_id, min(ts) AS anchor FROM events GROUP BY user_id)
+    SELECT e.event_id, e.user_id,
+           date_diff('day', a.anchor::date, e.ts::date) AS interval_days
+    FROM events e JOIN a USING (user_id)
+    """,
+)
+def deid_intervals(spark, sf_dir):
+    # F4 deid core: date → integer day offset from broadcast anchor dim
+    ev = _t(spark, sf_dir, "events")
+    anchor = ev.groupBy("user_id").agg(F.min("ts").alias("anchor"))
+    return ev.join(F.broadcast(anchor), "user_id").select(
+        "event_id",
+        "user_id",
+        F.datediff(F.col("ts").cast("date"), F.col("anchor").cast("date"))
+        .cast("long")
+        .alias("interval_days"),
+    )
+
+
+@_register(
+    "readable_intervals",
+    """
+    WITH a AS (SELECT user_id, min(ts) AS anchor FROM events GROUP BY user_id),
+    d AS (SELECT e.event_id, date_diff('day', a.anchor::date, e.ts::date) AS dd
+          FROM events e JOIN a USING (user_id))
+    SELECT event_id,
+           CASE WHEN dd IS NULL THEN NULL ELSE
+             concat_ws(' ',
+               CASE WHEN dd//365 > 0 THEN concat(dd//365, 'y') END,
+               CASE WHEN (dd%365)//30 > 0 THEN concat((dd%365)//30, 'm') END,
+               CASE WHEN dd%365%30 > 0 OR (dd//365 = 0 AND (dd%365)//30 = 0)
+                    THEN concat(dd%365%30, 'd') END)
+           END AS readable
+    FROM d
+    """,
+)
+def readable_intervals(spark, sf_dir):
+    # F16: human-readable compact interval, zero-UDF (reference applies a
+    # per-row Python fn: cbioportal_timeline_deidentify.py:497-498)
+    ev = _t(spark, sf_dir, "events")
+    anchor = ev.groupBy("user_id").agg(F.min("ts").alias("anchor"))
+    return ev.join(F.broadcast(anchor), "user_id").select(
+        "event_id",
+        days_to_readable(
+            F.datediff(F.col("ts").cast("date"), F.col("anchor").cast("date"))
+        ).alias("readable"),
+    )
+
+
+_EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+@_register(
+    "presence_pivot_events",
+    f"""
+    SELECT user_id,
+           {', '.join(f"CASE WHEN count(CASE WHEN event_type = '{t}' THEN 1 END) > 0 "
+                      f"THEN 'Yes' ELSE 'No' END AS {t}" for t in _EVENT_TYPES)}
+    FROM events GROUP BY user_id
+    """,
+)
+def presence_events(spark, sf_dir):
+    # A4 analog: fixed-domain presence pivot
+    # (reference cbioportal_summary_tumor_sites.py:154-185)
+    from cdm_cbioportal_etl_spark.operators import presence_pivot
+
+    return presence_pivot(
+        _t(spark, sf_dir, "events"), "user_id", "event_type", _EVENT_TYPES, exclude_value=None
+    )
+
+
+@_register(
+    "first_and_max_orders",
+    """
+    SELECT o_custkey AS custkey,
+           min_by(o_orderpriority, (epoch_us(o_orderdate) // 1000000) * 100000 + o_orderkey)
+             AS first_priority,
+           round(max(o_totalprice), 2) AS max_price
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def first_max_orders(spark, sf_dir):
+    # A3+A2 in ONE aggregate (reference gleason first/highest does
+    # sort+groupby.first + groupby.max + self-join: :38-61)
+    o = _t(spark, sf_dir, "orders")
+    tie_key = F.unix_timestamp("o_orderdate") * 100000 + F.col("o_orderkey")
+    return o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.min_by("o_orderpriority", tie_key).alias("first_priority"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+
+
+@_register(
+    "anti_join_inactive_customers",
+    """
+    SELECT c.c_custkey AS custkey, c.c_name AS name
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    WHERE o.o_custkey IS NULL
+    """,
+)
+def anti_inactive(spark, sf_dir):
+    # P10: anti-join exclusion (reference get_anchor_dates.py:60-64)
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        F.col("c_custkey").alias("custkey"), F.col("c_name").alias("name")
+    )
+
+
+@_register(
+    "semi_join_active_suppliers",
+    """
+    SELECT s.s_suppkey AS suppkey, s.s_name AS name
+    FROM supplier s WHERE s.s_suppkey IN (SELECT l_suppkey FROM lineitem)
+    """,
+)
+def semi_active(spark, sf_dir):
+    # P9: semi-join filter (reference age_at_sequencing.py:81-84)
+    s = _t(spark, sf_dir, "supplier")
+    l = _t(spark, sf_dir, "lineitem")
+    return s.join(l, s.s_suppkey == l.l_suppkey, "left_semi").select(
+        F.col("s_suppkey").alias("suppkey"), F.col("s_name").alias("name")
+    )
+
+
+@_register(
+    "melt_part_attrs",
+    """
+    SELECT p_partkey AS partkey, attr, val FROM (
+      SELECT p_partkey, p_size::DOUBLE AS size, p_retailprice::DOUBLE AS retailprice
+      FROM part
+    ) UNPIVOT (val FOR attr IN (size, retailprice))
+    """,
+)
+def melt_part(spark, sf_dir):
+    # R3: wide→long unpivot (reference follow_up.py:84-98 pd.melt)
+    p = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("partkey"),
+        F.col("p_size").cast("double").alias("size"),
+        F.col("p_retailprice").cast("double").alias("retailprice"),
+    )
+    return p.unpivot("partkey", ["size", "retailprice"], "attr", "val")
+
+
+@_register(
+    "union_dedup_nations",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def union_dedup(spark, sf_dir):
+    # R5: union + dedup (reference get_anchor_dates.py:48-50)
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).dropDuplicates()
+
+
+@_register(
+    "clamp_ages",
+    """
+    SELECT c_custkey AS custkey,
+           CASE WHEN c_custkey % 120 < 18 THEN '<18'
+                WHEN c_custkey % 120 > 89 THEN '>89'
+                ELSE (c_custkey % 120)::VARCHAR END AS age_clamped
+    FROM customer
+    """,
+)
+def clamp_ages(spark, sf_dir):
+    # F15: HIPAA age clamping on a derived age column
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        F.col("c_custkey").alias("custkey"),
+        clamp_age((F.col("c_custkey") % 120).cast("double")).alias("age_clamped"),
+    )
+
+
+@_register(
+    "backfill_remap_orders",
+    """
+    SELECT o_orderkey AS orderkey,
+           coalesce(nullif(o_orderpriority, '1-URGENT'), 'TOP') AS priority_filled,
+           CASE o_orderstatus WHEN 'O' THEN 'Open' WHEN 'F' THEN 'Finished'
+                              WHEN 'P' THEN 'Pending' ELSE o_orderstatus END AS status_label
+    FROM orders
+    """,
+)
+def backfill_remap(spark, sf_dir):
+    # F9 backfill + F10 value-remap dictionaries
+    o = _t(spark, sf_dir, "orders")
+    remap = F.create_map(
+        F.lit("O"), F.lit("Open"), F.lit("F"), F.lit("Finished"), F.lit("P"), F.lit("Pending")
+    )
+    return o.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.coalesce(
+            F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")), F.lit("TOP")
+        ).alias("priority_filled"),
+        F.coalesce(remap[F.col("o_orderstatus")], F.col("o_orderstatus")).alias(
+            "status_label"
+        ),
+    )
+
+
+@_register(
+    "window_top3_orders",
+    """
+    SELECT custkey, orderkey, rank FROM (
+      SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rank
+      FROM orders)
+    WHERE rank <= 3
+    """,
+)
+def window_top3(spark, sf_dir):
+    # §2.5: ranking window (the reference's sort+groupby.first pattern)
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("rank"),
+        )
+    )
+
+
+# --------------------------------------------------------------------- #
+# training-data pipeline ops over documents / embeddings
+# --------------------------------------------------------------------- #
+# SQL mirror of text.dedup shingle construction (3-word shingles over the
+# canonicalized token list) — shared by several oracles below
+_SQL_SHINGLES = """
+    WITH toks AS (
+      SELECT doc_id,
+             string_split_regex(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), '\\s+') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 3 THEN
+               list_distinct(list_transform(range(1, len(t) - 1),
+                                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+             ELSE [array_to_string(t, ' ')] END AS shingles
+      FROM toks
+    )
+"""
+
+
+@_register(
+    "dedup_exact_docs",
+    """
+    SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint,
+           min(doc_id) AS keep_id, count(*) AS n_docs
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact_docs(spark, sf_dir):
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "token_count_docs",
+    """
+    SELECT doc_id,
+           CASE WHEN length(trim(lower(regexp_replace(text, '\\s+', ' ', 'g')))) = 0 THEN 0
+                ELSE len(string_split_regex(
+                       trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), '\\s+')) END
+             ::BIGINT AS n_tokens
+    FROM documents
+    """,
+)
+def token_count_docs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", token_count("text").cast("long").alias("n_tokens"))
+
+
+_MARKERS_SQL = {
+    "en": [" the ", " and ", " of ", " to ", " is "],
+    "fr": [" le ", " la ", " les ", " et ", " est "],
+    "de": [" der ", " die ", " und ", " ist ", " das "],
+    "es": [" el ", " los ", " las ", " es ", " una "],
+}
+
+
+def _hits_sql(lang: str) -> str:
+    terms = [
+        f"(length(norm) - length(replace(norm, '{m}', ''))) / {len(m)}"
+        for m in _MARKERS_SQL[lang]
+    ]
+    return " + ".join(terms)
+
+
+@_register(
+    "lang_id_docs",
+    f"""
+    WITH n AS (
+      SELECT doc_id,
+             ' ' || lower(regexp_replace(text, '\\s+', ' ', 'g')) || ' ' AS norm
+      FROM documents
+    ), h AS (
+      SELECT doc_id,
+             {', '.join(f'({_hits_sql(lang)}) AS h_{lang}' for lang in _MARKERS_SQL)}
+      FROM n
+    )
+    SELECT doc_id,
+           CASE WHEN greatest(h_en, h_fr, h_de, h_es) <= 0 THEN 'und'
+                WHEN h_en = greatest(h_en, h_fr, h_de, h_es) THEN 'en'
+                WHEN h_fr = greatest(h_en, h_fr, h_de, h_es) THEN 'fr'
+                WHEN h_de = greatest(h_en, h_fr, h_de, h_es) THEN 'de'
+                ELSE 'es' END AS lang_pred
+    FROM h
+    """,
+)
+def lang_id_docs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", language_id("text").alias("lang_pred"))
+
+
+@_register(
+    "fingerprint_docs",
+    """
+    SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+    FROM documents
+    """,
+)
+def fingerprint_docs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", document_fingerprint("text").alias("fp"))
+
+
+_MINHASHES = 8
+
+
+@_register(
+    "minhash_docs",
+    _SQL_SHINGLES
+    + f"""
+    SELECT doc_id,
+           {', '.join(f"list_min(list_transform(shingles, s -> md5('{i}:' || s))) AS mh_{i}"
+                      for i in range(_MINHASHES))}
+    FROM sh
+    """,
+)
+def minhash_docs(spark, sf_dir):
+    return minhash_signatures(_t(spark, sf_dir, "documents"), num_hashes=_MINHASHES)
+
+
+@_register(
+    "lsh_candidate_pairs",
+    _SQL_SHINGLES
+    + f"""
+    , sig AS (
+      SELECT doc_id,
+             {', '.join(f"list_min(list_transform(shingles, s -> md5('{i}:' || s))) AS mh_{i}"
+                        for i in range(16))}
+      FROM sh
+    ), bands AS (
+      SELECT doc_id, unnest([
+        {', '.join(f"md5('{b}' || '|' || mh_{2*b} || '|' || mh_{2*b+1})" for b in range(8))}
+      ]) AS band_key
+      FROM sig
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b USING (band_key)
+    WHERE a.doc_id < b.doc_id
+    """,
+)
+def lsh_candidates_docs(spark, sf_dir):
+    return minhash_lsh_candidates(
+        _t(spark, sf_dir, "documents"), num_hashes=16, bands=8
+    )
+
+
+@_register(
+    "ngram_jaccard_docs",
+    _SQL_SHINGLES
+    + """
+    , ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh)
+    SELECT id_a, id_b, jaccard FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             round(count(*)::DOUBLE /
+                   (any_value(a.n) + any_value(b.n) - count(*)), 6) AS jaccard
+      FROM ex a JOIN ex b USING (s)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    WHERE jaccard >= 0.2
+    """,
+)
+def ngram_jaccard_docs(spark, sf_dir):
+    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.2)
+
+
+@_register(
+    "quality_score_docs",
+    """
+    WITH b AS (
+      SELECT doc_id, text,
+             length(text)::DOUBLE AS n,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE AS alpha,
+             length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE AS punct,
+             ' ' || lower(regexp_replace(text, '\\s+', ' ', 'g')) || ' ' AS norm,
+             CASE WHEN length(trim(lower(regexp_replace(text, '\\s+', ' ', 'g')))) = 0 THEN 0
+                  ELSE len(string_split_regex(
+                         trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), '\\s+')) END
+               ::DOUBLE AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id,
+             least(n / 500.0, 1.0) AS len_score,
+             CASE WHEN n > 0 THEN alpha / n ELSE 0.0 END AS alpha_ratio,
+             CASE WHEN n > 0 THEN least(punct / n * 10.0, 1.0) ELSE 0.0 END AS punct_penalty,
+             CASE WHEN toks > 0 THEN least((
+               (length(norm) - length(replace(norm, ' the ', ''))) / 5 +
+               (length(norm) - length(replace(norm, ' and ', ''))) / 5 +
+               (length(norm) - length(replace(norm, ' of ', ''))) / 4 +
+               (length(norm) - length(replace(norm, ' to ', ''))) / 4 +
+               (length(norm) - length(replace(norm, ' is ', ''))) / 4
+             ) / toks * 5.0, 1.0) ELSE 0.0 END AS stop_density
+      FROM b
+    )
+    SELECT doc_id,
+           round(len_score * 0.3 + alpha_ratio * 0.4 +
+                 (1.0 - punct_penalty) * 0.1 + stop_density * 0.2, 4) AS quality
+    FROM s
+    """,
+)
+def quality_docs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", quality_score("text").alias("quality"))
+
+
+@_register(
+    "cosine_topk_embeddings",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 5),
+    s AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             list_cosine_similarity(q.qv, e.embedding::DOUBLE[]) AS c
+      FROM embeddings e CROSS JOIN q
+    )
+    SELECT query_id, neighbor_id, round(c, 4) AS cosine, rank FROM (
+      SELECT query_id, neighbor_id, c,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY c DESC, neighbor_id) AS rank
+      FROM s)
+    WHERE rank <= 5
+    """,
+)
+def cosine_topk_embeddings(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = cosine_topk_bruteforce(emb, queries, k=5)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+# --------------------------------------------------------------------- #
+# CDC replay: the engine's flagship — events.parquet as a WAL
+# --------------------------------------------------------------------- #
+CDC_WORK_DIR = os.environ.get("SPARK_GRAFT_CDC_DIR", "/tmp/cdc_catalog")
+
+
+@_register(
+    "cdc_replay_final_state",
+    """
+    WITH ranked AS (
+      SELECT user_id, event_type, value, props,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      FROM events)
+    SELECT user_id, event_type, value, props,
+           sha256(coalesce(props, '')) AS content_sha
+    FROM ranked WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def cdc_replay_final_state(spark, sf_dir):
+    """Treat events.parquet as a WAL: lsn=event_id, key=user_id,
+    op=delete on 'error' else upsert.  Replays through the full engine
+    (LakeTable MERGE, LSN ledger, lineage) in 4 batches and returns the
+    final table state with the per-row sha256 invariant."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_id").alias("lsn"),
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("update"))
+        .alias("op"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    max_lsn = ev.agg(F.max("lsn")).collect()[0][0]
+    root = os.path.join(CDC_WORK_DIR, os.path.basename(os.path.normpath(sf_dir)))
+    shutil.rmtree(root, ignore_errors=True)
+    table = LakeTable.create(
+        spark,
+        root,
+        T.StructType(
+            [
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+                T.StructField("props", T.StringType()),
+            ]
+        ),
+        key_cols=["user_id"],
+        n_buckets=16,
+    )
+    CdcReplayer(table).replay_range_batches(
+        ev, 0, int(max_lsn) + 1, batch_size=(int(max_lsn) + 4) // 4
+    )
+    return table.read().select(
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+        F.sha2(F.coalesce(F.col("props"), F.lit("")), 256).alias("content_sha"),
+    )

@@ -72,10 +72,14 @@ def minhash_signatures(
     *lexicographic* minimum hex digest — a valid min-hash that is
     bit-identical across engines (no integer conversion needed)."""
     sh = shingles(text_col, shingle_k)
+
+    def _family(i: int):
+        # single-arg lambda: a 2-arg callable would make pyspark pass the
+        # ARRAY INDEX as the second argument, silently replacing the family id
+        return lambda s: F.md5(F.concat(F.lit(f"{i}:"), s))
+
     cols = [
-        F.array_min(
-            F.transform(sh, lambda s, i=i: F.md5(F.concat_ws(":", F.lit(str(i)), s)))
-        ).alias(f"mh_{i}")
+        F.array_min(F.transform(sh, _family(i))).alias(f"mh_{i}")
         for i in range(num_hashes)
     ]
     return docs.select(F.col(id_col), *cols)
@@ -98,10 +102,12 @@ def minhash_lsh_candidates(
     assert num_hashes % bands == 0
     r = num_hashes // bands
     sig = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_k)
+    # band index folded into the hash input → a single-column join key with
+    # no cross-band false joins (and a trivially mirrorable SQL oracle)
     band_cols = [
-        F.md5(F.concat_ws("|", *[F.col(f"mh_{b * r + j}") for j in range(r)])).alias(
-            f"band_{b}"
-        )
+        F.md5(
+            F.concat_ws("|", F.lit(str(b)), *[F.col(f"mh_{b * r + j}") for j in range(r)])
+        ).alias(f"band_{b}")
         for b in range(bands)
     ]
     banded = sig.select(F.col(id_col), *band_cols)
