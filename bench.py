@@ -1,0 +1,144 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries + CDC replay throughput.
+
+Prints ONE JSON line:
+  {"metric": "cdc_replay_events_per_sec", "value": N, "unit": "events/sec",
+   "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1, ...}
+
+- query timings run every catalog entry in ``_BENCH_QUERIES`` against
+  ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1), materialized via
+  the noop sink (full execution, no driver collect);
+- the headline metric replays a deterministically generated change-event
+  WAL over the (repo, path, commit, lang, content) table — the
+  BASELINE.json input shape — through the exactly-once MERGE engine and
+  reports sustained events/sec.
+
+Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (local[N]),
+SPARK_GRAFT_CDC_EVENTS (WAL size, default 1_000_000),
+SPARK_GRAFT_BENCH_SKIP_QUERIES=1 (CDC throughput only).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from cdm_cbioportal_etl_spark.session import get_spark  # noqa: E402
+
+# catalog entries timed at the sf dir; chosen to cover every operator
+# family (agg/join/window/pivot/dedup/lsh/ann/cdc) without the O(pairs)
+# blowup queries (ngram_jaccard is verify-on-candidates, not a scan).
+_BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q6_filter_agg",
+    "anchor_min_dates",
+    "integrity_gate_anchor",
+    "deid_day_intervals",
+    "readable_intervals",
+    "presence_pivot_events",
+    "first_and_max_orders",
+    "window_top3_orders",
+    "dedup_exact_docs",
+    "token_count_docs",
+    "lang_id_docs",
+    "quality_score_docs",
+    "minhash_docs",
+    "lsh_candidate_pairs",
+    "cosine_topk_embeddings",
+    "cdc_replay_final_state",
+]
+
+
+def _materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+    from cdm_cbioportal_etl_spark.plans import QUERIES
+
+    out: dict[str, float] = {}
+    for name in _BENCH_QUERIES:
+        fn = QUERIES.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        _materialize(fn(spark, sf_dir))
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def bench_cdc_throughput(
+    spark, n_events: int, n_batches: int = 4, work_dir: str = "/tmp/cdc_bench"
+) -> dict:
+    """Replay a generated repos WAL end-to-end; events/sec over the whole
+    replay (generation is part of the pipeline: the WAL scan would be a
+    parquet read on a real cluster, here a codegen'd range — both stream)."""
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from cdm_cbioportal_etl_spark.cdc import CdcReplayer, gen_change_events
+    from cdm_cbioportal_etl_spark.cdc.generator import REPOS_SCHEMA
+    from cdm_cbioportal_etl_spark.lake import LakeTable
+
+    shutil.rmtree(work_dir, ignore_errors=True)
+    events = gen_change_events(
+        spark, n_events, n_repos=200, paths_per_repo=500, seed=42,
+        parallelism=int(os.environ.get("SPARK_GRAFT_CPUS", "32")) * 4,
+    )
+    table = LakeTable.create(
+        spark, os.path.join(work_dir, "repos"),
+        T.StructType([f for f in REPOS_SCHEMA.fields]),
+        key_cols=["repo", "path"], n_buckets=64,
+    )
+    t0 = time.perf_counter()
+    report = CdcReplayer(table).replay_range_batches(
+        events, 0, n_events, batch_size=(n_events + n_batches - 1) // n_batches
+    )
+    wall = time.perf_counter() - t0
+    rows_after = table.row_count()
+    shutil.rmtree(work_dir, ignore_errors=True)
+    return {
+        "events": n_events,
+        "wall_sec": round(wall, 3),
+        "events_per_sec": round(n_events / wall, 1),
+        "batches": report.batches_applied,
+        "final_rows": rows_after,
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(os.path.normpath(sf_dir)).replace("sf", "") or 0)
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    n_events = int(os.environ.get("SPARK_GRAFT_CDC_EVENTS", "1000000"))
+    spark = get_spark("bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        queries = (
+            {} if os.environ.get("SPARK_GRAFT_BENCH_SKIP_QUERIES")
+            else bench_queries(spark, sf_dir)
+        )
+        cdc = bench_cdc_throughput(spark, n_events)
+        print(json.dumps({
+            "metric": "cdc_replay_events_per_sec",
+            "value": cdc["events_per_sec"],
+            "unit": "events/sec",
+            "queries": queries,
+            "sf": sf,
+            "cpus": int(cpus),
+            "cdc": cdc,
+            "queries_total_sec": round(sum(queries.values()), 3),
+        }))
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
