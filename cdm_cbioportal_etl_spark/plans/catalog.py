@@ -586,15 +586,27 @@ def fingerprint_docs(spark, sf_dir):
 
 _MINHASHES = 8
 
+# SQL mirror of text.dedup's base-hash + XOR-family min-hash: one md5 per
+# shingle folded to 60 bits, family i = xor with a deterministic constant
+_SQL_BASE = (
+    "list_transform(shingles, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)"
+)
+
+
+def _sql_mh(i: int) -> str:
+    from cdm_cbioportal_etl_spark.text.dedup import family_constant
+
+    return f"list_min(list_transform(base, b -> xor(b, {family_constant(i)})))"
+
 
 @_register(
     "minhash_docs",
     _SQL_SHINGLES
     + f"""
+    , sb AS (SELECT doc_id, {_SQL_BASE} AS base FROM sh)
     SELECT doc_id,
-           {', '.join(f"list_min(list_transform(shingles, s -> md5('{i}:' || s))) AS mh_{i}"
-                      for i in range(_MINHASHES))}
-    FROM sh
+           {', '.join(f"{_sql_mh(i)} AS mh_{i}" for i in range(_MINHASHES))}
+    FROM sb
     """,
 )
 def minhash_docs(spark, sf_dir):
@@ -605,14 +617,15 @@ def minhash_docs(spark, sf_dir):
     "lsh_candidate_pairs",
     _SQL_SHINGLES
     + f"""
+    , sb AS (SELECT doc_id, {_SQL_BASE} AS base FROM sh)
     , sig AS (
       SELECT doc_id,
-             {', '.join(f"list_min(list_transform(shingles, s -> md5('{i}:' || s))) AS mh_{i}"
-                        for i in range(16))}
-      FROM sh
+             {', '.join(f"{_sql_mh(i)} AS mh_{i}" for i in range(16))}
+      FROM sb
     ), bands AS (
       SELECT doc_id, unnest([
-        {', '.join(f"md5('{b}' || '|' || mh_{2*b} || '|' || mh_{2*b+1})" for b in range(8))}
+        {', '.join(f"md5('{b}' || '|' || mh_{2*b}::VARCHAR || '|' || mh_{2*b+1}::VARCHAR)"
+                   for b in range(8))}
       ]) AS band_key
       FROM sig
     )
