@@ -63,6 +63,7 @@ class CdcReplayer:
         lsn_hi: int,
         batch_size: int,
         source: str = "wal",
+        count_batches: bool = False,
     ) -> ReplayReport:
         """Apply events with lsn in [lsn_lo, lsn_hi) in fixed LSN windows.
 
@@ -90,6 +91,7 @@ class CdcReplayer:
                 batch_id=f"{source}:{lo}-{hi}",
                 source_watermarks={source: hi - 1},
                 extra_lineage={"lsn_range": [lo, hi]},
+                count_batch=count_batches,
             )
             report.batches_applied += 1
             report.events_seen += stats.batch_rows

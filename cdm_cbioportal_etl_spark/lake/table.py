@@ -331,6 +331,7 @@ class LakeTable:
         batch_id: str | None = None,
         source_watermarks: dict[str, int] | None = None,
         extra_lineage: dict[str, Any] | None = None,
+        count_batch: bool = True,
     ) -> MergeStats:
         """Latest-LSN-wins upsert of a change batch (ops: upsert-ish/delete).
 
@@ -383,11 +384,15 @@ class LakeTable:
             F.collect_set("_bucket").alias("buckets"),
             F.max(LSN_COL).alias("max_lsn"),
         ).collect()[0]
-        batch_total = batch.count()
+        # counting the raw batch is an EXTRA full scan of the source — only
+        # do it when the caller wants skipped-row stats (tests/audits); the
+        # hot replay path passes count_batch=False and reports applied rows
+        batch_total = batch.count() if count_batch else -1
         if not agg["keys"]:
             # everything already applied — pure idempotent no-op
             return MergeStats(
-                batch_rows=batch_total, batch_keys=0, touched_buckets=0,
+                batch_rows=batch_total if count_batch else 0, batch_keys=0,
+                touched_buckets=0,
                 total_buckets=snap["n_buckets"], upserts=0, deletes=0,
                 rows_after=-1, skipped_already_applied=batch_total,
             )
@@ -427,14 +432,16 @@ class LakeTable:
                  for k, v in source_watermarks.items()}
             )
         stats = MergeStats(
-            batch_rows=batch_total,
+            batch_rows=batch_total if count_batch else int(agg["rows"]),
             batch_keys=int(agg["keys"]),
             touched_buckets=len(touched),
             total_buckets=snap["n_buckets"],
             upserts=int(agg["keys"]) - int(agg["dels"]),
             deletes=int(agg["dels"]),
             rows_after=rows_after,
-            skipped_already_applied=batch_total - int(agg["rows"]),
+            skipped_already_applied=(
+                batch_total - int(agg["rows"]) if count_batch else -1
+            ),
         )
         lineage = {
             "batch_id": batch_id or uuid.uuid4().hex,
