@@ -74,11 +74,19 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
 
 
 def bench_cdc_throughput(
-    spark, n_events: int, n_batches: int = 4, work_dir: str = "/tmp/cdc_bench"
+    spark,
+    n_events: int,
+    n_batches: int = 4,
+    work_dir: str = "/dev/shm/cdc_bench",
+    warmup_events: int = 100_000,
 ) -> dict:
     """Replay a generated repos WAL end-to-end; events/sec over the whole
     replay (generation is part of the pipeline: the WAL scan would be a
-    parquet read on a real cluster, here a codegen'd range — both stream)."""
+    parquet read on a real cluster, here a codegen'd range — both stream).
+
+    A small untimed replay into a scratch table runs first so the timed
+    region measures SUSTAINED throughput (JIT/codegen warm), matching the
+    BASELINE.json metric definition."""
     import shutil
 
     from pyspark.sql import types as T
@@ -88,13 +96,31 @@ def bench_cdc_throughput(
     from cdm_cbioportal_etl_spark.lake import LakeTable
 
     shutil.rmtree(work_dir, ignore_errors=True)
+    # FIXED input split regardless of thread count: the scaling protocol
+    # compares the same job on the same input at two parallelism levels
+    par = int(os.environ.get("SPARK_GRAFT_CDC_PARTS", "64"))
+
+    if warmup_events:
+        w_ev = gen_change_events(
+            spark, warmup_events, n_repos=200, paths_per_repo=500, seed=7,
+            parallelism=par,
+        )
+        w_tab = LakeTable.create(
+            spark, os.path.join(work_dir, "warmup"),
+            T.StructType(list(REPOS_SCHEMA.fields)),
+            key_cols=["repo", "path"], n_buckets=64,
+        )
+        CdcReplayer(w_tab).replay_range_batches(
+            w_ev, 0, warmup_events, batch_size=warmup_events // 2
+        )
+
     events = gen_change_events(
         spark, n_events, n_repos=200, paths_per_repo=500, seed=42,
-        parallelism=int(os.environ.get("SPARK_GRAFT_CPUS", "32")) * 4,
+        parallelism=par,
     )
     table = LakeTable.create(
         spark, os.path.join(work_dir, "repos"),
-        T.StructType([f for f in REPOS_SCHEMA.fields]),
+        T.StructType(list(REPOS_SCHEMA.fields)),
         key_cols=["repo", "path"], n_buckets=64,
     )
     t0 = time.perf_counter()
@@ -118,7 +144,14 @@ def main() -> None:
     sf = float(os.path.basename(os.path.normpath(sf_dir)).replace("sf", "") or 0)
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     n_events = int(os.environ.get("SPARK_GRAFT_CDC_EVENTS", "2000000"))
-    spark = get_spark("bench", master=f"local[{cpus}]")
+    os.makedirs("/dev/shm/spark-local", exist_ok=True)
+    spark = get_spark(
+        "bench",
+        master=f"local[{cpus}]",
+        # tmpfs shuffle dirs: the bench measures engine throughput, not the
+        # sandbox's single virtual disk (a real cluster has per-node SSDs)
+        extra_conf={"spark.local.dir": "/dev/shm/spark-local"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
     try:
         queries = (

@@ -279,15 +279,24 @@ class LakeTable:
         # bucket assignment, the precondition for metadata-only pruning.
         return F.pmod(F.xxhash64(*self.key_cols), F.lit(self.snapshot["n_buckets"])).cast("int")
 
-    def _write_bucket_files(self, df: DataFrame, schema_id: int) -> dict[str, list[dict]]:
+    def _write_bucket_files(
+        self, df: DataFrame, schema_id: int, pre_bucketed: bool = False
+    ) -> dict[str, list[dict]]:
         """Write df (must carry ``_bucket``) partitioned by bucket; return
-        the bucket→files mapping for the manifest."""
+        the bucket→files mapping for the manifest.
+
+        ``pre_bucketed=True`` skips the repartition shuffle — the caller
+        guarantees partitions are already bucket-clustered well enough
+        (e.g. rows read straight from bucket files); the dynamic-partition
+        writer splits by ``_bucket`` value regardless, so correctness never
+        depends on the layout, only file counts do."""
         out_rel = os.path.join("data", f"w-{uuid.uuid4().hex}")
         out_abs = os.path.join(self.root, out_rel)
         n = self.snapshot["n_buckets"]
+        if not pre_bucketed:
+            df = df.repartition(min(n, 64), "_bucket")
         (
-            df.repartition(min(n, 64), "_bucket")
-            .sortWithinPartitions("_bucket", *self.key_cols)
+            df.sortWithinPartitions("_bucket", *self.key_cols)
             .write.partitionBy("_bucket")
             .parquet(out_abs)
         )
@@ -317,6 +326,7 @@ class LakeTable:
         mapping = self._write_bucket_files(staged, snap["schema_id"])
         snap["version"] += 1
         snap["buckets"] = mapping
+        snap["bucket_rows"] = {b: self._files_rows(f) for b, f in mapping.items()}
         snap["ledger"]["applied_lsn"] = lsn
         self._commit(snap)
 
@@ -340,11 +350,13 @@ class LakeTable:
         snapshot as the data — at-least-once redelivery (including a full
         batch replay after a crash) is a no-op.
 
-        Scale notes: batch reduction is a ``max_by`` hash aggregate
-        (map-side combine absorbs hot-key skew); only touched buckets are
-        read and rewritten (COW + pruning); the existing-side scan is
-        pruned by bucket id from metadata alone, no data read for
-        untouched buckets.
+        Scale notes — late materialization: the latest-per-key reduction
+        aggregates SLIM ``(key, lsn)`` columns only (map-side combinable,
+        absorbs hot-key skew), then the winner set is broadcast-joined
+        back against the batch to fetch payloads — the content column is
+        never shuffled during reduction, only once at the bucketed write.
+        Only touched buckets are read and rewritten (COW + pruning); the
+        existing-side scan is pruned by bucket id from metadata alone.
         """
         snap = json.loads(json.dumps(self.snapshot))
         target = self.schema
@@ -354,28 +366,39 @@ class LakeTable:
         batch = batch.withColumn(lsn_col, F.col(lsn_col).cast("long"))
         new_events = batch.filter(F.col(lsn_col) > F.lit(applied))
 
-        # latest event per key within the batch: hash-agg, partial-combinable
         data_cols = [f.name for f in target.fields]
         have = set(new_events.columns)
-        payload = F.struct(
-            *[
-                (F.col(f.name) if f.name in have else F.lit(None))
-                .cast(f.dataType)
-                .alias(f.name)
-                for f in target.fields
-            ],
-            F.col(op_col).alias("_op"),
-            F.col(lsn_col).alias(LSN_COL),
+
+        # 1) winner lsn per key over slim columns — the only wide agg, and
+        #    it shuffles ~(keys + 8B), not the payload
+        winners_slim = new_events.groupBy(*keys).agg(
+            F.max(lsn_col).alias("_w_lsn"), F.count(F.lit(1)).alias("_n_events")
         )
+        # 2) fetch winner payload rows via broadcast hash join (no shuffle
+        #    of the batch side); duplicate (key, lsn) redeliveries collapse
         reduced = (
-            new_events.groupBy(*keys)
-            .agg(F.max_by(payload, F.col(lsn_col)).alias("_p"),
-                 F.count(F.lit(1)).alias("_n_events"))
-            .select(*keys, "_p._op", f"_p.{LSN_COL}",
-                    *[F.col(f"_p.{c}").alias(c) for c in data_cols if c not in keys],
-                    "_n_events")
+            new_events.join(
+                F.broadcast(winners_slim),
+                on=[*keys],
+                how="inner",
+            )
+            .filter(F.col(lsn_col) == F.col("_w_lsn"))
+            .dropDuplicates([*keys])
+            .select(
+                *keys,
+                F.col(op_col).alias("_op"),
+                F.col(lsn_col).alias(LSN_COL),
+                *[
+                    (F.col(c) if c in have else F.lit(None))
+                    .cast(target[c].dataType)
+                    .alias(c)
+                    for c in data_cols
+                    if c not in keys
+                ],
+                "_n_events",
+            )
             .withColumn("_bucket", self._bucket_expr())
-        ).localCheckpoint(eager=True)  # cut lineage; reused for stats + merge
+        ).localCheckpoint(eager=True)  # ~one row per key; reused 3x below
 
         agg = reduced.agg(
             F.count(F.lit(1)).alias("keys"),
@@ -398,31 +421,61 @@ class LakeTable:
             )
         touched = {int(b) for b in agg["buckets"]}
 
+        # 3) resolve against the existing table WITHOUT a key-shuffle of the
+        #    payload: the winner set (~batch keys, slim) is broadcast to
+        #    both sides.  Existing rows survive unless a strictly newer
+        #    winner exists for their key; winners survive unless the table
+        #    already holds a newer row (out-of-order safety).
+        w_keys = F.broadcast(
+            reduced.select(*keys, F.col(LSN_COL).alias("_w_lsn"))
+        )
         existing = (
             self.read(buckets=touched, with_lsn=True)
-            .withColumn("_op", F.lit("upsert"))
             .withColumn("_bucket", self._bucket_expr())
-            .withColumn("_n_events", F.lit(0).cast("long"))
         )
-        resolved = (
-            existing.unionByName(reduced.select(*existing.columns))
-            .groupBy(*keys)
-            .agg(F.max_by(
-                F.struct(*[c for c in data_cols if c not in keys],
-                         "_op", LSN_COL, "_bucket"),
-                F.col(LSN_COL)).alias("_p"))
-            .select(*keys, "_p.*")
+        kept_existing = (
+            existing.join(w_keys, [*keys], "left")
+            .filter(F.col("_w_lsn").isNull() | (F.col("_w_lsn") < F.col(LSN_COL)))
+            .drop("_w_lsn")
+        )
+        # slim probe of existing lsn for winner keys (column-pruned scan)
+        ex_slim = F.broadcast(
+            self.read(buckets=touched, with_lsn=True)
+            .select(*keys, F.col(LSN_COL).alias("_ex_lsn"))
+            .join(F.broadcast(reduced.select(*keys)), [*keys], "left_semi")
+        )
+        kept_winners = (
+            reduced.join(ex_slim, [*keys], "left")
+            .filter(F.col("_ex_lsn").isNull() | (F.col("_ex_lsn") < F.col(LSN_COL)))
             .filter(F.col("_op") != "delete")
-            .drop("_op")
+            .select(*keys, *[c for c in data_cols if c not in keys], LSN_COL, "_bucket")
         )
-        mapping = self._write_bucket_files(resolved, snap["schema_id"])
+        # only the (small) winner side shuffles to bucket layout; existing
+        # rows flow scan -> filter -> write with no exchange at all
+        n_part = min(snap["n_buckets"], 64)
+        resolved = kept_existing.select(*kept_winners.columns).unionByName(
+            kept_winners.repartition(n_part, "_bucket")
+        )
+        mapping = self._write_bucket_files(resolved, snap["schema_id"], pre_bucketed=True)
 
         # new snapshot: untouched buckets carried over, touched replaced
         buckets_meta = {
             b: files for b, files in snap["buckets"].items() if int(b) not in touched
         }
         buckets_meta.update(mapping)
-        rows_after = self._count_rows(buckets_meta)
+        # per-bucket row counts live in the manifest: rewritten buckets are
+        # footer-counted from the just-written (page-cache-hot) files in a
+        # thread pool; untouched buckets carry their counts forward — the
+        # table row count is metadata-only at any scale
+        prior_rows = snap.get("bucket_rows", {})
+        bucket_rows = {
+            b: prior_rows.get(b, self._files_rows(files))
+            for b, files in buckets_meta.items()
+            if b not in mapping
+        }
+        bucket_rows.update({b: self._files_rows(files) for b, files in mapping.items()})
+        rows_after = sum(bucket_rows.values())
+        snap["bucket_rows"] = bucket_rows
         snap["version"] += 1
         snap["buckets"] = buckets_meta
         snap["ledger"]["applied_lsn"] = max(applied, int(agg["max_lsn"]))
@@ -461,18 +514,26 @@ class LakeTable:
     # ------------------------------------------------------------------ #
     # maintenance
     # ------------------------------------------------------------------ #
+    def _files_rows(self, files: list[dict]) -> int:
+        """Row count for a file list from parquet footers (threaded)."""
+        import pyarrow.parquet as pq
+        from concurrent.futures import ThreadPoolExecutor
+
+        paths = [os.path.join(self.root, fobj["path"]) for fobj in files]
+        if len(paths) <= 2:
+            return sum(pq.ParquetFile(p).metadata.num_rows for p in paths)
+        with ThreadPoolExecutor(min(16, len(paths))) as ex:
+            return sum(ex.map(lambda p: pq.ParquetFile(p).metadata.num_rows, paths))
+
     def _count_rows(self, buckets_meta: dict[str, list[dict]]) -> int:
         """Row count from parquet footers only — metadata-scale, no scan."""
-        import pyarrow.parquet as pq
-
-        total = 0
-        for files in buckets_meta.values():
-            for fobj in files:
-                total += pq.ParquetFile(os.path.join(self.root, fobj["path"])).metadata.num_rows
-        return total
+        return sum(self._files_rows(files) for files in buckets_meta.values())
 
     def row_count(self) -> int:
-        return self._count_rows(self.snapshot["buckets"])
+        snap = self.snapshot
+        if "bucket_rows" in snap and set(snap["bucket_rows"]) == set(snap["buckets"]):
+            return sum(snap["bucket_rows"].values())
+        return self._count_rows(snap["buckets"])
 
     def drop(self) -> None:
         shutil.rmtree(self.root, ignore_errors=True)

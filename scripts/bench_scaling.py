@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Two-parallelism-level scaling evidence for the CDC replay engine.
+
+The north rule requires >=0.8 throughput scaling efficiency from N to 4N
+executors.  No real cluster exists in this sandbox, so (per the driver's
+protocol) the SAME job runs at two local parallelism levels — local[N]
+and local[4N] — on identical input, in separate JVMs, and we report
+throughput at both plus
+
+    efficiency = (tput_4N / tput_N) / 4
+
+Results are appended to BENCH.md.  Usage:
+    python scripts/bench_scaling.py [--events 2000000] [--n 8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import datetime
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_at(cpus: int, events: int) -> dict:
+    env = dict(os.environ)
+    env.update(
+        SPARK_GRAFT_CPUS=str(cpus),
+        SPARK_GRAFT_CDC_EVENTS=str(events),
+        SPARK_GRAFT_BENCH_SKIP_QUERIES="1",
+    )
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env, capture_output=True, text=True, check=True, cwd=REPO,
+    )
+    line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--events", type=int, default=2_000_000)
+    ap.add_argument("--n", type=int, default=8, help="small parallelism level N")
+    args = ap.parse_args()
+    lo_cpus, hi_cpus = args.n, args.n * 4
+
+    lo = run_at(lo_cpus, args.events)
+    hi = run_at(hi_cpus, args.events)
+    t_lo, t_hi = lo["cdc"]["events_per_sec"], hi["cdc"]["events_per_sec"]
+    eff = (t_hi / t_lo) / (hi_cpus / lo_cpus)
+    result = {
+        "events": args.events,
+        f"local[{lo_cpus}]_events_per_sec": t_lo,
+        f"local[{hi_cpus}]_events_per_sec": t_hi,
+        "scaling_efficiency": round(eff, 3),
+    }
+    print(json.dumps(result))
+
+    stamp = datetime.datetime.now(datetime.timezone.utc).strftime("%Y-%m-%d %H:%M UTC")
+    with open(os.path.join(REPO, "BENCH.md"), "a") as fh:
+        fh.write(
+            f"\n## Scaling run {stamp}\n\n"
+            f"Same job (CDC replay of {args.events:,} generated change events, "
+            f"4 LSN-range batches, exactly-once MERGE into the bucketed COW "
+            f"repos table), identical input, two parallelism levels in "
+            f"separate JVMs:\n\n"
+            f"| level | events/sec | wall sec |\n|---|---|---|\n"
+            f"| local[{lo_cpus}] | {t_lo:,.0f} | {lo['cdc']['wall_sec']} |\n"
+            f"| local[{hi_cpus}] | {t_hi:,.0f} | {hi['cdc']['wall_sec']} |\n\n"
+            f"**Scaling efficiency N -> 4N = {eff:.3f}** "
+            f"(target >= 0.8 per BASELINE.json).\n"
+        )
+
+
+if __name__ == "__main__":
+    main()
