@@ -149,8 +149,18 @@ def main() -> None:
         "bench",
         master=f"local[{cpus}]",
         # tmpfs shuffle dirs: the bench measures engine throughput, not the
-        # sandbox's single virtual disk (a real cluster has per-node SSDs)
-        extra_conf={"spark.local.dir": "/dev/shm/spark-local"},
+        # sandbox's single virtual disk (a real cluster has per-node SSDs).
+        # Split/shuffle sizing follows the rule from session.py: target
+        # partitions ~= a few per core at THIS data scale — at 100 TB the
+        # same rule gives 128 MB splits, here the table is ~100 MB total so
+        # packing 64 bucket files into one 128 MB split would serialize the
+        # COW rewrite onto one core.
+        extra_conf={
+            "spark.local.dir": "/dev/shm/spark-local",
+            "spark.sql.shuffle.partitions": str(int(cpus) * 4),
+            "spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024),
+            "spark.sql.files.openCostInBytes": str(8 * 1024 * 1024),
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
     try:

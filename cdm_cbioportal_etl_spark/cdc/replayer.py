@@ -64,6 +64,7 @@ class CdcReplayer:
         batch_size: int,
         source: str = "wal",
         count_batches: bool = False,
+        pipelined: bool = True,
     ) -> ReplayReport:
         """Apply events with lsn in [lsn_lo, lsn_hi) in fixed LSN windows.
 
@@ -71,32 +72,65 @@ class CdcReplayer:
         stream — and each batch filter (`lsn >= a AND lsn < b`) pushes down
         to the parquet/WAL scan, so a resumed run never re-reads applied
         segments.
+
+        ``pipelined=True`` overlaps batch k+1's *prepare* (WAL scan +
+        winner reduction, the read-heavy half) with batch k's *apply*
+        (resolve + COW write + commit) on a second driver thread — hiding
+        the serial commit tail behind the next scan.  Safe because
+        prepare is table-state independent (``apply_prepared`` re-enforces
+        the LSN ledger at commit), and batches still COMMIT strictly in
+        LSN order.
         """
         report = ReplayReport()
         applied = self.table.snapshot["ledger"]["applied_lsn"]
+        ranges = []
         lo = lsn_lo
         while lo < lsn_hi:
             hi = min(lo + batch_size, lsn_hi)
             if hi - 1 <= applied:
                 report.batches_skipped += 1
-                lo = hi
-                continue
-            batch = events.filter(
+            else:
+                ranges.append((lo, hi))
+            lo = hi
+
+        def _batch(lo: int, hi: int) -> DataFrame:
+            return events.filter(
                 (F.col(self.lsn_col) >= F.lit(lo)) & (F.col(self.lsn_col) < F.lit(hi))
             )
-            stats = self.table.merge(
-                batch,
-                lsn_col=self.lsn_col,
-                op_col=self.op_col,
+
+        def _prepare(lo: int, hi: int) -> DataFrame:
+            return self.table.prepare_batch(
+                _batch(lo, hi), self.lsn_col, self.op_col, min_lsn_exclusive=lo - 1
+            )
+
+        def _apply(reduced: DataFrame, lo: int, hi: int, total: int) -> None:
+            stats = self.table.apply_prepared(
+                reduced,
                 batch_id=f"{source}:{lo}-{hi}",
                 source_watermarks={source: hi - 1},
                 extra_lineage={"lsn_range": [lo, hi]},
-                count_batch=count_batches,
+                batch_total=total,
             )
             report.batches_applied += 1
             report.events_seen += stats.batch_rows
             report.stats.append(stats)
-            lo = hi
+
+        if not pipelined:
+            for lo, hi in ranges:
+                total = _batch(lo, hi).count() if count_batches else -1
+                _apply(_prepare(lo, hi), lo, hi, total)
+            return report
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            fut = None
+            for i, (lo, hi) in enumerate(ranges):
+                total = _batch(lo, hi).count() if count_batches else -1
+                reduced = fut.result() if fut is not None else _prepare(lo, hi)
+                nxt = ranges[i + 1] if i + 1 < len(ranges) else None
+                fut = pool.submit(_prepare, *nxt) if nxt else None
+                _apply(reduced, lo, hi, total)
         return report
 
     def resume(self, events: DataFrame, lsn_hi: int, batch_size: int) -> ReplayReport:

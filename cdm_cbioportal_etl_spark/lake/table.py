@@ -333,35 +333,34 @@ class LakeTable:
     # ------------------------------------------------------------------ #
     # MERGE INTO
     # ------------------------------------------------------------------ #
-    def merge(
+    def prepare_batch(
         self,
         batch: DataFrame,
         lsn_col: str = "lsn",
         op_col: str = "op",
-        batch_id: str | None = None,
-        source_watermarks: dict[str, int] | None = None,
-        extra_lineage: dict[str, Any] | None = None,
-        count_batch: bool = True,
-    ) -> MergeStats:
-        """Latest-LSN-wins upsert of a change batch (ops: upsert-ish/delete).
+        min_lsn_exclusive: int | None = None,
+    ) -> DataFrame:
+        """Phase 1 of MERGE: reduce a change batch to one winner row per
+        key, materialized (localCheckpoint).
 
-        Exactly-once: rows with ``lsn <= ledger.applied_lsn`` are filtered
-        out first, and the new ledger high-water-mark commits in the same
-        snapshot as the data — at-least-once redelivery (including a full
-        batch replay after a crash) is a no-op.
+        Late materialization: the latest-per-key reduction aggregates SLIM
+        ``(key, lsn)`` columns only (map-side combinable, absorbs hot-key
+        skew), then the winner set is broadcast-joined back against the
+        batch to fetch payloads — the content column is never shuffled
+        during reduction, only once at the bucketed write.
 
-        Scale notes — late materialization: the latest-per-key reduction
-        aggregates SLIM ``(key, lsn)`` columns only (map-side combinable,
-        absorbs hot-key skew), then the winner set is broadcast-joined
-        back against the batch to fetch payloads — the content column is
-        never shuffled during reduction, only once at the bucketed write.
-        Only touched buckets are read and rewritten (COW + pruning); the
-        existing-side scan is pruned by bucket id from metadata alone.
+        Independent of table state except for the LSN watermark (which
+        ``apply_prepared`` re-enforces at commit), so the NEXT batch's
+        prepare can run concurrently with the CURRENT batch's apply —
+        pipelined replay (CdcReplayer).
         """
-        snap = json.loads(json.dumps(self.snapshot))
         target = self.schema
         keys = self.key_cols
-        applied = snap["ledger"]["applied_lsn"]
+        applied = (
+            min_lsn_exclusive
+            if min_lsn_exclusive is not None
+            else self.snapshot["ledger"]["applied_lsn"]
+        )
 
         batch = batch.withColumn(lsn_col, F.col(lsn_col).cast("long"))
         new_events = batch.filter(F.col(lsn_col) > F.lit(applied))
@@ -376,7 +375,7 @@ class LakeTable:
         )
         # 2) fetch winner payload rows via broadcast hash join (no shuffle
         #    of the batch side); duplicate (key, lsn) redeliveries collapse
-        reduced = (
+        return (
             new_events.join(
                 F.broadcast(winners_slim),
                 on=[*keys],
@@ -398,7 +397,59 @@ class LakeTable:
                 "_n_events",
             )
             .withColumn("_bucket", self._bucket_expr())
-        ).localCheckpoint(eager=True)  # ~one row per key; reused 3x below
+        ).localCheckpoint(eager=True)  # ~one row per key; reused 3x in apply
+
+    def merge(
+        self,
+        batch: DataFrame,
+        lsn_col: str = "lsn",
+        op_col: str = "op",
+        batch_id: str | None = None,
+        source_watermarks: dict[str, int] | None = None,
+        extra_lineage: dict[str, Any] | None = None,
+        count_batch: bool = True,
+    ) -> MergeStats:
+        """Latest-LSN-wins upsert of a change batch (ops: upsert-ish/delete).
+
+        Exactly-once: rows with ``lsn <= ledger.applied_lsn`` are filtered
+        out first, and the new ledger high-water-mark commits in the same
+        snapshot as the data — at-least-once redelivery (including a full
+        batch replay after a crash) is a no-op.
+        """
+        batch_total = batch.count() if count_batch else -1
+        reduced = self.prepare_batch(batch, lsn_col, op_col)
+        return self.apply_prepared(
+            reduced,
+            batch_id=batch_id,
+            source_watermarks=source_watermarks,
+            extra_lineage=extra_lineage,
+            batch_total=batch_total,
+        )
+
+    def apply_prepared(
+        self,
+        reduced: DataFrame,
+        batch_id: str | None = None,
+        source_watermarks: dict[str, int] | None = None,
+        extra_lineage: dict[str, Any] | None = None,
+        batch_total: int = -1,
+    ) -> MergeStats:
+        """Phase 2 of MERGE: resolve a prepared winner set against the
+        table and commit COW-rewritten buckets + ledger atomically.
+
+        Only touched buckets are read and rewritten (COW + pruning); the
+        existing-side scan is pruned by bucket id from metadata alone.
+        """
+        snap = json.loads(json.dumps(self.snapshot))
+        target = self.schema
+        keys = self.key_cols
+        applied = snap["ledger"]["applied_lsn"]
+        data_cols = [f.name for f in target.fields]
+        count_batch = batch_total >= 0
+
+        # re-enforce the ledger watermark at commit time — makes a prepared
+        # batch idempotent even when prepare() ran against an older snapshot
+        reduced = reduced.filter(F.col(LSN_COL) > F.lit(applied))
 
         agg = reduced.agg(
             F.count(F.lit(1)).alias("keys"),
@@ -407,10 +458,6 @@ class LakeTable:
             F.collect_set("_bucket").alias("buckets"),
             F.max(LSN_COL).alias("max_lsn"),
         ).collect()[0]
-        # counting the raw batch is an EXTRA full scan of the source — only
-        # do it when the caller wants skipped-row stats (tests/audits); the
-        # hot replay path passes count_batch=False and reports applied rows
-        batch_total = batch.count() if count_batch else -1
         if not agg["keys"]:
             # everything already applied — pure idempotent no-op
             return MergeStats(

@@ -785,3 +785,317 @@ def cdc_replay_final_state(spark, sf_dir):
         "props",
         F.sha2(F.coalesce(F.col("props"), F.lit("")), 256).alias("content_sha"),
     )
+
+
+# --------------------------------------------------------------------- #
+# CDC replay over the BASELINE.json input shape:
+# (repo, path, commit, lang, content) — WAL derived deterministically
+# from events.parquet so a DuckDB oracle can verify the final state.
+# --------------------------------------------------------------------- #
+_LANGS_SQL = ["python", "java", "ts", "go", "rust", "md"]
+
+
+def _repos_wal(spark, sf_dir) -> DataFrame:
+    """events.parquet → repos-shaped change stream (lsn, op, repo, path,
+    commit, lang, content), every column a portable expression."""
+    ev = _t(spark, sf_dir, "events")
+    lang_arr = F.array(*[F.lit(x) for x in _LANGS_SQL])
+    return ev.select(
+        F.col("event_id").alias("lsn"),
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("update"))
+        .alias("op"),
+        F.concat(
+            F.lit("org/repo-"), F.lpad((F.col("user_id") % 12).cast("string"), 4, "0")
+        ).alias("repo"),
+        F.concat(
+            F.lit("src/f"), F.lpad(F.col("user_id").cast("string"), 5, "0"), F.lit(".py")
+        ).alias("path"),
+        F.md5(F.concat_ws(":", F.col("event_id").cast("string"), F.col("event_type"))).alias(
+            "commit"
+        ),
+        F.element_at(lang_arr, (F.col("user_id") % 6 + 1).cast("int")).alias("lang"),
+        F.concat_ws("|", F.col("event_type"), F.coalesce(F.col("props"), F.lit(""))).alias(
+            "content"
+        ),
+    )
+
+
+@_register(
+    "cdc_repos_replay",
+    f"""
+    WITH wal AS (
+      SELECT event_id AS lsn,
+             CASE WHEN event_type = 'error' THEN 'delete' ELSE 'update' END AS op,
+             'org/repo-' || lpad((user_id % 12)::VARCHAR, 4, '0') AS repo,
+             'src/f' || lpad(user_id::VARCHAR, 5, '0') || '.py' AS path,
+             md5(event_id::VARCHAR || ':' || event_type) AS commit,
+             (['{"','".join(_LANGS_SQL)}'])[(user_id % 6 + 1)::INT] AS lang,
+             concat_ws('|', event_type, coalesce(props, '')) AS content
+      FROM events
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+      FROM wal
+    )
+    SELECT repo, path, commit, lang, content,
+           sha256(content) AS content_sha
+    FROM ranked WHERE rn = 1 AND op <> 'delete'
+    """,
+)
+def cdc_repos_replay(spark, sf_dir):
+    """North-rule flagship: replay a (repo, path, commit, lang, content)
+    change stream through the exactly-once MERGE engine (LakeTable +
+    CdcReplayer, 4 LSN-range batches) and emit the final table state with
+    the per-row content sha256 invariant (BASELINE.json input_hint)."""
+    from cdm_cbioportal_etl_spark.cdc import CdcReplayer
+    from cdm_cbioportal_etl_spark.cdc.generator import REPOS_SCHEMA
+
+    wal = _repos_wal(spark, sf_dir)
+    max_lsn = wal.agg(F.max("lsn")).collect()[0][0]
+    root = os.path.join(
+        CDC_WORK_DIR, "repos-" + os.path.basename(os.path.normpath(sf_dir))
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    table = LakeTable.create(
+        spark, root, T.StructType(list(REPOS_SCHEMA.fields)),
+        key_cols=["repo", "path"], n_buckets=16,
+    )
+    CdcReplayer(table).replay_range_batches(
+        wal, 0, int(max_lsn) + 1, batch_size=(int(max_lsn) + 4) // 4
+    )
+    return table.read().select(
+        "repo", "path", "commit", "lang", "content",
+        F.sha2("content", 256).alias("content_sha"),
+    )
+
+
+# --------------------------------------------------------------------- #
+# SimHash fingerprints (dedup family) — 32-bit, engine-portable
+# --------------------------------------------------------------------- #
+_SIMHASH_BITS = 32
+
+
+def _simhash_sql() -> str:
+    bit_sums = ", ".join(
+        f"SUM(CASE WHEN (hv >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(_SIMHASH_BITS)
+    )
+    recombine = " + ".join(
+        f"CASE WHEN b{i} > 0 THEN (1::BIGINT << {i}) ELSE 0 END"
+        for i in range(_SIMHASH_BITS)
+    )
+    return rf"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(
+               trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), '\s+')) AS tok
+      FROM documents
+      WHERE length(trim(lower(regexp_replace(text, '\s+', ' ', 'g')))) > 0
+    ), h AS (
+      SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hv FROM toks
+    ), b AS (
+      SELECT doc_id, {bit_sums} FROM h GROUP BY doc_id
+    )
+    SELECT doc_id, ({recombine})::BIGINT AS simhash FROM b
+    """
+
+
+@_register("simhash_docs", _simhash_sql())
+def simhash_docs(spark, sf_dir):
+    from cdm_cbioportal_etl_spark.text.dedup import simhash_fingerprint
+
+    return simhash_fingerprint(_t(spark, sf_dir, "documents"), bits=_SIMHASH_BITS)
+
+
+# --------------------------------------------------------------------- #
+# Embedding near-duplicate pairs (exact cosine; the LSH-bucketed variant
+# is ann_lsh_topk below) — dedup family, embedding-cosine flavor
+# --------------------------------------------------------------------- #
+@_register(
+    "embedding_neardup_pairs",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT id_a, id_b, cosine FROM (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(list_cosine_similarity(a.v, b.v), 4) AS cosine
+      FROM e a JOIN e b ON a.vec_id < b.vec_id)
+    WHERE cosine >= 0.35
+    """,
+)
+def embedding_neardup_pairs(spark, sf_dir):
+    """All-pairs exact cosine >= threshold.  The pair generator is a
+    range-partitioned self-join (id_a < id_b); at 100 TB this is the
+    verify stage after LSH bucketing, never the scan itself."""
+    from cdm_cbioportal_etl_spark.similarity.ann import _dot, _norm
+
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"))
+    pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            F.round(
+                _dot(F.col("_va"), F.col("_vb"))
+                / (_norm(F.col("_va")) * _norm(F.col("_vb"))),
+                4,
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.35)
+    )
+
+
+@_register("ann_lsh_topk")  # approximate: rows-only check (plane literals
+# are driver-generated; an exact SQL mirror adds nothing — the exact
+# baseline cosine_topk_embeddings IS oracle-checked)
+def ann_lsh_topk(spark, sf_dir):
+    from cdm_cbioportal_etl_spark.similarity import lsh_bucketed_ann
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = lsh_bucketed_ann(emb, queries, k=5, n_planes=4, n_tables=8)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+# --------------------------------------------------------------------- #
+# Summary-pipeline parity: horizontal widen-merge (J3) over TPC-H dims
+# --------------------------------------------------------------------- #
+@_register(
+    "summary_wide_customer",
+    """
+    WITH t1 AS (
+      SELECT o_custkey AS custkey, count(*) AS n_orders,
+             round(max(o_totalprice), 2) AS max_price
+      FROM orders GROUP BY 1
+    ), t2 AS (
+      SELECT o.o_custkey AS custkey, sum(l.l_quantity)::BIGINT AS sum_qty
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1
+    ), t3 AS (
+      SELECT c_custkey AS custkey, n.n_name AS nation_name
+      FROM customer JOIN nation n ON n_nationkey = c_nationkey
+    )
+    SELECT c.c_custkey AS custkey, t1.n_orders, t1.max_price, t2.sum_qty,
+           t3.nation_name
+    FROM customer c
+    LEFT JOIN t1 ON t1.custkey = c.c_custkey
+    LEFT JOIN t2 ON t2.custkey = c.c_custkey
+    LEFT JOIN t3 ON t3.custkey = c.c_custkey
+    """,
+)
+def summary_wide_customer(spark, sf_dir):
+    # J3 horizontal widen: template ⟕ fold of intermediates on the id key
+    # (reference merge_intermediate_summaries.py:85-179)
+    from cdm_cbioportal_etl_spark.operators import merge_intermediates
+
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    n = _t(spark, sf_dir, "nation")
+    template = c.select(F.col("c_custkey").alias("custkey"))
+    t1 = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+    t2 = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.sum("l_quantity").cast("long").alias("sum_qty"))
+    )
+    t3 = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
+        F.col("c_custkey").alias("custkey"), F.col("n_name").alias("nation_name")
+    )
+    return merge_intermediates(template, [t1, t2, t3], "custkey")
+
+
+# --------------------------------------------------------------------- #
+# Overall-survival transform parity (F5/F6/F10/F15 edge rules):
+# reference pipeline/summary/cbioportal_overall_survival.py:29-79
+# --------------------------------------------------------------------- #
+@_register(
+    "os_survival_events",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             min(ts) AS anchor,
+             max(CASE WHEN event_type = 'error' THEN ts END) AS death_ts,
+             max(ts) AS last_contact
+      FROM events GROUP BY user_id
+    ), s AS (
+      SELECT user_id,
+             CASE WHEN death_ts IS NOT NULL THEN '1:DECEASED'
+                  ELSE '0:LIVING' END AS os_status,
+             date_diff('day', anchor::DATE,
+                       least(coalesce(death_ts, last_contact),
+                             coalesce(last_contact, death_ts))::DATE)
+               / 30.417 AS m
+      FROM per_user
+    )
+    SELECT user_id, os_status,
+           CASE WHEN m IS NULL THEN 'NA'
+                WHEN m > 150 THEN 'NA'
+                WHEN m < 0 THEN '0.0'
+                ELSE round(m, 1)::VARCHAR END AS os_months
+    FROM s
+    """,
+)
+def os_survival_events(spark, sf_dir):
+    from cdm_cbioportal_etl_spark.functions import coalesce_min, days_to_months
+
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("anchor"),
+        F.max(F.when(F.col("event_type") == "error", F.col("ts"))).alias("death_ts"),
+        F.max("ts").alias("last_contact"),
+    )
+    m = days_to_months(
+        F.datediff(
+            coalesce_min(F.col("death_ts"), F.col("last_contact")).cast("date"),
+            F.col("anchor").cast("date"),
+        )
+    )
+    return per_user.select(
+        "user_id",
+        F.when(F.col("death_ts").isNotNull(), F.lit("1:DECEASED"))
+        .otherwise(F.lit("0:LIVING"))
+        .alias("os_status"),
+        F.when(m.isNull(), F.lit("NA"))
+        .when(m > 150, F.lit("NA"))  # reference :73-79 clamps
+        .when(m < 0, F.lit("0.0"))
+        .otherwise(F.round(m, 1).cast("string"))
+        .alias("os_months"),
+    )
+
+
+# --------------------------------------------------------------------- #
+# Header construction + combine (R1/R4/F18): 5 metadata rows atop data
+# --------------------------------------------------------------------- #
+@_register(
+    "header_combine_nation",
+    """
+    SELECT '#Nation Key' AS nationkey, 'Nation Name' AS name
+    UNION ALL SELECT '#Key of the nation', 'Name of the nation'
+    UNION ALL SELECT '#NUMBER', 'STRING'
+    UNION ALL SELECT '#1', '1'
+    UNION ALL SELECT 'nationkey', 'name'
+    UNION ALL
+    SELECT n_nationkey::VARCHAR, n_name FROM nation
+    """,
+)
+def header_combine_nation(spark, sf_dir):
+    from cdm_cbioportal_etl_spark.operators.header import (
+        ColumnMeta,
+        combine_header_and_data,
+    )
+
+    n = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nationkey"), F.col("n_name").alias("name")
+    )
+    metas = {
+        "nationkey": ColumnMeta("nationkey", "Nation Key", "Key of the nation", "NUMBER"),
+        "name": ColumnMeta("name", "Nation Name", "Name of the nation", "STRING"),
+    }
+    return combine_header_and_data(n, metas)

@@ -25,7 +25,16 @@ _DEFAULTS = {
     "spark.sql.files.maxPartitionBytes": "134217728",
     "spark.sql.parquet.compression.codec": "snappy",
     "spark.sql.session.timeZone": "UTC",
+    # pipelined replay submits prepare(k+1) and apply(k) from two driver
+    # threads; FAIR keeps the overlapped jobs from starving each other
+    "spark.scheduler.mode": "FAIR",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    # throughput GC: G1's concurrent barriers collapse under 32 allocation-
+    # heavy task threads in one JVM (measured 2-3x slower than ParallelGC on
+    # a codegen sha2 scan); batch analytics wants max throughput, not pause
+    # targets
+    "spark.driver.extraJavaOptions": "-XX:+UseParallelGC",
+    "spark.executor.extraJavaOptions": "-XX:+UseParallelGC",
     "spark.ui.enabled": "false",
     "spark.sql.autoBroadcastJoinThreshold": "33554432",  # 32 MB
 }

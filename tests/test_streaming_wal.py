@@ -1,0 +1,100 @@
+"""WAL-tail streaming: drain → merge equivalence, incremental segments,
+idempotent restart (exactly-once net effect)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from cdm_cbioportal_etl_spark.cdc import gen_change_events
+from cdm_cbioportal_etl_spark.cdc.replayer import expected_final_state
+from cdm_cbioportal_etl_spark.cdc.generator import REPOS_SCHEMA
+from cdm_cbioportal_etl_spark.lake import LakeTable
+from cdm_cbioportal_etl_spark.streaming import WalTailReader
+
+
+def _write_segment(events, lo, hi, wal_dir, seg_id):
+    (
+        events.filter((F.col("lsn") >= lo) & (F.col("lsn") < hi))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(os.path.join(wal_dir, f"seg-{seg_id:04d}"))
+    )
+
+
+def _flatten_wal(spark, wal_dir):
+    # file-stream source wants files directly under the glob; write each
+    # segment dir then point the stream at seg-*/ via glob path
+    return os.path.join(wal_dir, "seg-*")
+
+
+def _state(table):
+    return {
+        tuple(r)
+        for r in table.read()
+        .select("repo", "path", "commit", "lang", F.sha2(F.coalesce("content", F.lit("")), 256))
+        .collect()
+    }
+
+
+def _expected(events):
+    return {
+        tuple(r)
+        for r in expected_final_state(events, ["repo", "path"])
+        .select("repo", "path", "commit", "lang", F.sha2(F.coalesce("content", F.lit("")), 256))
+        .collect()
+    }
+
+
+@pytest.fixture()
+def wal_env(spark, tmp_path):
+    events = gen_change_events(spark, 5000, n_repos=20, paths_per_repo=30, seed=11)
+    wal_dir = str(tmp_path / "wal")
+    os.makedirs(wal_dir, exist_ok=True)
+    table = LakeTable.create(
+        spark,
+        str(tmp_path / "table"),
+        T.StructType(list(REPOS_SCHEMA.fields)),
+        key_cols=["repo", "path"],
+        n_buckets=8,
+    )
+    return events, wal_dir, table, str(tmp_path / "ckpt")
+
+
+def test_available_now_drains_to_batch_equivalent_state(spark, wal_env):
+    events, wal_dir, table, ckpt = wal_env
+    for i, (lo, hi) in enumerate([(0, 2000), (2000, 3500), (3500, 5000)]):
+        _write_segment(events, lo, hi, wal_dir, i)
+    reader = WalTailReader(spark, _flatten_wal(spark, wal_dir), table, ckpt,
+                           max_files_per_trigger=1)
+    reader.run_available_now()
+    assert _state(table) == _expected(events)
+    # the ledger advanced to the max lsn seen
+    assert table.snapshot["ledger"]["applied_lsn"] == 4999
+
+
+def test_incremental_segments_and_restart_idempotence(spark, wal_env):
+    events, wal_dir, table, ckpt = wal_env
+    _write_segment(events, 0, 2500, wal_dir, 0)
+    reader = WalTailReader(spark, _flatten_wal(spark, wal_dir), table, ckpt)
+    reader.run_available_now()
+    first = _state(table)
+    assert first == _expected(events.filter("lsn < 2500"))
+    v1 = table.snapshot["version"]
+
+    # new segment arrives; a new AvailableNow run picks up ONLY the delta
+    _write_segment(events, 2500, 5000, wal_dir, 1)
+    WalTailReader(spark, _flatten_wal(spark, wal_dir), table, ckpt).run_available_now()
+    assert _state(table) == _expected(events)
+
+    # restart with a FRESH checkpoint (simulated lost stream state): the
+    # whole WAL is redelivered, but the LSN ledger makes it a no-op
+    v2 = table.snapshot["version"]
+    WalTailReader(
+        spark, _flatten_wal(spark, wal_dir), table, ckpt + "-fresh"
+    ).run_available_now()
+    assert _state(table) == _expected(events)
+    assert table.snapshot["ledger"]["applied_lsn"] == 4999
