@@ -16,9 +16,11 @@ from cdm_cbioportal_etl_spark.plans import ORACLES, QUERIES
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: replay the sf0.001 events WAL through the exactly-once
-    MERGE engine (LakeTable + CdcReplayer) and return the final state."""
-    return QUERIES["cdc_replay_final_state"](spark, "/root/testdata/sf0.001")
+    """Flagship: replay a (repo, path, commit, lang, content) change
+    stream — the BASELINE.json input shape — through the exactly-once
+    MERGE engine (LakeTable + CdcReplayer, 4 LSN-range batches) and
+    return the final table state with per-row content sha256."""
+    return QUERIES["cdc_repos_replay"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
