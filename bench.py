@@ -100,10 +100,14 @@ def bench_cdc_throughput(
     # compares the same job on the same input at two parallelism levels
     par = int(os.environ.get("SPARK_GRAFT_CDC_PARTS", "64"))
 
+    # payload size knob: 17 -> ~64..1 KB contents (realistic code blobs);
+    # 1 -> 64 B contents (CPU-bound engine-logic variant for scaling runs)
+    crm = int(os.environ.get("SPARK_GRAFT_CDC_CONTENT_MAX", "17"))
+
     if warmup_events:
         w_ev = gen_change_events(
             spark, warmup_events, n_repos=200, paths_per_repo=500, seed=7,
-            parallelism=par,
+            parallelism=par, content_repeat_max=crm,
         )
         w_tab = LakeTable.create(
             spark, os.path.join(work_dir, "warmup"),
@@ -114,18 +118,23 @@ def bench_cdc_throughput(
             w_ev, 0, warmup_events, batch_size=warmup_events // 2
         )
 
+    n_repos = int(os.environ.get("SPARK_GRAFT_CDC_REPOS", "200"))
+    paths_per_repo = int(os.environ.get("SPARK_GRAFT_CDC_PATHS", "500"))
     events = gen_change_events(
-        spark, n_events, n_repos=200, paths_per_repo=500, seed=42,
-        parallelism=par,
+        spark, n_events, n_repos=n_repos, paths_per_repo=paths_per_repo, seed=42,
+        parallelism=par, content_repeat_max=crm,
     )
     table = LakeTable.create(
         spark, os.path.join(work_dir, "repos"),
         T.StructType(list(REPOS_SCHEMA.fields)),
         key_cols=["repo", "path"], n_buckets=64,
     )
+    strategy = os.environ.get("SPARK_GRAFT_CDC_STRATEGY", "broadcast")
     t0 = time.perf_counter()
     report = CdcReplayer(table).replay_range_batches(
-        events, 0, n_events, batch_size=(n_events + n_batches - 1) // n_batches
+        events, 0, n_events,
+        batch_size=(n_events + n_batches - 1) // n_batches,
+        strategy=strategy,
     )
     wall = time.perf_counter() - t0
     rows_after = table.row_count()

@@ -48,6 +48,7 @@ def gen_change_events(
     zipf_exp: float = 3.0,
     lsn_start: int = 0,
     parallelism: int | None = None,
+    content_repeat_max: int = 17,
 ) -> DataFrame:
     """Events lsn_start .. lsn_start+n_events-1, one row per LSN."""
     rng = spark.range(lsn_start, lsn_start + n_events, 1, parallelism or 32)
@@ -65,9 +66,9 @@ def gen_change_events(
         F.array(*[F.lit(x) for x in _LANGS]),
         (F.pmod(F.xxhash64(F.col("id"), F.lit(5), F.lit(seed)), F.lit(len(_LANGS))) + 1).cast("int"),
     )
-    # pseudo-text 64..~1088 chars: repeat a 64-hex seeded chunk 1..17 times
+    # pseudo-text 64..~64*content_repeat_max chars: repeat a seeded chunk
     chunk = F.sha2(F.concat_ws(":", F.lit("t"), F.col("id").cast("string"), F.lit(seed)), 256)
-    content = F.repeat(chunk, (F.floor(u_len * 16) + 1).cast("int"))
+    content = F.repeat(chunk, (F.floor(u_len * (content_repeat_max - 1)) + 1).cast("int"))
     is_delete = u_op < F.lit(delete_frac)
     return rng.select(
         F.col("id").alias("lsn"),

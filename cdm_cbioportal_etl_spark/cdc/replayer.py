@@ -65,6 +65,7 @@ class CdcReplayer:
         source: str = "wal",
         count_batches: bool = False,
         pipelined: bool = True,
+        strategy: str = "broadcast",
     ) -> ReplayReport:
         """Apply events with lsn in [lsn_lo, lsn_hi) in fixed LSN windows.
 
@@ -100,7 +101,8 @@ class CdcReplayer:
 
         def _prepare(lo: int, hi: int) -> DataFrame:
             return self.table.prepare_batch(
-                _batch(lo, hi), self.lsn_col, self.op_col, min_lsn_exclusive=lo - 1
+                _batch(lo, hi), self.lsn_col, self.op_col,
+                min_lsn_exclusive=lo - 1, strategy=strategy,
             )
 
         def _apply(reduced: DataFrame, lo: int, hi: int, total: int) -> None:

@@ -333,21 +333,45 @@ class LakeTable:
     # ------------------------------------------------------------------ #
     # MERGE INTO
     # ------------------------------------------------------------------ #
+    # winner sets larger than this use shuffle reduction/resolution instead
+    # of broadcast (a 10^8-winner batch cannot be broadcast); overridable
+    # via table property "winner_broadcast_threshold"
+    WINNER_BROADCAST_THRESHOLD = 2_000_000
+
+    def _winner_threshold(self) -> int:
+        return int(
+            self.snapshot.get("properties", {}).get(
+                "winner_broadcast_threshold", self.WINNER_BROADCAST_THRESHOLD
+            )
+        )
+
     def prepare_batch(
         self,
         batch: DataFrame,
         lsn_col: str = "lsn",
         op_col: str = "op",
         min_lsn_exclusive: int | None = None,
+        strategy: str = "broadcast",
     ) -> DataFrame:
         """Phase 1 of MERGE: reduce a change batch to one winner row per
         key, materialized (localCheckpoint).
 
-        Late materialization: the latest-per-key reduction aggregates SLIM
-        ``(key, lsn)`` columns only (map-side combinable, absorbs hot-key
-        skew), then the winner set is broadcast-joined back against the
-        batch to fetch payloads — the content column is never shuffled
-        during reduction, only once at the bucketed write.
+        ``strategy`` picks the reduction plan (AQE-style, per batch):
+
+        - ``broadcast`` (default, winners ≪ memory): winner lsn per key is
+          aggregated over SLIM ``(key, lsn)`` columns only (map-side
+          combinable, absorbs hot-key skew), then the winner set is
+          broadcast-joined back against the batch to fetch payloads — the
+          payload column is never shuffled during reduction, only once at
+          the bucketed write.  Right when batch keys ≲ millions.
+        - ``shuffle`` (winner set too large to broadcast): classic
+          ``groupBy(keys).max_by(payload, lsn)`` hash aggregate — one full
+          payload shuffle, but partial aggregation still reduces hot keys
+          map-side.  Right for key-heavy batches (e.g. 10^8+ distinct
+          keys per batch at 10^10-event scale).
+        - ``auto``: counts the slim winner set first (cheap columnar job)
+          and picks one of the above against the table's
+          ``winner_broadcast_threshold``.
 
         Independent of table state except for the LSN watermark (which
         ``apply_prepared`` re-enforces at commit), so the NEXT batch's
@@ -368,6 +392,42 @@ class LakeTable:
         data_cols = [f.name for f in target.fields]
         have = set(new_events.columns)
 
+        if strategy == "auto":
+            n_winners = new_events.select(*keys).distinct().count()
+            strategy = (
+                "broadcast" if n_winners <= self._winner_threshold() else "shuffle"
+            )
+
+        if strategy == "shuffle":
+            payload = F.struct(
+                F.col(op_col).alias("_op"),
+                *[
+                    (F.col(c) if c in have else F.lit(None))
+                    .cast(target[c].dataType)
+                    .alias(c)
+                    for c in data_cols
+                    if c not in keys
+                ],
+            )
+            reduced = (
+                new_events.groupBy(*keys)
+                .agg(
+                    F.max_by(payload, F.col(lsn_col)).alias("_p"),
+                    F.max(lsn_col).alias(LSN_COL),
+                    F.count(F.lit(1)).alias("_n_events"),
+                )
+                .select(
+                    *keys,
+                    "_p._op",
+                    LSN_COL,
+                    *[f"_p.{c}" for c in data_cols if c not in keys],
+                    "_n_events",
+                )
+                .withColumn("_bucket", self._bucket_expr())
+            )
+            return reduced.localCheckpoint(eager=True)
+
+        # broadcast strategy
         # 1) winner lsn per key over slim columns — the only wide agg, and
         #    it shuffles ~(keys + 8B), not the payload
         winners_slim = new_events.groupBy(*keys).agg(
@@ -468,41 +528,70 @@ class LakeTable:
             )
         touched = {int(b) for b in agg["buckets"]}
 
-        # 3) resolve against the existing table WITHOUT a key-shuffle of the
-        #    payload: the winner set (~batch keys, slim) is broadcast to
-        #    both sides.  Existing rows survive unless a strictly newer
-        #    winner exists for their key; winners survive unless the table
-        #    already holds a newer row (out-of-order safety).
-        w_keys = F.broadcast(
-            reduced.select(*keys, F.col(LSN_COL).alias("_w_lsn"))
-        )
-        existing = (
-            self.read(buckets=touched, with_lsn=True)
-            .withColumn("_bucket", self._bucket_expr())
-        )
-        kept_existing = (
-            existing.join(w_keys, [*keys], "left")
-            .filter(F.col("_w_lsn").isNull() | (F.col("_w_lsn") < F.col(LSN_COL)))
-            .drop("_w_lsn")
-        )
-        # slim probe of existing lsn for winner keys (column-pruned scan)
-        ex_slim = F.broadcast(
-            self.read(buckets=touched, with_lsn=True)
-            .select(*keys, F.col(LSN_COL).alias("_ex_lsn"))
-            .join(F.broadcast(reduced.select(*keys)), [*keys], "left_semi")
-        )
-        kept_winners = (
-            reduced.join(ex_slim, [*keys], "left")
-            .filter(F.col("_ex_lsn").isNull() | (F.col("_ex_lsn") < F.col(LSN_COL)))
-            .filter(F.col("_op") != "delete")
-            .select(*keys, *[c for c in data_cols if c not in keys], LSN_COL, "_bucket")
-        )
-        # only the (small) winner side shuffles to bucket layout; existing
-        # rows flow scan -> filter -> write with no exchange at all
+        # 3) resolve against the existing table.  Strategy chosen from the
+        #    OBSERVED winner count (AQE-style):
+        out_cols = [*keys, *[c for c in data_cols if c not in keys], LSN_COL, "_bucket"]
         n_part = min(snap["n_buckets"], 64)
-        resolved = kept_existing.select(*kept_winners.columns).unionByName(
-            kept_winners.repartition(n_part, "_bucket")
-        )
+        if int(agg["keys"]) <= self._winner_threshold():
+            # broadcast resolve — no key-shuffle of any payload: the slim
+            # winner set is broadcast to both sides.  Existing rows survive
+            # unless a strictly newer winner exists for their key; winners
+            # survive unless the table already holds a newer row
+            # (out-of-order safety).
+            w_keys = F.broadcast(
+                reduced.select(*keys, F.col(LSN_COL).alias("_w_lsn"))
+            )
+            existing = (
+                self.read(buckets=touched, with_lsn=True)
+                .withColumn("_bucket", self._bucket_expr())
+            )
+            kept_existing = (
+                existing.join(w_keys, [*keys], "left")
+                .filter(F.col("_w_lsn").isNull() | (F.col("_w_lsn") < F.col(LSN_COL)))
+                .drop("_w_lsn")
+            )
+            # slim probe of existing lsn for winner keys (column-pruned scan)
+            ex_slim = F.broadcast(
+                self.read(buckets=touched, with_lsn=True)
+                .select(*keys, F.col(LSN_COL).alias("_ex_lsn"))
+                .join(F.broadcast(reduced.select(*keys)), [*keys], "left_semi")
+            )
+            kept_winners = (
+                reduced.join(ex_slim, [*keys], "left")
+                .filter(F.col("_ex_lsn").isNull() | (F.col("_ex_lsn") < F.col(LSN_COL)))
+                .filter(F.col("_op") != "delete")
+                .select(*out_cols)
+            )
+            # only the (small) winner side shuffles to bucket layout;
+            # existing rows flow scan -> filter -> write with no exchange
+            resolved = kept_existing.select(*out_cols).unionByName(
+                kept_winners.repartition(n_part, "_bucket")
+            )
+        else:
+            # shuffle resolve — winner set too large to broadcast: union
+            # the (already-reduced) winners with the touched existing rows
+            # and take max-LSN per key in one hash aggregate; both sides
+            # shuffle once on the key, partial agg handles skew
+            existing = (
+                self.read(buckets=touched, with_lsn=True)
+                .withColumn("_op", F.lit("upsert"))
+                .withColumn("_bucket", self._bucket_expr())
+            )
+            both = existing.select(*keys, "_op", *out_cols[len(keys):]).unionByName(
+                reduced.select(*keys, "_op", *out_cols[len(keys):])
+            )
+            payload = F.struct(
+                "_op", *[c for c in out_cols if c not in keys]
+            )
+            resolved = (
+                both.groupBy(*keys)
+                .agg(F.max_by(payload, F.col(LSN_COL)).alias("_p"))
+                .select(*keys, "_p.*")
+                .filter(F.col("_op") != "delete")
+                .drop("_op")
+                .select(*out_cols)
+                .repartition(n_part, "_bucket")
+            )
         mapping = self._write_bucket_files(resolved, snap["schema_id"], pre_bucketed=True)
 
         # new snapshot: untouched buckets carried over, touched replaced

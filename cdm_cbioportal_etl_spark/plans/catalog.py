@@ -1099,3 +1099,43 @@ def header_combine_nation(spark, sf_dir):
         "name": ColumnMeta("name", "Nation Name", "Name of the nation", "STRING"),
     }
     return combine_header_and_data(n, metas)
+
+
+# --------------------------------------------------------------------- #
+# applyInPandas grouped-map surface (the sanctioned Arrow path) with a
+# full SQL oracle — verifies the grouped-map plumbing end to end
+# --------------------------------------------------------------------- #
+@_register(
+    "grouped_timeline_compact",
+    """
+    WITH ordered AS (
+      SELECT user_id, ts, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_type) AS rn_a,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_type DESC) AS rn_d
+      FROM events
+    ), firsts AS (
+      SELECT user_id, ts AS first_ts, event_type AS first_type FROM ordered WHERE rn_a = 1
+    ), lasts AS (
+      SELECT user_id, ts AS last_ts, event_type AS last_type FROM ordered WHERE rn_d = 1
+    ), modal AS (
+      SELECT user_id, event_type AS modal_type FROM (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY count(*) DESC, event_type) AS r
+        FROM events GROUP BY user_id, event_type)
+      WHERE r = 1
+    ), counts AS (
+      SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
+    )
+    SELECT c.user_id, c.n_events, f.first_ts, l.last_ts, f.first_type,
+           l.last_type,
+           date_diff('day', f.first_ts::DATE, l.last_ts::DATE) AS span_days,
+           m.modal_type
+    FROM counts c JOIN firsts f USING (user_id) JOIN lasts l USING (user_id)
+                  JOIN modal m USING (user_id)
+    """,
+)
+def grouped_timeline_compact(spark, sf_dir):
+    from cdm_cbioportal_etl_spark.operators.grouped import compact_group_timeline
+
+    return compact_group_timeline(_t(spark, sf_dir, "events"))

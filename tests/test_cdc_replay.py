@@ -133,3 +133,37 @@ def test_registry_monotone(spark):
     assert v0 == v_same == 0
     wider = T.StructType(list(REPOS_SCHEMA.fields) + [T.StructField("stars", T.LongType())])
     assert reg.register(wider) == 1
+
+
+def test_shuffle_strategy_equivalence(spark, tmp_path):
+    """The shuffle reduction/resolution path (for winner sets too large to
+    broadcast) must produce the same state as the broadcast path."""
+    from pyspark.sql import types as T
+    from cdm_cbioportal_etl_spark.cdc import gen_change_events, CdcReplayer
+    from cdm_cbioportal_etl_spark.cdc.generator import REPOS_SCHEMA
+    from cdm_cbioportal_etl_spark.cdc.replayer import expected_final_state
+    from cdm_cbioportal_etl_spark.lake import LakeTable
+
+    events = gen_change_events(spark, 4000, n_repos=15, paths_per_repo=20, seed=3)
+    states = {}
+    for strat in ("broadcast", "shuffle", "auto"):
+        table = LakeTable.create(
+            spark, str(tmp_path / f"t_{strat}"),
+            T.StructType(list(REPOS_SCHEMA.fields)),
+            key_cols=["repo", "path"], n_buckets=8,
+        )
+        CdcReplayer(table).replay_range_batches(
+            events, 0, 4000, batch_size=1500, strategy=strat
+        )
+        states[strat] = {
+            tuple(r) for r in table.read().select("repo", "path", "commit").collect()
+        }
+    exp = {
+        tuple(r)
+        for r in expected_final_state(events, ["repo", "path"])
+        .select("repo", "path", "commit")
+        .collect()
+    }
+    assert states["broadcast"] == exp
+    assert states["shuffle"] == exp
+    assert states["auto"] == exp
