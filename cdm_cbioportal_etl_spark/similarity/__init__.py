@@ -2,5 +2,14 @@ from cdm_cbioportal_etl_spark.similarity.ann import (
     cosine_topk_bruteforce,
     lsh_bucketed_ann,
 )
+from cdm_cbioportal_etl_spark.similarity.quantize import (
+    dequantize_expr,
+    quantized_embeddings,
+)
 
-__all__ = ["cosine_topk_bruteforce", "lsh_bucketed_ann"]
+__all__ = [
+    "cosine_topk_bruteforce",
+    "lsh_bucketed_ann",
+    "quantized_embeddings",
+    "dequantize_expr",
+]

@@ -141,3 +141,28 @@ def test_multimodal_stub_gate(spark):
     media = synth_media(spark, n=4)
     with pytest.raises(Exception):  # NotImplementedError surfaces as PythonException
         extract_features(media, decode_stub=False).collect()
+
+
+def test_quantize_int8_roundtrip_cosine(spark):
+    """pandas_udf int8 quantization: 4x smaller, cosine preserved ~1%."""
+    import math
+    from cdm_cbioportal_etl_spark.similarity.quantize import (
+        dequantize_expr,
+        quantized_embeddings,
+    )
+    from cdm_cbioportal_etl_spark.similarity.ann import _dot, _norm
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(50)
+    q = quantized_embeddings(emb)
+    joined = emb.join(q, "vec_id").select(
+        "vec_id",
+        (
+            _dot(F.col("embedding"), dequantize_expr("q", "scale"))
+            / (_norm(F.col("embedding")) * _norm(dequantize_expr("q", "scale")))
+        ).alias("cos"),
+        F.size("q").alias("dim"),
+    )
+    rows = joined.collect()
+    assert all(r.dim == 64 for r in rows)
+    assert all(r.cos > 0.995 for r in rows), min(r.cos for r in rows)
