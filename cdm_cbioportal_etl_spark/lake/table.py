@@ -142,6 +142,14 @@ class LakeTable:
         os.replace(tmp, os.path.join(self._meta_dir, "VERSION"))
         self._snap = snap
 
+    def snapshot_at(self, version: int) -> dict[str, Any]:
+        """Load a historical snapshot manifest (time travel)."""
+        path = os.path.join(self._meta_dir, f"snap-{version:08d}.json")
+        if not os.path.exists(path):
+            raise ValueError(f"no snapshot version {version} at {self.root}")
+        with open(path) as fh:
+            return json.load(fh)
+
     @classmethod
     def exists(cls, root: str) -> bool:
         return os.path.exists(os.path.join(root, "_meta", "VERSION"))
@@ -243,15 +251,27 @@ class LakeTable:
             fields = fields + [T.StructField(LSN_COL, T.LongType(), True)]
         return self.spark.createDataFrame([], T.StructType(fields))
 
-    def read(self, buckets: set[int] | None = None, with_lsn: bool = False) -> DataFrame:
+    def read(
+        self,
+        buckets: set[int] | None = None,
+        with_lsn: bool = False,
+        version: int | None = None,
+    ) -> DataFrame:
         """Scan the current snapshot, optionally pruned to a bucket subset.
 
         Files written under older schema ids are read in per-schema groups
         and aligned (cast / null-fill) to the current schema — the Iceberg
         read-time projection model, no data rewrite on evolution.
+
+        ``version`` time-travels to an older snapshot (immutable manifests
+        + immutable data files make every retained version readable).
         """
-        snap = self.snapshot
-        target = self.schema
+        snap = self.snapshot if version is None else self.snapshot_at(version)
+        target = (
+            self.schema
+            if version is None
+            else schema_from_json(snap["schemas"][str(snap["schema_id"])])
+        )
         by_schema: dict[int, list[str]] = {}
         for b, files in snap["buckets"].items():
             if buckets is not None and int(b) not in buckets:
@@ -670,6 +690,59 @@ class LakeTable:
         if "bucket_rows" in snap and set(snap["bucket_rows"]) == set(snap["buckets"]):
             return sum(snap["bucket_rows"].values())
         return self._count_rows(snap["buckets"])
+
+    def compact(self, max_files_per_bucket: int = 2) -> int:
+        """Rewrite buckets holding more than ``max_files_per_bucket`` files
+        into one file each (the no-shuffle write mode trades small files
+        for zero exchanges; compaction pays that debt off-path, like
+        Iceberg's rewrite_data_files).  Returns # buckets compacted."""
+        snap = json.loads(json.dumps(self.snapshot))
+        todo = {
+            int(b) for b, files in snap["buckets"].items()
+            if len(files) > max_files_per_bucket
+        }
+        if not todo:
+            return 0
+        df = self.read(buckets=todo, with_lsn=True).withColumn(
+            "_bucket", self._bucket_expr()
+        )
+        mapping = self._write_bucket_files(df, snap["schema_id"])
+        snap["buckets"].update(mapping)
+        snap["bucket_rows"] = snap.get("bucket_rows", {})
+        snap["bucket_rows"].update(
+            {b: self._files_rows(f) for b, f in mapping.items()}
+        )
+        snap["version"] += 1
+        snap["lineage"].append(
+            {"batch_id": f"compact-{uuid.uuid4().hex[:8]}", "compacted_buckets": sorted(todo)}
+        )
+        self._commit(snap)
+        return len(todo)
+
+    def vacuum(self) -> int:
+        """Delete data files not referenced by the CURRENT snapshot
+        (orphans from crashed writes + files superseded by COW rewrites /
+        compaction).  Retains all snapshot manifests (metadata is tiny)
+        but time travel to vacuumed versions will no longer find data.
+        Returns # files removed."""
+        live = {
+            fobj["path"]
+            for files in self.snapshot["buckets"].values()
+            for fobj in files
+        }
+        removed = 0
+        for dirpath, _dirnames, filenames in os.walk(self._data_dir):
+            for fn in filenames:
+                full = os.path.join(dirpath, fn)
+                rel = os.path.relpath(full, self.root)
+                if rel not in live and fn.endswith(".parquet"):
+                    os.remove(full)
+                    removed += 1
+        # prune now-empty write dirs
+        for dirpath, dirnames, filenames in list(os.walk(self._data_dir, topdown=False)):
+            if not dirnames and not filenames and dirpath != self._data_dir:
+                os.rmdir(dirpath)
+        return removed
 
     def drop(self) -> None:
         shutil.rmtree(self.root, ignore_errors=True)

@@ -46,21 +46,41 @@ class WalTailReader:
         table: LakeTable,
         checkpoint_dir: str,
         max_files_per_trigger: int = 8,
+        registry=None,
     ):
         self.spark = spark
         self.wal_dir = wal_dir
         self.table = table
         self.checkpoint_dir = checkpoint_dir
         self.max_files_per_trigger = max_files_per_trigger
+        # optional SchemaRegistry: evolution DDL is issued BEFORE the batch
+        # merge, so events referencing a newer schema never apply first
+        self.registry = registry
 
     def _stream(self) -> DataFrame:
+        # file streams need an explicit schema; infer it from the WAL files
+        # themselves (cheap footer read) so newly-added columns are seen —
+        # the registry then evolves the table before the first merge.
+        # Falls back to the table schema for an empty/unborn WAL dir.
+        try:
+            schema = (
+                self.spark.read.option("mergeSchema", "true")
+                .parquet(self.wal_dir)
+                .schema
+            )
+            if "lsn" not in schema.names:
+                schema = wal_schema(self.table.schema)
+        except Exception:
+            schema = wal_schema(self.table.schema)
         return (
-            self.spark.readStream.schema(wal_schema(self.table.schema))
+            self.spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", self.max_files_per_trigger)
             .parquet(self.wal_dir)
         )
 
     def _apply_batch(self, batch: DataFrame, epoch_id: int) -> None:
+        if self.registry is not None:
+            self.registry.ensure_table_schema(self.table, batch)
         # merge() is idempotent (ledger-filtered, snapshot-atomic), so a
         # replayed epoch after a crash is a no-op — exactly-once net effect
         self.table.merge(

@@ -158,3 +158,38 @@ def test_overwrite(spark, tmp_path):
     t.overwrite(df, lsn=10)
     assert t.read().count() == 2
     assert t.snapshot["ledger"]["applied_lsn"] == 10
+
+
+def test_time_travel_compact_vacuum(spark, tmp_path):
+    from pyspark.sql import types as T, functions as F
+    from cdm_cbioportal_etl_spark.lake import LakeTable
+
+    schema = T.StructType([
+        T.StructField("k", T.StringType()), T.StructField("v", T.StringType()),
+    ])
+    t = LakeTable.create(spark, str(tmp_path / "tt"), schema, ["k"], n_buckets=4)
+    mk = lambda rows, lsn0: spark.createDataFrame(
+        [(i + lsn0, "update", k, v) for i, (k, v) in enumerate(rows)],
+        "lsn long, op string, k string, v string",
+    )
+    t.merge(mk([("a", "1"), ("b", "1")], 0), count_batch=False)
+    v1 = t.snapshot["version"]
+    t.merge(mk([("a", "2"), ("c", "1")], 10), count_batch=False)
+
+    # time travel: old version still shows the old state
+    cur = {(r.k, r.v) for r in t.read().collect()}
+    old = {(r.k, r.v) for r in t.read(version=v1).collect()}
+    assert cur == {("a", "2"), ("b", "1"), ("c", "1")}
+    assert old == {("a", "1"), ("b", "1")}
+
+    # compaction: merge buckets' file lists down to 1 file, same data
+    import os
+    n = t.compact(max_files_per_bucket=1)
+    assert {(r.k, r.v) for r in t.read().collect()} == cur
+    assert all(len(f) <= 1 for f in t.snapshot["buckets"].values())
+    assert t.row_count() == 3
+
+    # vacuum: drops unreferenced files; current state unaffected
+    removed = t.vacuum()
+    assert removed > 0
+    assert {(r.k, r.v) for r in t.read().collect()} == cur

@@ -98,3 +98,39 @@ def test_incremental_segments_and_restart_idempotence(spark, wal_env):
     ).run_available_now()
     assert _state(table) == _expected(events)
     assert table.snapshot["ledger"]["applied_lsn"] == 4999
+
+
+def test_streaming_schema_evolution(spark, tmp_path):
+    """A WAL segment adds a column mid-stream; the registry evolves the
+    table before the merge, and old rows null-fill the new column."""
+    from pyspark.sql import types as T
+    from cdm_cbioportal_etl_spark.cdc import SchemaRegistry
+    from cdm_cbioportal_etl_spark.lake import LakeTable
+
+    wal_dir = str(tmp_path / "wal")
+    os.makedirs(wal_dir, exist_ok=True)
+    base = spark.createDataFrame(
+        [(0, "update", "a", "v1"), (1, "update", "b", "v1")],
+        "lsn long, op string, k string, v string",
+    )
+    base.coalesce(1).write.parquet(os.path.join(wal_dir, "seg-0000"))
+    table = LakeTable.create(
+        spark, str(tmp_path / "t"),
+        T.StructType([T.StructField("k", T.StringType()), T.StructField("v", T.StringType())]),
+        key_cols=["k"], n_buckets=4,
+    )
+    reg = SchemaRegistry()
+    WalTailReader(spark, os.path.join(wal_dir, "seg-*"), table, str(tmp_path / "c1"),
+                  registry=reg).run_available_now()
+    assert {f.name for f in table.schema.fields} == {"k", "v"}
+
+    evolved = spark.createDataFrame(
+        [(2, "update", "a", "v2", "extra")],
+        "lsn long, op string, k string, v string, note string",
+    )
+    evolved.coalesce(1).write.parquet(os.path.join(wal_dir, "seg-0001"))
+    WalTailReader(spark, os.path.join(wal_dir, "seg-*"), table, str(tmp_path / "c2"),
+                  registry=reg).run_available_now()
+    assert {f.name for f in table.schema.fields} == {"k", "v", "note"}
+    rows = {r.k: (r.v, r.note) for r in table.read().collect()}
+    assert rows == {"a": ("v2", "extra"), "b": ("v1", None)}
