@@ -66,6 +66,7 @@ class CdcReplayer:
         count_batches: bool = False,
         pipelined: bool = True,
         strategy: str = "broadcast",
+        salt_partitions: int = 0,
     ) -> ReplayReport:
         """Apply events with lsn in [lsn_lo, lsn_hi) in fixed LSN windows.
 
@@ -103,6 +104,7 @@ class CdcReplayer:
             return self.table.prepare_batch(
                 _batch(lo, hi), self.lsn_col, self.op_col,
                 min_lsn_exclusive=lo - 1, strategy=strategy,
+                salt_partitions=salt_partitions,
             )
 
         def _apply(reduced: DataFrame, lo: int, hi: int, total: int) -> None:

@@ -17,7 +17,9 @@ from pyspark.sql import Column, functions as F
 # pipeline/timeline/cbioportal_timeline_deidentify.py:412-419)
 _DATE_FORMATS = [
     "yyyy-MM-dd HH:mm:ss",
+    "yyyy-MM-dd HH:mm:ss.SSSSSS",
     "yyyy-MM-dd'T'HH:mm:ss",
+    "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
     "yyyy-MM-dd",
     "MM/dd/yyyy",
     "yyyyMMdd",

@@ -372,6 +372,7 @@ class LakeTable:
         op_col: str = "op",
         min_lsn_exclusive: int | None = None,
         strategy: str = "broadcast",
+        salt_partitions: int = 0,
     ) -> DataFrame:
         """Phase 1 of MERGE: reduce a change batch to one winner row per
         key, materialized (localCheckpoint).
@@ -429,12 +430,42 @@ class LakeTable:
                     if c not in keys
                 ],
             )
+            src = new_events
+            if salt_partitions > 1:
+                # two-phase salted reduction for pathological hot keys: a
+                # single key whose events exceed one reducer's capacity is
+                # first reduced across `salt_partitions` reducers (salt =
+                # hash(lsn) spreads its rows uniformly), then the ≤S
+                # survivors per key meet in the final aggregate — the
+                # north-rule's "key-salted upsert stage"
+                salted = new_events.withColumn(
+                    "_salt",
+                    F.pmod(F.xxhash64(F.col(lsn_col)), F.lit(salt_partitions)),
+                )
+                src = (
+                    salted.groupBy(*keys, "_salt")
+                    .agg(
+                        F.max_by(payload, F.col(lsn_col)).alias("_p"),
+                        F.max(lsn_col).alias(lsn_col),
+                        F.count(F.lit(1)).alias("_n_events"),
+                    )
+                    .select(
+                        *keys,
+                        F.col("_p._op").alias(op_col),
+                        lsn_col,
+                        *[F.col(f"_p.{c}").alias(c) for c in data_cols if c not in keys],
+                        "_n_events",
+                    )
+                )
+            n_col = "_n_events" if salt_partitions > 1 else None
             reduced = (
-                new_events.groupBy(*keys)
+                src.groupBy(*keys)
                 .agg(
                     F.max_by(payload, F.col(lsn_col)).alias("_p"),
                     F.max(lsn_col).alias(LSN_COL),
-                    F.count(F.lit(1)).alias("_n_events"),
+                    (
+                        F.sum(n_col) if n_col else F.count(F.lit(1))
+                    ).alias("_n_events"),
                 )
                 .select(
                     *keys,

@@ -1142,3 +1142,97 @@ def grouped_timeline_compact(spark, sf_dir):
     from cdm_cbioportal_etl_spark.operators.grouped import compact_group_timeline
 
     return compact_group_timeline(_t(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------------- #
+# Timeline deid END TO END (J4 + F2/F4/F7/F8 + P6 + O1) over events-
+# derived clinical-shaped inputs — full DuckDB oracle
+# --------------------------------------------------------------------- #
+_DEID_TODAY = "2024-04-01"
+
+
+@_register(
+    "timeline_deid_events",
+    f"""
+    WITH anchor AS (
+      SELECT user_id,
+             lpad(user_id::VARCHAR, 8, '0') AS mrn,
+             'P' || lpad(user_id::VARCHAR, 4, '0') AS pid,
+             min(ts)::DATE AS a,
+             max(ts)::DATE AS os
+      FROM events GROUP BY user_id
+    ), tl AS (
+      SELECT e.event_id, e.user_id, e.event_type,
+             CASE WHEN e.ts::DATE > DATE '{_DEID_TODAY}' THEN NULL
+                  ELSE e.ts::DATE END AS sd
+      FROM events e
+    )
+    SELECT a.pid AS patient_id,
+           date_diff('day', a.a, least(t.sd, a.os))::BIGINT AS start_date,
+           t.event_id, t.event_type
+    FROM tl t JOIN anchor a USING (user_id)
+    WHERE t.sd IS NOT NULL
+    """,
+)
+def timeline_deid_events(spark, sf_dir):
+    """Full timeline-deid slice (reference
+    cbioportal_timeline_deidentify.py:426-549) on events-derived inputs:
+    spine ⟕ anchor ⟕ OS ⟕ facts, future-date nulling vs an INJECTED
+    'today', OS truncation, day-interval deid, dropna, int cast."""
+    from cdm_cbioportal_etl_spark.operators.timeline import deidentify_timeline
+
+    ev = _t(spark, sf_dir, "events")
+    pid = F.concat(F.lit("P"), F.lpad(F.col("user_id").cast("string"), 4, "0"))
+    mrn = F.col("user_id").cast("string")  # zero-padded inside the operator
+    anchor_base = ev.groupBy("user_id").agg(
+        F.min("ts").cast("date").alias("DATE_TUMOR_SEQUENCING"),
+        F.max("ts").cast("date").alias("OS_DATE"),
+    )
+    samples = anchor_base.select(pid.alias("PATIENT_ID"))
+    anchor = anchor_base.select(
+        mrn.alias("MRN"), pid.alias("DMP_ID"), "DATE_TUMOR_SEQUENCING"
+    )
+    os_dates = anchor_base.select(mrn.alias("MRN"), "OS_DATE")
+    timeline = ev.select(
+        mrn.alias("MRN"),
+        F.col("ts").cast("string").alias("START_DATE"),
+        F.col("event_id"),
+        F.col("event_type"),
+    )
+    out = deidentify_timeline(
+        timeline, samples, anchor, os_dates,
+        today=_DEID_TODAY,
+        date_cols=("START_DATE",),
+    )
+    out = out.select(
+        F.col("PATIENT_ID"),
+        F.col("START_DATE").cast("long"),
+        "event_id", "event_type",
+    )
+    return out.toDF(*[c.lower() for c in out.columns])
+
+
+# --------------------------------------------------------------------- #
+# Completeness audit (A7 — reference monitoring_completeness.py:20-132)
+# --------------------------------------------------------------------- #
+_AUDIT_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+
+
+@_register(
+    "completeness_audit_orders",
+    "\nUNION ALL\n".join(
+        f"""
+        SELECT '{c}' AS column_name, count(*)::BIGINT AS n_total,
+               count(CASE WHEN {c} IS NULL THEN 1 END)::BIGINT AS n_null,
+               count(CASE WHEN trim({c}::VARCHAR) = '' THEN 1 END)::BIGINT AS n_empty,
+               round(count(CASE WHEN {c} IS NULL THEN 1 END) / count(*)::DOUBLE, 4)
+                 AS pct_null
+        FROM orders
+        """
+        for c in _AUDIT_COLS
+    ),
+)
+def completeness_audit_orders(spark, sf_dir):
+    from cdm_cbioportal_etl_spark.operators.audit import completeness_report
+
+    return completeness_report(_t(spark, sf_dir, "orders"), _AUDIT_COLS)

@@ -167,3 +167,34 @@ def test_shuffle_strategy_equivalence(spark, tmp_path):
     assert states["broadcast"] == exp
     assert states["shuffle"] == exp
     assert states["auto"] == exp
+
+
+def test_salted_shuffle_strategy_equivalence(spark, tmp_path):
+    """Two-phase salted reduction (hot-key spreading) must be value-
+    identical to the unsalted paths on Zipf-skewed input."""
+    from pyspark.sql import types as T
+    from cdm_cbioportal_etl_spark.cdc import gen_change_events, CdcReplayer
+    from cdm_cbioportal_etl_spark.cdc.generator import REPOS_SCHEMA
+    from cdm_cbioportal_etl_spark.cdc.replayer import expected_final_state
+    from cdm_cbioportal_etl_spark.lake import LakeTable
+
+    # zipf_exp=6 concentrates most events on very few keys (hot keys)
+    events = gen_change_events(
+        spark, 5000, n_repos=10, paths_per_repo=10, seed=9, zipf_exp=6.0
+    )
+    table = LakeTable.create(
+        spark, str(tmp_path / "salted"),
+        T.StructType(list(REPOS_SCHEMA.fields)),
+        key_cols=["repo", "path"], n_buckets=8,
+    )
+    CdcReplayer(table).replay_range_batches(
+        events, 0, 5000, batch_size=2000, strategy="shuffle", salt_partitions=8
+    )
+    got = {tuple(r) for r in table.read().select("repo", "path", "commit").collect()}
+    exp = {
+        tuple(r)
+        for r in expected_final_state(events, ["repo", "path"])
+        .select("repo", "path", "commit")
+        .collect()
+    }
+    assert got == exp
