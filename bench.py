@@ -68,6 +68,9 @@ def _materialize(df) -> None:
 def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     from cdm_cbioportal_etl_spark.plans import QUERIES
 
+    # untimed warmup: JIT + parquet footer caches, so q1 isn't charged
+    # for JVM cold start
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
     out: dict[str, float] = {}
     for name in _BENCH_QUERIES:
         fn = QUERIES.get(name)

@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the CDC replay job.
+
+Cluster launch (the north-rule's deployment shape):
+
+    zip -r engine.zip cdm_cbioportal_etl_spark
+    spark-submit --py-files engine.zip \
+        --conf spark.sql.adaptive.enabled=true \
+        scripts/submit_replay.py \
+        --wal /path/to/wal_parquet --table /path/to/lake_table \
+        --events 10000000000 --batches 1000 [--resume]
+
+Local smoke:  python scripts/submit_replay.py --synthetic 1000000
+
+The session comes from ``SparkSession.builder.getOrCreate()`` so
+spark-submit's master/deploy-mode/executor conf is respected; engine
+defaults are applied only where unset.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession, types as T  # noqa: E402
+
+from cdm_cbioportal_etl_spark.cdc import CdcReplayer, gen_change_events  # noqa: E402
+from cdm_cbioportal_etl_spark.cdc.generator import REPOS_SCHEMA  # noqa: E402
+from cdm_cbioportal_etl_spark.lake import LakeTable  # noqa: E402
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--wal", help="parquet WAL directory (lsn,op,repo,path,commit,lang,content)")
+    ap.add_argument("--table", default="/tmp/cdc_submit/repos")
+    ap.add_argument("--events", type=int, default=None, help="lsn upper bound")
+    ap.add_argument("--batches", type=int, default=4)
+    ap.add_argument("--buckets", type=int, default=64)
+    ap.add_argument("--strategy", default="broadcast",
+                    choices=["broadcast", "shuffle", "auto"])
+    ap.add_argument("--salt", type=int, default=0)
+    ap.add_argument("--resume", action="store_true",
+                    help="continue from the table's LSN ledger watermark")
+    ap.add_argument("--synthetic", type=int, default=0,
+                    help="generate N events instead of reading --wal")
+    args = ap.parse_args()
+
+    spark = SparkSession.builder.appName("cdc-replay").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    if args.synthetic:
+        wal = gen_change_events(spark, args.synthetic)
+        lsn_hi = args.synthetic
+    else:
+        if not args.wal:
+            ap.error("--wal or --synthetic required")
+        wal = spark.read.parquet(args.wal)
+        lsn_hi = args.events or (wal.agg({"lsn": "max"}).collect()[0][0] + 1)
+
+    if LakeTable.exists(args.table):
+        table = LakeTable(spark, args.table)
+    else:
+        table = LakeTable.create(
+            spark, args.table, T.StructType(list(REPOS_SCHEMA.fields)),
+            key_cols=["repo", "path"], n_buckets=args.buckets,
+        )
+
+    replayer = CdcReplayer(table)
+    batch_size = (lsn_hi + args.batches - 1) // args.batches
+    t0 = time.perf_counter()
+    if args.resume:
+        report = replayer.resume(wal, lsn_hi, batch_size)
+    else:
+        report = replayer.replay_range_batches(
+            wal, 0, lsn_hi, batch_size=batch_size,
+            strategy=args.strategy, salt_partitions=args.salt,
+        )
+    wall = time.perf_counter() - t0
+    print(json.dumps({
+        "events": lsn_hi,
+        "wall_sec": round(wall, 2),
+        "events_per_sec": round(lsn_hi / wall, 1),
+        "batches_applied": report.batches_applied,
+        "batches_skipped": report.batches_skipped,
+        "rows_after": table.row_count(),
+        "applied_lsn": table.snapshot["ledger"]["applied_lsn"],
+    }))
+
+
+if __name__ == "__main__":
+    main()

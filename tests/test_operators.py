@@ -222,3 +222,30 @@ def test_header_build_and_combine(spark):
     assert out[0][0] == "#Patient Identifier"
     assert out[4][0] == "PATIENT_ID"
     assert out[5][1] == "WHITE" and out[6][1] == ""  # null → '' canonicalization
+
+
+def test_cbioportal_tsv_roundtrip(spark, tmp_path):
+    """S5/S7 edge I/O: combined header+data -> headerless TSV -> header-
+    offset read reproduces both header rows and data."""
+    from pyspark.sql import functions as F
+    from cdm_cbioportal_etl_spark.operators.header import (
+        ColumnMeta,
+        combine_header_and_data,
+    )
+    from cdm_cbioportal_etl_spark.operators.io import (
+        read_cbioportal_tsv,
+        write_cbioportal_tsv,
+    )
+
+    data = spark.createDataFrame(
+        [("P1", "45"), ("P2", "<18")], "PATIENT_ID string, AGE string"
+    )
+    metas = {"AGE": ColumnMeta("AGE", "Age", "Age at dx", "NUMBER")}
+    combined = combine_header_and_data(data, metas)
+    out = str(tmp_path / "summary_tsv")
+    write_cbioportal_tsv(combined, out)
+
+    header_rows, got = read_cbioportal_tsv(spark, out)
+    assert header_rows[0] == ["#Patient Identifier", "Age"]
+    assert header_rows[4] == ["PATIENT_ID", "AGE"]
+    assert {tuple(r) for r in got.collect()} == {("P1", "45"), ("P2", "<18")}
