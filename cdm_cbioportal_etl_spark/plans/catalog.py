@@ -1236,3 +1236,119 @@ def completeness_audit_orders(spark, sf_dir):
     from cdm_cbioportal_etl_spark.operators.audit import completeness_report
 
     return completeness_report(_t(spark, sf_dir, "orders"), _AUDIT_COLS)
+
+
+# --------------------------------------------------------------------- #
+# Query-surface breadth: correlated subqueries, EXISTS, sessionization,
+# exact percentiles — capabilities a reference user would expect from a
+# full query engine (axes A+B), each oracle-checked
+# --------------------------------------------------------------------- #
+@_register(
+    "q2_min_balance_supplier",
+    """
+    SELECT n.n_name AS nation, s.s_name AS supplier,
+           round(s.s_acctbal, 2) AS acctbal
+    FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE s.s_acctbal = (
+        SELECT min(s2.s_acctbal) FROM supplier s2
+        WHERE s2.s_nationkey = s.s_nationkey)
+    ORDER BY nation, supplier
+    """,
+)
+def q2_min_balance_supplier(spark, sf_dir):
+    """Correlated scalar subquery (TPC-H q2 shape): the minimum-balance
+    supplier per nation.  Catalyst rewrites the correlated subquery into
+    an aggregate + join — expressed via SQL on temp views to exercise
+    the SQL surface."""
+    for t in ("supplier", "nation"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT n.n_name AS nation, s.s_name AS supplier,
+               round(s.s_acctbal, 2) AS acctbal
+        FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE s.s_acctbal = (
+            SELECT min(s2.s_acctbal) FROM supplier s2
+            WHERE s2.s_nationkey = s.s_nationkey)
+        ORDER BY nation, supplier
+        """
+    )
+
+
+@_register(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority AS priority, count(*) AS n
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark, sf_dir):
+    # EXISTS → left-semi join (TPC-H q4)
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey, "left_semi")
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@_register(
+    "sessionize_events",
+    """
+    WITH g AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id,
+           sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING)::BIGINT AS session_id
+    FROM g
+    """,
+)
+def sessionize_events(spark, sf_dir):
+    """Gap-based sessionization (lag + running sum windows) — the batch
+    form of the streaming session-window operator."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    new_s = F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
+    running = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.sum(new_s).over(running).cast("long").alias("session_id"),
+    )
+
+
+@_register(
+    "value_percentiles_by_type",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 4) AS p50,
+           round(quantile_cont(value, 0.95), 4) AS p95,
+           round(quantile_cont(value, 0.99), 4) AS p99
+    FROM events GROUP BY event_type
+    """,
+)
+def value_percentiles_by_type(spark, sf_dir):
+    # exact interpolated percentiles (engine-identical to quantile_cont)
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+    )
