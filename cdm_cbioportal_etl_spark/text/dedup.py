@@ -92,22 +92,21 @@ def minhash_signatures(
     XOR constants are a (weak but standard) permutation family, and the
     whole signature costs one md5 + H long-XORs per shingle — all
     whole-stage codegen, no Python."""
-    base = shingle_base_hash(shingles(text_col, shingle_k))
-    consts = F.array(
-        *[F.lit(family_constant(i)).cast("long") for i in range(num_hashes)]
-    )
-    # ONE pass over the shingle array: fold each base hash into all H
-    # running minima at once (H separate array_min(transform(...)) columns
-    # would re-evaluate the md5 pipeline per column — measured 13x slower)
-    mhs = F.aggregate(
-        base,
-        F.array_repeat(F.lit(1 << 62).cast("long"), num_hashes),
-        lambda acc, b: F.zip_with(acc, consts, lambda a, c: F.least(a, b.bitwiseXOR(c))),
-    )
-    sig = docs.select(F.col(id_col), mhs.alias("_mhs"))
-    return sig.select(
+    # explode to one row per (doc, shingle-hash), then H plain `min`
+    # aggregates: md5 runs once per shingle, the aggregate is map-side
+    # combinable (shuffle carries ~#docs x H longs, not shingles), and no
+    # per-shingle arrays are allocated (an array-fold variant measured 2x
+    # slower; H separate array_min(transform) columns 13x slower — they
+    # re-evaluate the md5 pipeline per column)
+    ex = docs.select(
         F.col(id_col),
-        *[F.element_at("_mhs", i + 1).alias(f"mh_{i}") for i in range(num_hashes)],
+        F.explode(shingle_base_hash(shingles(text_col, shingle_k))).alias("_b"),
+    )
+    return ex.groupBy(id_col).agg(
+        *[
+            F.min(F.col("_b").bitwiseXOR(F.lit(family_constant(i)))).alias(f"mh_{i}")
+            for i in range(num_hashes)
+        ]
     )
 
 
