@@ -1352,3 +1352,27 @@ def value_percentiles_by_type(spark, sf_dir):
         F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
         F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
     )
+
+
+@_register(
+    "tumbling_window_counts",
+    """
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def tumbling_window_counts(spark, sf_dir):
+    """Tumbling event-time windows (the batch form of the streaming
+    windowed aggregation; with readStream + watermark the same expression
+    handles late data)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour").start.alias("window_start"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
