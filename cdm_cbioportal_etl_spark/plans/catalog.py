@@ -1376,3 +1376,43 @@ def tumbling_window_counts(spark, sf_dir):
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
     )
+
+
+@_register(
+    "lsh_verify_neardup_docs",
+    _SQL_SHINGLES
+    + f"""
+    , sb AS (SELECT doc_id, {_SQL_BASE} AS base FROM sh)
+    , sig AS (
+      SELECT doc_id,
+             {', '.join(f"{_sql_mh(i)} AS mh_{i}" for i in range(16))}
+      FROM sb
+    ), bands AS (
+      SELECT doc_id, unnest([
+        {', '.join(f"md5('{b}' || '|' || mh_{2*b}::VARCHAR || '|' || mh_{2*b+1}::VARCHAR)"
+                   for b in range(8))}
+      ]) AS band_key
+      FROM sig
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b USING (band_key)
+      WHERE a.doc_id < b.doc_id
+    ), ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh)
+    SELECT id_a, id_b, jaccard FROM (
+      SELECT e1.doc_id AS id_a, e2.doc_id AS id_b,
+             round(count(*)::DOUBLE /
+                   (any_value(e1.n) + any_value(e2.n) - count(*)), 6) AS jaccard
+      FROM ex e1 JOIN ex e2 USING (s)
+      WHERE e1.doc_id < e2.doc_id
+      GROUP BY e1.doc_id, e2.doc_id) j
+    JOIN cand USING (id_a, id_b)
+    WHERE jaccard >= 0.5
+    """,
+)
+def lsh_verify_neardup_docs(spark, sf_dir):
+    """The composed dedup pipeline: MinHash-LSH candidate generation →
+    exact n-gram-Jaccard verification, threshold 0.5 — the full shape a
+    100 TB near-dup pass runs (candidates bound the quadratic stage)."""
+    docs = _t(spark, sf_dir, "documents")
+    cands = minhash_lsh_candidates(docs, num_hashes=16, bands=8)
+    return ngram_jaccard_pairs(docs, pairs=cands, threshold=0.5)

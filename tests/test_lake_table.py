@@ -193,3 +193,69 @@ def test_time_travel_compact_vacuum(spark, tmp_path):
     removed = t.vacuum()
     assert removed > 0
     assert {(r.k, r.v) for r in t.read().collect()} == cur
+
+
+def test_crash_between_write_and_commit_is_recoverable(spark, tmp_path):
+    """Files written but VERSION pointer not swung (crash mid-commit):
+    readers still see the old snapshot; re-running the merge succeeds and
+    vacuum removes the orphaned files."""
+    from pyspark.sql import types as T
+    from cdm_cbioportal_etl_spark.lake import LakeTable
+    import cdm_cbioportal_etl_spark.lake.table as lt
+
+    schema = T.StructType([
+        T.StructField("k", T.StringType()), T.StructField("v", T.StringType()),
+    ])
+    t = LakeTable.create(spark, str(tmp_path / "crash"), schema, ["k"], n_buckets=4)
+    mk = lambda rows, lsn0: spark.createDataFrame(
+        [(i + lsn0, "update", k, v) for i, (k, v) in enumerate(rows)],
+        "lsn long, op string, k string, v string",
+    )
+    t.merge(mk([("a", "1")], 0), count_batch=False)
+
+    orig_commit = LakeTable._commit
+    calls = {"n": 0}
+
+    def exploding_commit(self, snap):
+        calls["n"] += 1
+        raise RuntimeError("simulated crash before pointer swap")
+
+    LakeTable._commit = exploding_commit
+    try:
+        try:
+            t.merge(mk([("a", "2"), ("b", "1")], 10), count_batch=False)
+        except RuntimeError:
+            pass
+    finally:
+        LakeTable._commit = orig_commit
+    assert calls["n"] == 1
+    # table still serves the LAST COMMITTED snapshot
+    t2 = LakeTable(spark, str(tmp_path / "crash"))
+    assert {(r.k, r.v) for r in t2.read().collect()} == {("a", "1")}
+    # retry applies cleanly (ledger untouched by the failed attempt)
+    t2.merge(mk([("a", "2"), ("b", "1")], 10), count_batch=False)
+    assert {(r.k, r.v) for r in t2.read().collect()} == {("a", "2"), ("b", "1")}
+    # the crashed attempt's files are orphans -> vacuum removes them
+    assert t2.vacuum() > 0
+    assert {(r.k, r.v) for r in t2.read().collect()} == {("a", "2"), ("b", "1")}
+
+
+def test_snapshot_isolation_for_concurrent_reader(spark, tmp_path):
+    """A DataFrame planned before a merge keeps reading its snapshot's
+    files after the merge commits (COW: old files are never mutated)."""
+    from pyspark.sql import types as T
+    from cdm_cbioportal_etl_spark.lake import LakeTable
+
+    schema = T.StructType([
+        T.StructField("k", T.StringType()), T.StructField("v", T.StringType()),
+    ])
+    t = LakeTable.create(spark, str(tmp_path / "iso"), schema, ["k"], n_buckets=4)
+    mk = lambda rows, lsn0: spark.createDataFrame(
+        [(i + lsn0, "update", k, v) for i, (k, v) in enumerate(rows)],
+        "lsn long, op string, k string, v string",
+    )
+    t.merge(mk([("a", "1"), ("b", "1")], 0), count_batch=False)
+    reader = t.read()  # plan pinned to snapshot v
+    t.merge(mk([("a", "2")], 10), count_batch=False)
+    assert {(r.k, r.v) for r in reader.collect()} == {("a", "1"), ("b", "1")}
+    assert {(r.k, r.v) for r in t.read().collect()} == {("a", "2"), ("b", "1")}
