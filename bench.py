@@ -166,6 +166,10 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(os.path.normpath(sf_dir)).replace("sf", "") or 0)
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    try:
+        int(cpus)
+    except ValueError:  # e.g. "*"
+        cpus = str(os.cpu_count() or 32)
     n_events = int(os.environ.get("SPARK_GRAFT_CDC_EVENTS", "8000000"))
     os.makedirs("/dev/shm/spark-local", exist_ok=True)
     spark = get_spark(
