@@ -1416,3 +1416,42 @@ def lsh_verify_neardup_docs(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     cands = minhash_lsh_candidates(docs, num_hashes=16, bands=8)
     return ngram_jaccard_pairs(docs, pairs=cands, threshold=0.5)
+
+
+@_register(
+    "asof_purchase_last_click",
+    """
+    WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+    SELECT p.event_id, p.user_id,
+           c.event_id AS asof_event_id,
+           date_diff('second', c.ts, p.ts)::BIGINT AS secs_since_click
+    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
+    """,
+)
+def asof_purchase_last_click(spark, sf_dir):
+    """As-of join: each purchase enriched with the user's latest click at
+    or before it (union+window plan, one key shuffle — see
+    operators/asof.py).  Oracle is DuckDB's native ASOF LEFT JOIN."""
+    from cdm_cbioportal_etl_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    out = asof_join(
+        purchases, clicks, on=["user_id"], ts_col="ts",
+        right_cols=["event_id", "ts"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("asof_event_id"),
+        (
+            F.col("ts").cast("timestamp").cast("long")
+            - F.col("asof_ts").cast("timestamp").cast("long")
+        ).alias("secs_since_click"),
+    )

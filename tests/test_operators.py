@@ -249,3 +249,26 @@ def test_cbioportal_tsv_roundtrip(spark, tmp_path):
     assert header_rows[0] == ["#Patient Identifier", "Age"]
     assert header_rows[4] == ["PATIENT_ID", "AGE"]
     assert {tuple(r) for r in got.collect()} == {("P1", "45"), ("P2", "<18")}
+
+
+def test_asof_join_semantics(spark):
+    """As-of: latest right row at-or-before; <= tie counts; no-match -> null."""
+    from cdm_cbioportal_etl_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("u1", 100, "L1"), ("u1", 200, "L2"), ("u2", 50, "L3")],
+        "k string, ts long, lid string",
+    )
+    right = spark.createDataFrame(
+        [("u1", 90, "R1"), ("u1", 100, "R2"), ("u1", 150, "R3"), ("u2", 60, "R4")],
+        "k string, ts long, rid string",
+    )
+    out = {
+        r.lid: r.asof_rid
+        for r in asof_join(left, right, on=["k"], ts_col="ts", right_cols=["rid"]).collect()
+    }
+    assert out == {
+        "L1": "R2",   # equal ts counts (<=), and beats the earlier R1
+        "L2": "R3",   # latest at-or-before 200
+        "L3": None,   # u2 has no right row at-or-before 50
+    }
