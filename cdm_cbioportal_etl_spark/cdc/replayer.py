@@ -65,7 +65,7 @@ class CdcReplayer:
         source: str = "wal",
         count_batches: bool = False,
         pipelined: bool = True,
-        strategy: str = "broadcast",
+        strategy: str = "auto",
         salt_partitions: int = 0,
     ) -> ReplayReport:
         """Apply events with lsn in [lsn_lo, lsn_hi) in fixed LSN windows.

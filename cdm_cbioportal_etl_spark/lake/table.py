@@ -371,7 +371,7 @@ class LakeTable:
         lsn_col: str = "lsn",
         op_col: str = "op",
         min_lsn_exclusive: int | None = None,
-        strategy: str = "broadcast",
+        strategy: str = "auto",
         salt_partitions: int = 0,
     ) -> DataFrame:
         """Phase 1 of MERGE: reduce a change batch to one winner row per
@@ -379,7 +379,7 @@ class LakeTable:
 
         ``strategy`` picks the reduction plan (AQE-style, per batch):
 
-        - ``broadcast`` (default, winners ≪ memory): winner lsn per key is
+        - ``broadcast`` (winners ≪ memory): winner lsn per key is
           aggregated over SLIM ``(key, lsn)`` columns only (map-side
           combinable, absorbs hot-key skew), then the winner set is
           broadcast-joined back against the batch to fetch payloads — the
@@ -390,8 +390,11 @@ class LakeTable:
           payload shuffle, but partial aggregation still reduces hot keys
           map-side.  Right for key-heavy batches (e.g. 10^8+ distinct
           keys per batch at 10^10-event scale).
-        - ``auto``: counts the slim winner set first (cheap columnar job)
-          and picks one of the above against the table's
+        - ``auto`` (default — an unconditional broadcast OOMs the driver
+          once a batch exceeds a few million keys): materializes the slim
+          winner aggregate — which the broadcast path needs anyway, so
+          the probe is ~free on the common path — counts it, and picks
+          broadcast vs shuffle against the table's
           ``winner_broadcast_threshold``.
 
         Independent of table state except for the LSN watermark (which
@@ -413,10 +416,18 @@ class LakeTable:
         data_cols = [f.name for f in target.fields]
         have = set(new_events.columns)
 
+        winners_slim = None
         if strategy == "auto":
-            n_winners = new_events.select(*keys).distinct().count()
+            # slim (key, max lsn, n) aggregate — identical to the one the
+            # broadcast path consumes; materialize once, count for ~free,
+            # and reuse it below if broadcast wins
+            winners_slim = (
+                new_events.groupBy(*keys)
+                .agg(F.max(lsn_col).alias("_w_lsn"), F.count(F.lit(1)).alias("_n_events"))
+                .localCheckpoint(eager=True)
+            )
             strategy = (
-                "broadcast" if n_winners <= self._winner_threshold() else "shuffle"
+                "broadcast" if winners_slim.count() <= self._winner_threshold() else "shuffle"
             )
 
         if strategy == "shuffle":
@@ -480,10 +491,12 @@ class LakeTable:
 
         # broadcast strategy
         # 1) winner lsn per key over slim columns — the only wide agg, and
-        #    it shuffles ~(keys + 8B), not the payload
-        winners_slim = new_events.groupBy(*keys).agg(
-            F.max(lsn_col).alias("_w_lsn"), F.count(F.lit(1)).alias("_n_events")
-        )
+        #    it shuffles ~(keys + 8B), not the payload (reused from the
+        #    auto probe when it already ran)
+        if winners_slim is None:
+            winners_slim = new_events.groupBy(*keys).agg(
+                F.max(lsn_col).alias("_w_lsn"), F.count(F.lit(1)).alias("_n_events")
+            )
         # 2) fetch winner payload rows via broadcast hash join (no shuffle
         #    of the batch side); duplicate (key, lsn) redeliveries collapse
         return (
@@ -518,7 +531,10 @@ class LakeTable:
         batch_id: str | None = None,
         source_watermarks: dict[str, int] | None = None,
         extra_lineage: dict[str, Any] | None = None,
-        count_batch: bool = True,
+        count_batch: bool = False,
+        strategy: str = "auto",
+        salt_partitions: int = 0,
+        applied_segments: list[str] | None = None,
     ) -> MergeStats:
         """Latest-LSN-wins upsert of a change batch (ops: upsert-ish/delete).
 
@@ -526,15 +542,23 @@ class LakeTable:
         out first, and the new ledger high-water-mark commits in the same
         snapshot as the data — at-least-once redelivery (including a full
         batch replay after a crash) is a no-op.
+
+        Defaults are the scale-safe ones: no extra full-batch count pass
+        (``count_batch=False`` — stats still come from the reduction agg)
+        and ``strategy='auto'`` (probe-then-pick, never an unconditional
+        broadcast of an unbounded winner set).
         """
         batch_total = batch.count() if count_batch else -1
-        reduced = self.prepare_batch(batch, lsn_col, op_col)
+        reduced = self.prepare_batch(
+            batch, lsn_col, op_col, strategy=strategy, salt_partitions=salt_partitions
+        )
         return self.apply_prepared(
             reduced,
             batch_id=batch_id,
             source_watermarks=source_watermarks,
             extra_lineage=extra_lineage,
             batch_total=batch_total,
+            applied_segments=applied_segments,
         )
 
     def apply_prepared(
@@ -544,6 +568,7 @@ class LakeTable:
         source_watermarks: dict[str, int] | None = None,
         extra_lineage: dict[str, Any] | None = None,
         batch_total: int = -1,
+        applied_segments: list[str] | None = None,
     ) -> MergeStats:
         """Phase 2 of MERGE: resolve a prepared winner set against the
         table and commit COW-rewritten buckets + ledger atomically.
@@ -670,6 +695,15 @@ class LakeTable:
             snap["ledger"]["source_watermarks"].update(
                 {k: max(int(v), int(snap["ledger"]["source_watermarks"].get(k, -1)))
                  for k, v in source_watermarks.items()}
+            )
+        if applied_segments:
+            # WAL segment names applied so far — lets the streaming tail
+            # tell harmless redelivery apart from a late/out-of-order
+            # segment (streaming/wal.py::_segment_guard); commits
+            # atomically with the data it covers
+            prev = snap["ledger"].get("applied_segments", [])
+            snap["ledger"]["applied_segments"] = sorted(
+                set(prev) | set(applied_segments)
             )
         stats = MergeStats(
             batch_rows=batch_total if count_batch else int(agg["rows"]),

@@ -9,9 +9,13 @@ Implementation is the scalable union+window pattern, NOT a range join:
 
 - tag both sides, union (right rows sort before left at equal ts so
   ties count as "already happened" — DuckDB ASOF `<=` semantics),
-- one window per key ordered by (ts, tag) carrying
-  ``last(right_value, ignorenulls=True)`` forward,
-- filter back to left rows.
+- one window per key ordered by (ts, tag) carrying a SINGLE struct of
+  all right columns forward with ``last(ignorenulls=True)`` — the
+  struct is null exactly on left rows, so every prefixed output column
+  comes from the SAME matched right row (no cross-row tearing) and a
+  matched row's NULL field stays NULL (never backfilled from an older
+  right row) — DuckDB ASOF semantics,
+- filter back to left rows and unpack the struct.
 
 Cost: ONE shuffle on the key (the window), linear scan within
 partitions — no O(|L|·|R|) candidate blowup, no range-condition
@@ -34,12 +38,16 @@ def asof_join(
 ) -> DataFrame:
     """LEFT as-of join: left columns + ``prefix``-named right columns
     holding the latest right row at-or-before each left row's ts."""
+    r_struct_type = ", ".join(
+        f"`{c}`: {right.schema[c].dataType.simpleString()}" for c in right_cols
+    )
     l_tag = left.select(
         *on,
         F.col(ts_col),
         F.lit(1).alias("_tag"),
         *[F.col(c) for c in left.columns if c not in (*on, ts_col)],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in right_cols],
+        # null struct on left rows — last(ignorenulls) skips them
+        F.lit(None).cast(f"struct<{r_struct_type}>").alias("_r"),
     )
     r_tag = right.select(
         *on,
@@ -50,7 +58,7 @@ def asof_join(
             for c in left.columns
             if c not in (*on, ts_col)
         ],
-        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+        F.struct(*[F.col(c) for c in right_cols]).alias("_r"),
     )
     both = l_tag.unionByName(r_tag)
     w = (
@@ -58,12 +66,8 @@ def asof_join(
         .orderBy(ts_col, "_tag")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = both.select(
-        "*",
-        *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"{prefix}{c}")
-            for c in right_cols
-        ],
-    )
-    keep = [c for c in left.columns] + [f"{prefix}{c}" for c in right_cols]
+    carried = both.withColumn("_m", F.last("_r", ignorenulls=True).over(w))
+    keep = [F.col(c) for c in left.columns] + [
+        F.col(f"_m.{c}").alias(f"{prefix}{c}") for c in right_cols
+    ]
     return carried.filter(F.col("_tag") == 1).select(*keep)

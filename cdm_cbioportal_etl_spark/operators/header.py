@@ -71,7 +71,13 @@ def combine_header_and_data(data: DataFrame, metas: dict[str, ColumnMeta]) -> Da
         *[F.coalesce(F.col(c).cast("string"), F.lit("")).alias(c) for c in cols]
     )
     # header first: union preserves the header block's position only with
-    # an explicit order tag — never rely on partition order
+    # an explicit order tag — never rely on partition order.  The combined
+    # frame targets a SINGLE-FILE export (io.py::write_cbioportal_tsv), so
+    # ordering is done as repartition(1) + LOCAL sort: one hash exchange
+    # (the same bytes the single-file sink moves anyway) instead of a
+    # global range sort (sampling pass + range exchange).  This operator
+    # is for human-scale exports by construction; at data scale keep the
+    # header out-of-band (io.py::write_tsv_with_sidecar_header).
     tagged_h = header_df.withColumn("_ord", F.lit(0)).withColumn(
         "_seq", F.monotonically_increasing_id()
     )
@@ -80,6 +86,7 @@ def combine_header_and_data(data: DataFrame, metas: dict[str, ColumnMeta]) -> Da
     )
     return (
         tagged_h.unionByName(tagged_d)
-        .orderBy("_ord", "_seq")
+        .repartition(1)
+        .sortWithinPartitions("_ord", "_seq")
         .drop("_ord", "_seq")
     )

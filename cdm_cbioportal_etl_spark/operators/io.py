@@ -32,28 +32,83 @@ def write_cbioportal_tsv(df: DataFrame, path: str) -> None:
     )
 
 
+def write_tsv_with_sidecar_header(
+    data: DataFrame, header_rows: list[list[str]], path: str
+) -> None:
+    """Scale-path TSV export: DATA is written distributed (many part
+    files, no coalesce, no ordering shuffle) and the 5 metadata rows go to
+    a tiny sidecar ``_header.tsv`` — concatenation happens at delivery
+    time (``cat _header.tsv part-*``), not inside the engine.  Use this
+    instead of combine_header_and_data + write_cbioportal_tsv when the
+    export is NOT human-scale."""
+    import os
+
+    (
+        data.write.mode("overwrite")
+        .option("sep", "\t")
+        .option("header", False)
+        .option("emptyValue", "")
+        .csv(path)
+    )
+    with open(os.path.join(path, "_header.tsv"), "w") as fh:
+        for row in header_rows:
+            fh.write("\t".join("" if v is None else str(v) for v in row) + "\n")
+
+
+def _single_tsv_file(path: str) -> str:
+    """Resolve the ONE data file of a cBioPortal TSV export and assert
+    uniqueness — the writer contract is a single file (``coalesce(1)``),
+    and the header-offset semantics ("rows 1-5 of the file") are only
+    well-defined for one file."""
+    import glob
+    import os
+
+    if os.path.isfile(path):
+        return path
+    parts = sorted(
+        p
+        for p in glob.glob(os.path.join(path, "*"))
+        if os.path.isfile(p) and not os.path.basename(p).startswith((".", "_"))
+    )
+    if len(parts) != 1:
+        raise ValueError(
+            f"cBioPortal TSV read requires exactly one data file, found "
+            f"{len(parts)} under {path}: header-offset semantics are "
+            "per-file (write with write_cbioportal_tsv / coalesce(1))"
+        )
+    return parts[0]
+
+
 def read_cbioportal_tsv(
     spark: SparkSession, path: str
 ) -> tuple[list[list[str]], DataFrame]:
     """Header-offset read (reference S5): returns the 5 header rows and a
     DataFrame of the data rows with row-5's names as columns.
 
-    Uses a per-file row index (not partition order) so the split between
-    header and data is deterministic under any parallelism."""
-    raw = spark.read.option("sep", "\t").option("header", False).csv(path)
-    cols = raw.columns
-    idx = (
-        raw.withColumn("_idx", F.monotonically_increasing_id())
+    Determinism: the row index comes from ``sc.textFile(...).zipWithIndex``
+    over the (asserted-single) file — Hadoop splits of one file are in
+    byte-offset order, so the index is the file's true line number at any
+    parallelism.  (The DataFrame file source orders splits by SIZE, so
+    ``monotonically_increasing_id`` is NOT deterministic here.)  This is
+    one of the rare justified RDD escapes: Spark exposes no per-file row
+    offset through the DataFrame API."""
+    import csv as _csv
+
+    fpath = _single_tsv_file(path)
+    parsed = (
+        spark.sparkContext.textFile(fpath)
+        .zipWithIndex()
+        .map(lambda t: (t[1], next(_csv.reader([t[0]], delimiter="\t"))))
     )
-    header_rows = [
-        [row[c] for c in cols]
-        for row in idx.orderBy("_idx").limit(N_HEADER_ROWS).collect()
-    ]
+    header_rows_raw = dict(parsed.filter(lambda t: t[0] < N_HEADER_ROWS).collect())
+    header_rows = [header_rows_raw[i] for i in range(N_HEADER_ROWS)]
     names = header_rows[N_HEADER_ROWS - 1]
-    data = (
-        idx.orderBy("_idx")
-        .offset(N_HEADER_ROWS)
-        .drop("_idx")
-        .toDF(*names)
+    ncol = len(names)
+    data_rdd = parsed.filter(lambda t: t[0] >= N_HEADER_ROWS).map(
+        # pad/trim to the header width; '' -> null matches the csv reader's
+        # default emptyValue handling on the write side
+        lambda t: tuple((v if v != "" else None) for v in (t[1] + [None] * ncol)[:ncol])
     )
+    schema = ", ".join(f"`{c}` string" for c in names)
+    data = spark.createDataFrame(data_rdd, schema=schema)
     return header_rows, data

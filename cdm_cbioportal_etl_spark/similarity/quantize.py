@@ -28,6 +28,20 @@ def quantize_int8(vecs: pd.Series) -> pd.DataFrame:
     scale = max(|v|)/127.  Arrow-batched, numpy-vectorized."""
     import numpy as np
 
+    if len(vecs) == 0:
+        return pd.DataFrame({"scale": pd.Series([], dtype="float32"), "q": []})
+    lens = vecs.map(len).to_numpy()
+    if (lens == lens[0]).all() and lens[0] > 0:
+        # fixed-dim batch (the normal case): ONE stacked 2-D computation —
+        # no per-vector interpreter loop
+        a = np.stack([np.asarray(v, dtype=np.float32) for v in vecs])
+        m = np.abs(a).max(axis=1)
+        scale = np.where(m > 0, m / 127.0, 1.0).astype(np.float32)
+        q = np.clip(np.rint(a / scale[:, None]), -127, 127).astype(np.int32)
+        return pd.DataFrame(
+            {"scale": pd.Series(scale, dtype="float32"), "q": list(q)}
+        )
+    # ragged/empty vectors: per-vector fallback
     scales, qs = [], []
     for v in vecs:
         a = np.asarray(v, dtype=np.float32)

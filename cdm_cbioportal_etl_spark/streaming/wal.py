@@ -21,7 +21,7 @@ backlog in bounded batches then stops — the cron/driver-friendly mode.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 
 from cdm_cbioportal_etl_spark.lake import LakeTable
@@ -47,6 +47,7 @@ class WalTailReader:
         checkpoint_dir: str,
         max_files_per_trigger: int = 8,
         registry=None,
+        on_stale_segment: str = "fail",
     ):
         self.spark = spark
         self.wal_dir = wal_dir
@@ -56,12 +57,28 @@ class WalTailReader:
         # optional SchemaRegistry: evolution DDL is issued BEFORE the batch
         # merge, so events referencing a newer schema never apply first
         self.registry = registry
+        # Out-of-order-segment policy.  The global applied_lsn watermark
+        # alone cannot distinguish (a) harmless redelivery of an
+        # already-applied segment from (b) a LATE-ARRIVING segment carrying
+        # lower LSNs (parallel producers, backfill, clock skew) whose rows
+        # the watermark filter would silently drop.  The ledger therefore
+        # also records every applied segment file; a batch containing
+        # below-watermark rows from a segment the ledger has NOT seen is
+        # data loss in the making and triggers this policy:
+        #   "fail"   raise (default — fail the stream, operator intervenes)
+        #   "warn"   log to stderr and drop (prior behavior, now visible)
+        #   "ignore" drop silently
+        if on_stale_segment not in ("fail", "warn", "ignore"):
+            raise ValueError(f"invalid on_stale_segment: {on_stale_segment}")
+        self.on_stale_segment = on_stale_segment
 
     def _stream(self) -> DataFrame:
         # file streams need an explicit schema; infer it from the WAL files
         # themselves (cheap footer read) so newly-added columns are seen —
         # the registry then evolves the table before the first merge.
         # Falls back to the table schema for an empty/unborn WAL dir.
+        from pyspark.errors import AnalysisException
+
         try:
             schema = (
                 self.spark.read.option("mergeSchema", "true")
@@ -70,7 +87,9 @@ class WalTailReader:
             )
             if "lsn" not in schema.names:
                 schema = wal_schema(self.table.schema)
-        except Exception:
+        except AnalysisException:
+            # empty/unborn WAL dir (PATH_NOT_FOUND / UNABLE_TO_INFER_SCHEMA)
+            # — anything else (corrupt footer, permissions) must surface
             schema = wal_schema(self.table.schema)
         return (
             self.spark.readStream.schema(schema)
@@ -78,9 +97,44 @@ class WalTailReader:
             .parquet(self.wal_dir)
         )
 
+    def _segment_guard(self, batch: DataFrame) -> list[str]:
+        """Detect late-arriving segments (new file, below-watermark LSNs).
+
+        Slim-column agg (file name + lsn only; bounded by
+        maxFilesPerTrigger rows out) — never a payload scan.  Returns the
+        batch's segment names so the merge can record them in the ledger.
+        """
+        import sys
+
+        ledger = self.table.snapshot["ledger"]
+        applied = ledger["applied_lsn"]
+        seen = set(ledger.get("applied_segments", []))
+        segs = (
+            batch.groupBy(F.input_file_name().alias("_seg"))
+            .agg(F.min("lsn").alias("_min_lsn"))
+            .collect()
+        )
+        stale = sorted(
+            r["_seg"] for r in segs
+            if r["_seg"] not in seen and r["_min_lsn"] is not None
+            and r["_min_lsn"] <= applied
+        )
+        if stale:
+            msg = (
+                f"WAL segments arrived with lsn <= applied watermark {applied} "
+                f"but were never applied (out-of-order/late segments): {stale}. "
+                "Their below-watermark rows would be silently dropped."
+            )
+            if self.on_stale_segment == "fail":
+                raise RuntimeError(msg)
+            if self.on_stale_segment == "warn":
+                print(f"WARNING: {msg}", file=sys.stderr)
+        return sorted(r["_seg"] for r in segs)
+
     def _apply_batch(self, batch: DataFrame, epoch_id: int) -> None:
         if self.registry is not None:
             self.registry.ensure_table_schema(self.table, batch)
+        segments = self._segment_guard(batch)
         # merge() is idempotent (ledger-filtered, snapshot-atomic), so a
         # replayed epoch after a crash is a no-op — exactly-once net effect
         self.table.merge(
@@ -88,6 +142,7 @@ class WalTailReader:
             batch_id=f"stream-epoch-{epoch_id}",
             source_watermarks={"stream": epoch_id},
             count_batch=False,
+            applied_segments=segments,
         )
 
     def run_available_now(self, await_termination_sec: int | None = 300):

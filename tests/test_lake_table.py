@@ -79,7 +79,8 @@ def test_merge_exactly_once_replay(spark, tmp_path):
     t.merge(b1)
     v_before = t.snapshot["version"]
     # at-least-once: full redelivery of the same batch is a no-op
-    s = t.merge(b1)
+    # (count_batch=True: exact skip accounting needs the batch count pass)
+    s = t.merge(b1, count_batch=True)
     assert s.skipped_already_applied == 1 and s.batch_keys == 0
     assert t.snapshot["version"] == v_before
     assert t.read().count() == 1
