@@ -38,6 +38,95 @@ def completeness_report(df: DataFrame, columns: list[str] | None = None) -> Data
     return row.select(F.explode(F.array(*per_col)).alias("s")).select("s.*")
 
 
+def timeline_file_audit(
+    df: DataFrame,
+    reference: DataFrame,
+    patient_col: str = "PATIENT_ID",
+    sample_col: str | None = None,
+    date_col: str | None = None,
+    today: str | None = None,
+) -> DataFrame:
+    """One-row availability/recency audit of a timeline file against the
+    clinical reference file (reference
+    pipeline/monitoring/cbioportal_timeline_audit.py:47-231: python-set
+    intersections of PATIENT_ID/SAMPLE_ID plus a max-date recency check —
+    here the sets never leave the executors: distinct + semi/anti joins).
+
+    Columns: total_rows, unique_patients, ref_patients,
+    patient_overlap_count, patient_overlap_pct, patients_not_in_ref,
+    patients_not_in_file [+ sample_* when sample_col] [+ last_date,
+    days_since_last_date when date_col; ``today`` is an injected
+    parameter, never current_date() — determinism].
+    """
+    dp = df.select(F.col(patient_col).alias("_p")).filter(F.col("_p").isNotNull()).distinct()
+    rp = (
+        reference.select(F.col(patient_col).alias("_p"))
+        .filter(F.col("_p").isNotNull())
+        .distinct()
+    )
+    base = df.agg(F.count(F.lit(1)).cast("long").alias("total_rows"))
+    parts = [
+        base,
+        dp.agg(F.count(F.lit(1)).cast("long").alias("unique_patients")),
+        rp.agg(F.count(F.lit(1)).cast("long").alias("ref_patients")),
+        dp.join(rp, "_p", "left_semi").agg(
+            F.count(F.lit(1)).cast("long").alias("patient_overlap_count")
+        ),
+        dp.join(rp, "_p", "left_anti").agg(
+            F.count(F.lit(1)).cast("long").alias("patients_not_in_ref")
+        ),
+        rp.join(dp, "_p", "left_anti").agg(
+            F.count(F.lit(1)).cast("long").alias("patients_not_in_file")
+        ),
+    ]
+    if sample_col is not None:
+        ds = (
+            df.select(F.col(sample_col).alias("_s"))
+            .filter(F.col("_s").isNotNull())
+            .distinct()
+        )
+        rs = (
+            reference.select(F.col(sample_col).alias("_s"))
+            .filter(F.col("_s").isNotNull())
+            .distinct()
+        )
+        parts += [
+            ds.agg(F.count(F.lit(1)).cast("long").alias("unique_samples")),
+            rs.agg(F.count(F.lit(1)).cast("long").alias("ref_samples")),
+            ds.join(rs, "_s", "left_semi").agg(
+                F.count(F.lit(1)).cast("long").alias("sample_overlap_count")
+            ),
+            ds.join(rs, "_s", "left_anti").agg(
+                F.count(F.lit(1)).cast("long").alias("samples_not_in_ref")
+            ),
+            rs.join(ds, "_s", "left_anti").agg(
+                F.count(F.lit(1)).cast("long").alias("samples_not_in_file")
+            ),
+        ]
+    if date_col is not None:
+        parts.append(
+            df.agg(F.max(F.col(date_col).cast("date")).alias("last_date"))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.crossJoin(p)  # 1x1 frames — metadata-scale join
+    out = out.withColumn(
+        "patient_overlap_pct",
+        F.round(F.col("patient_overlap_count") * 100.0 / F.col("ref_patients"), 2),
+    )
+    if sample_col is not None:
+        out = out.withColumn(
+            "sample_overlap_pct",
+            F.round(F.col("sample_overlap_count") * 100.0 / F.col("ref_samples"), 2),
+        )
+    if date_col is not None and today is not None:
+        out = out.withColumn(
+            "days_since_last_date",
+            F.datediff(F.lit(today).cast("date"), F.col("last_date")).cast("long"),
+        )
+    return out
+
+
 def assert_no_empty_columns(df: DataFrame, ignore: set[str] = frozenset()) -> None:
     """Raise if any non-ignored column is entirely null/empty — the
     reference's hard gate (monitoring_completeness.py raises ValueError)."""

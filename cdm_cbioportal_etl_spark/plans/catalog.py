@@ -1503,3 +1503,319 @@ def asof_purchase_last_click(spark, sf_dir):
             - F.col("asof_ts").cast("timestamp").cast("long")
         ).alias("secs_since_click"),
     )
+
+
+# --------------------------------------------------------------------- #
+# YAML-config-driven summary pipeline (reference's declarative surface:
+# config/summaries/*.yaml -> generated plan; VERDICT round-1 gap #1)
+# --------------------------------------------------------------------- #
+@_register(
+    "yaml_summary_pipeline",
+    """
+    WITH anchor AS (
+      SELECT o_custkey, min(o_orderdate::DATE) AS adate FROM orders GROUP BY 1
+    ), oa AS (
+      SELECT o_custkey, max(o_orderdate::DATE) AS last_o, count(*) AS n
+      FROM orders GROUP BY 1
+    )
+    SELECT 'P-' || c.c_custkey AS PATIENT_ID,
+           CASE WHEN a.o_custkey IS NULL THEN 'Unknown'
+                ELSE c.c_mktsegment END AS SEGMENT,
+           CASE WHEN a.o_custkey IS NULL THEN 'NA'
+                ELSE CAST(CAST(round(c.c_acctbal * 100) AS BIGINT) AS VARCHAR)
+           END AS ACCTBAL,
+           CAST(CASE WHEN a.o_custkey IS NULL THEN NULL
+                ELSE date_diff('day', a.adate, oa.last_o) END AS INT)
+             AS LAST_ORDER_DATE,
+           CASE WHEN a.o_custkey IS NULL THEN '0'
+                ELSE CAST(oa.n AS VARCHAR) END AS N_ORDERS
+    FROM customer c
+    LEFT JOIN anchor a ON a.o_custkey = c.c_custkey
+    LEFT JOIN oa ON oa.o_custkey = c.c_custkey
+    """,
+)
+def yaml_summary_pipeline(spark, sf_dir):
+    """The declarative surface end-to-end: two YAML specs from
+    configs/summaries/ drive generated plans (project -> anchor deid join
+    -> date->interval -> template join -> backfill -> widen-merge), the
+    reference's create_intermediate_summaries + merge flow
+    (summary_config_processor.py:110-370)."""
+    from cdm_cbioportal_etl_spark.pipeline import (
+        load_summary_configs,
+        run_summary_pipeline,
+    )
+
+    cfg_dir = os.path.join(
+        os.path.dirname(__file__), "..", "..", "configs", "summaries"
+    )
+    configs = load_summary_configs(cfg_dir, "patient")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    anchor = (
+        o.groupBy("o_custkey")
+        .agg(F.min(F.col("o_orderdate").cast("date")).alias("DATE_TUMOR_SEQUENCING"))
+        .select(
+            F.col("o_custkey").cast("string").alias("MRN"),
+            F.concat(F.lit("P-"), F.col("o_custkey")).alias("DMP_ID"),
+            "DATE_TUMOR_SEQUENCING",
+        )
+    )
+    template = c.select(F.concat(F.lit("P-"), F.col("c_custkey")).alias("PATIENT_ID"))
+
+    def resolve(name: str) -> DataFrame:
+        if name == "customer_info":
+            return c.select(
+                F.col("c_custkey").cast("string").alias("MRN"),
+                F.col("c_mktsegment").alias("SEGMENT"),
+                F.round(F.col("c_acctbal") * 100).cast("long").alias("ACCTBAL"),
+            )
+        if name == "order_activity":
+            return (
+                o.groupBy("o_custkey")
+                .agg(
+                    F.max(F.col("o_orderdate").cast("date")).alias("LAST_ORDER_DATE"),
+                    F.count(F.lit(1)).alias("N_ORDERS"),
+                )
+                .select(
+                    F.col("o_custkey").cast("string").alias("MRN"),
+                    "LAST_ORDER_DATE",
+                    "N_ORDERS",
+                )
+            )
+        raise KeyError(f"unknown source_table {name}")
+
+    wide, _metas = run_summary_pipeline(spark, configs, resolve, anchor, template)
+    return wide
+
+
+# --------------------------------------------------------------------- #
+# Timeline availability/recency audit (reference
+# cbioportal_timeline_audit.py:47-231; A8/A9 consumer — VERDICT gap #2)
+# --------------------------------------------------------------------- #
+@_register(
+    "timeline_audit_events",
+    """
+    WITH dp AS (SELECT DISTINCT user_id AS p FROM events WHERE user_id IS NOT NULL),
+         rp AS (SELECT DISTINCT c_custkey AS p FROM customer WHERE c_custkey % 2 = 0)
+    SELECT (SELECT count(*) FROM events) AS total_rows,
+           (SELECT count(*) FROM dp) AS unique_patients,
+           (SELECT count(*) FROM rp) AS ref_patients,
+           (SELECT count(*) FROM dp WHERE p IN (SELECT p FROM rp)) AS patient_overlap_count,
+           (SELECT count(*) FROM dp WHERE p NOT IN (SELECT p FROM rp)) AS patients_not_in_ref,
+           (SELECT count(*) FROM rp WHERE p NOT IN (SELECT p FROM dp)) AS patients_not_in_file,
+           (SELECT max(ts::DATE) FROM events) AS last_date,
+           round((SELECT count(*) FROM dp WHERE p IN (SELECT p FROM rp)) * 100.0
+                 / (SELECT count(*) FROM rp), 2) AS patient_overlap_pct,
+           date_diff('day', (SELECT max(ts::DATE) FROM events),
+                     DATE '1999-06-01') AS days_since_last_date
+    """,
+)
+def timeline_audit_events(spark, sf_dir):
+    """events.parquet audited as a timeline file against a clinical
+    reference (even-custkey customers): set overlaps via semi/anti joins,
+    recency vs an injected 'today' — the sets never hit the driver."""
+    from cdm_cbioportal_etl_spark.operators.audit import timeline_file_audit
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("PATIENT_ID"), F.col("ts")
+    )
+    ref = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 2 == 0)
+        .select(F.col("c_custkey").alias("PATIENT_ID"))
+    )
+    return timeline_file_audit(ev, ref, date_col="ts", today="1999-06-01")
+
+
+# --------------------------------------------------------------------- #
+# Age-at-sequencing composed transform (reference
+# pipeline/lib/utils/age_at_sequencing.py:80-137 — VERDICT gap #3)
+# --------------------------------------------------------------------- #
+@_register(
+    "age_at_sequencing_samples",
+    """
+    WITH demo AS (
+      SELECT c_custkey AS mrn,
+             DATE '1900-01-01' + CAST((c_custkey * 13) % 36000 AS INT) AS birth,
+             DATE '1999-01-01' + CAST(c_custkey % 1000 AS INT) AS os
+      FROM customer
+    ), used AS (
+      SELECT 'P-' || lpad(CAST(c_custkey AS VARCHAR), 7, '0') AS dmp
+      FROM customer WHERE c_acctbal > 0
+    ), s AS (
+      SELECT o_custkey AS mrn,
+             'P-' || lpad(CAST(o_custkey AS VARCHAR), 7, '0') AS dmp_id,
+             CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                  WHEN o_orderkey % 3 = 0 THEN
+                    'P-' || lpad(CAST(o_custkey AS VARCHAR), 7, '0')
+                         || '-N' || CAST(o_orderkey % 10 AS VARCHAR)
+                  WHEN o_orderkey % 5 = 0 THEN
+                    'P-' || lpad(CAST(o_custkey + 1 AS VARCHAR), 7, '0')
+                         || '-T' || CAST(o_orderkey % 10 AS VARCHAR)
+                  ELSE 'P-' || lpad(CAST(o_custkey AS VARCHAR), 7, '0')
+                         || '-T' || CAST(o_orderkey % 10 AS VARCHAR)
+             END AS sample_id,
+             o_orderdate::DATE AS seq
+      FROM orders
+    ), kept AS (
+      SELECT * FROM s
+      WHERE sample_id IS NOT NULL
+        AND dmp_id IN (SELECT dmp FROM used)
+        AND contains(sample_id, '-T')
+        AND substr(sample_id, 1, 9) = dmp_id
+    ), j AS (
+      SELECT k.dmp_id, k.sample_id,
+             coalesce(CAST(trunc(date_diff('day', d.birth, k.seq) / 365.25) AS INT), -1) AS years,
+             coalesce(CAST(trunc((date_diff('day', d.birth, k.seq)
+                                  + date_diff('day', k.seq, d.os)) / 365.25) AS INT), -1) AS with_os
+      FROM kept k LEFT JOIN demo d ON d.mrn = k.mrn
+    )
+    SELECT dmp_id AS DMP_ID, sample_id AS SAMPLE_ID,
+           CASE WHEN (with_os > 89 OR years > 89) THEN '>' ELSE '' END ||
+           CASE WHEN years < 18 THEN '<18'
+                WHEN years > 89 THEN '89'
+                ELSE CAST(years AS VARCHAR) END AS AGE_AT_SEQUENCING_YEARS
+    FROM j
+    """,
+)
+def age_at_sequencing_samples(spark, sf_dir):
+    """Full age-at-sequencing semantics over synthesized sample rows:
+    usage semi-filter, '-T' gate, DMP-prefix integrity, interval
+    arithmetic, and the exact <18 / >89 masking order (incl. the
+    fillna(-1) sentinel) — operators/age.py::age_at_sequencing."""
+    from cdm_cbioportal_etl_spark.operators.age import age_at_sequencing
+
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    dmp = F.concat(F.lit("P-"), F.lpad(F.col("o_custkey").cast("string"), 7, "0"))
+    samples = o.select(
+        F.col("o_custkey").alias("MRN"),
+        dmp.alias("DMP_ID"),
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(None).cast("string"))
+        .when(
+            F.col("o_orderkey") % 3 == 0,
+            F.concat(dmp, F.lit("-N"), (F.col("o_orderkey") % 10).cast("string")),
+        )
+        .when(
+            F.col("o_orderkey") % 5 == 0,
+            F.concat(
+                F.lit("P-"),
+                F.lpad((F.col("o_custkey") + 1).cast("string"), 7, "0"),
+                F.lit("-T"),
+                (F.col("o_orderkey") % 10).cast("string"),
+            ),
+        )
+        .otherwise(
+            F.concat(dmp, F.lit("-T"), (F.col("o_orderkey") % 10).cast("string"))
+        )
+        .alias("SAMPLE_ID"),
+        F.col("o_orderdate").cast("date").alias("DATE_TUMOR_SEQUENCING"),
+    )
+    demo = c.select(
+        F.col("c_custkey").alias("MRN"),
+        F.date_add(
+            F.to_date(F.lit("1900-01-01")), ((F.col("c_custkey") * 13) % 36000).cast("int")
+        ).alias("PT_BIRTH_DTE"),
+        F.date_add(
+            F.to_date(F.lit("1999-01-01")), (F.col("c_custkey") % 1000).cast("int")
+        ).alias("OS_DTE"),
+    )
+    used = c.filter(F.col("c_acctbal") > 0).select(
+        F.concat(F.lit("P-"), F.lpad(F.col("c_custkey").cast("string"), 7, "0")).alias(
+            "DMP_ID"
+        )
+    )
+    return age_at_sequencing(samples, demo, used)
+
+
+# --------------------------------------------------------------------- #
+# >=89 date redaction + 0->'' remap (reference
+# pipeline/summary/patient_age_info.py:82-99 — VERDICT gap #4)
+# --------------------------------------------------------------------- #
+@_register(
+    "patient_age_redact",
+    """
+    WITH demo AS (
+      SELECT 'P-' || c_custkey AS pid,
+             CAST(c_custkey % 120 AS INT) AS age,
+             DATE '1930-01-01' + CAST((c_custkey * 7) % 20000 AS INT) AS birth,
+             DATE '1930-01-01' + CAST((c_custkey * 7) % 20000 AS INT)
+               + CAST(10000 + (c_custkey % 30000) AS INT) AS seq,
+             DATE '1930-01-01' + CAST((c_custkey * 7) % 20000 AS INT)
+               + CAST(c_custkey % 40000 AS INT) AS dx
+      FROM customer
+    ), red AS (
+      SELECT pid, age,
+             CASE WHEN age >= 89 THEN NULL ELSE seq END AS seq,
+             CASE WHEN age >= 89 THEN NULL ELSE dx END AS dx,
+             birth
+      FROM demo
+    ), ages AS (
+      SELECT pid, age,
+             least(coalesce(CAST(trunc(date_diff('day', birth, seq) / 365.25) AS INT), 0), 89) AS age_seq,
+             least(coalesce(CAST(trunc(date_diff('day', birth, dx) / 365.25) AS INT), 0), 89) AS age_dx
+      FROM red
+    )
+    SELECT pid AS PATIENT_ID,
+           CASE WHEN age = 0 THEN '' ELSE CAST(age AS VARCHAR) END AS AGE_LAST_FOLLOWUP,
+           CASE WHEN age_seq = 0 THEN '' ELSE CAST(age_seq AS VARCHAR) END AS AGE_FIRST_SEQUENCING,
+           CASE WHEN age_dx = 0 THEN '' ELSE CAST(age_dx AS VARCHAR) END AS AGE_FIRST_CANCER_DIAGNOSIS
+    FROM ages
+    """,
+)
+def patient_age_redact(spark, sf_dir):
+    """>=89 cohort: date columns nulled too (so AGE_FIRST_* fall back to
+    the 0->'' blank), ages truncated/89-clamped, stringly output —
+    operators/age.py::patient_age_deid."""
+    from cdm_cbioportal_etl_spark.operators.age import patient_age_deid
+
+    c = _t(spark, sf_dir, "customer")
+    birth = F.date_add(
+        F.to_date(F.lit("1930-01-01")), ((F.col("c_custkey") * 7) % 20000).cast("int")
+    )
+    demo = c.select(
+        F.concat(F.lit("P-"), F.col("c_custkey")).alias("PATIENT_ID"),
+        (F.col("c_custkey") % 120).cast("int").alias("CURRENT_AGE_DEID"),
+        birth.alias("PT_BIRTH_DTE"),
+        F.date_add(birth, (F.lit(10000) + F.col("c_custkey") % 30000).cast("int")).alias(
+            "DATE_FIRST_SEQUENCING"
+        ),
+        F.date_add(birth, (F.col("c_custkey") % 40000).cast("int")).alias(
+            "DATE_AT_FIRST_ICDO_DX"
+        ),
+    )
+    return patient_age_deid(demo)
+
+
+# --------------------------------------------------------------------- #
+# Direct set EXCEPT / INTERSECT (reference R6, previously only via
+# semi/anti joins)
+# --------------------------------------------------------------------- #
+@_register(
+    "except_intersect_custkeys",
+    """
+    WITH cust AS (SELECT DISTINCT c_custkey AS custkey FROM customer),
+         ocust AS (SELECT DISTINCT o_custkey AS custkey FROM orders)
+    SELECT 'no_orders' AS tag, custkey
+    FROM (SELECT custkey FROM cust EXCEPT SELECT custkey FROM ocust)
+    UNION ALL
+    SELECT 'with_orders' AS tag, custkey
+    FROM (SELECT custkey FROM cust INTERSECT SELECT custkey FROM ocust)
+    """,
+)
+def except_intersect_custkeys(spark, sf_dir):
+    """R6 as native set ops: EXCEPT (subtract) and INTERSECT — Catalyst
+    plans both as aggregated joins, one shuffle each on the set key."""
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey")
+    ).distinct()
+    ocust = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey")
+    ).distinct()
+    no_orders = cust.subtract(ocust).select(
+        F.lit("no_orders").alias("tag"), "custkey"
+    )
+    with_orders = cust.intersect(ocust).select(
+        F.lit("with_orders").alias("tag"), "custkey"
+    )
+    return no_orders.unionByName(with_orders)
