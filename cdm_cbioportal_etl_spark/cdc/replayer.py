@@ -46,6 +46,12 @@ class ReplayReport:
     batches_skipped: int = 0
     events_seen: int = 0
     stats: list[MergeStats] = field(default_factory=list)
+    # per-batch wall seconds (prepare = scan+reduce, apply = resolve+
+    # write+commit); in pipelined mode the phases overlap so
+    # sum(prepare)+sum(apply) > wall — the per-phase split is what the
+    # scaling analysis reads
+    prepare_sec: list[float] = field(default_factory=list)
+    apply_sec: list[float] = field(default_factory=list)
 
 
 class CdcReplayer:
@@ -100,14 +106,20 @@ class CdcReplayer:
                 (F.col(self.lsn_col) >= F.lit(lo)) & (F.col(self.lsn_col) < F.lit(hi))
             )
 
+        import time as _time
+
         def _prepare(lo: int, hi: int) -> DataFrame:
-            return self.table.prepare_batch(
+            t0 = _time.perf_counter()
+            out = self.table.prepare_batch(
                 _batch(lo, hi), self.lsn_col, self.op_col,
                 min_lsn_exclusive=lo - 1, strategy=strategy,
                 salt_partitions=salt_partitions,
             )
+            report.prepare_sec.append(round(_time.perf_counter() - t0, 3))
+            return out
 
         def _apply(reduced: DataFrame, lo: int, hi: int, total: int) -> None:
+            t0 = _time.perf_counter()
             stats = self.table.apply_prepared(
                 reduced,
                 batch_id=f"{source}:{lo}-{hi}",
@@ -115,6 +127,7 @@ class CdcReplayer:
                 extra_lineage={"lsn_range": [lo, hi]},
                 batch_total=total,
             )
+            report.apply_sec.append(round(_time.perf_counter() - t0, 3))
             report.batches_applied += 1
             report.events_seen += stats.batch_rows
             report.stats.append(stats)

@@ -100,6 +100,10 @@ class MergeStats:
     deletes: int
     rows_after: int
     skipped_already_applied: int
+    # per-phase wall seconds of the apply (gate agg / COW write / metadata
+    # commit) — recorded in lineage too; the observability the
+    # scaling-efficiency work reads
+    timings: dict | None = None
 
 
 class LakeTable:
@@ -284,7 +288,16 @@ class LakeTable:
             return self._empty(with_lsn)
         parts = []
         for sid, paths in sorted(by_schema.items()):
-            raw = self.spark.read.parquet(*paths)
+            # each file group's schema is KNOWN from the manifest — pass it
+            # explicitly so the read plans with zero footer-inference work
+            # (measured ~0.5s per inference on 64 files; read() runs
+            # multiple times per MERGE, so inference was a top per-batch
+            # fixed cost)
+            file_schema = T.StructType(
+                list(schema_from_json(snap["schemas"][str(sid)]).fields)
+                + [T.StructField(LSN_COL, T.LongType(), True)]
+            )
+            raw = self.spark.read.schema(file_schema).parquet(*paths)
             parts.append(self._align(raw, target, with_lsn))
         df = parts[0]
         for p in parts[1:]:
@@ -576,6 +589,9 @@ class LakeTable:
         Only touched buckets are read and rewritten (COW + pruning); the
         existing-side scan is pruned by bucket id from metadata alone.
         """
+        import time as _time
+
+        t0 = _time.perf_counter()
         snap = json.loads(json.dumps(self.snapshot))
         target = self.schema
         keys = self.key_cols
@@ -603,6 +619,7 @@ class LakeTable:
                 rows_after=-1, skipped_already_applied=batch_total,
             )
         touched = {int(b) for b in agg["buckets"]}
+        t_gate = _time.perf_counter()
 
         # 3) resolve against the existing table.  Strategy chosen from the
         #    OBSERVED winner count (AQE-style):
@@ -610,34 +627,28 @@ class LakeTable:
         n_part = min(snap["n_buckets"], 64)
         if int(agg["keys"]) <= self._winner_threshold():
             # broadcast resolve — no key-shuffle of any payload: the slim
-            # winner set is broadcast to both sides.  Existing rows survive
-            # unless a strictly newer winner exists for their key; winners
-            # survive unless the table already holds a newer row
-            # (out-of-order safety).
-            w_keys = F.broadcast(
-                reduced.select(*keys, F.col(LSN_COL).alias("_w_lsn"))
-            )
+            # winner key set is broadcast against the existing scan.
+            #
+            # Watermark invariant makes this a pure key-replace: committed
+            # rows always carry _lsn <= ledger.applied_lsn (the ledger is
+            # the batch max and commits atomically with the data), and
+            # ``reduced`` was filtered to _lsn > applied above — so every
+            # winner is STRICTLY newer than any table row for its key.  No
+            # per-row lsn comparison or reverse existing-lsn probe is
+            # needed (an earlier version did both: one extra bucket scan
+            # and two extra broadcast builds per batch, all provably
+            # no-ops under the invariant).
+            w_keys = F.broadcast(reduced.select(*keys, F.lit(1).alias("_w")))
             existing = (
                 self.read(buckets=touched, with_lsn=True)
                 .withColumn("_bucket", self._bucket_expr())
             )
             kept_existing = (
                 existing.join(w_keys, [*keys], "left")
-                .filter(F.col("_w_lsn").isNull() | (F.col("_w_lsn") < F.col(LSN_COL)))
-                .drop("_w_lsn")
+                .filter(F.col("_w").isNull())
+                .drop("_w")
             )
-            # slim probe of existing lsn for winner keys (column-pruned scan)
-            ex_slim = F.broadcast(
-                self.read(buckets=touched, with_lsn=True)
-                .select(*keys, F.col(LSN_COL).alias("_ex_lsn"))
-                .join(F.broadcast(reduced.select(*keys)), [*keys], "left_semi")
-            )
-            kept_winners = (
-                reduced.join(ex_slim, [*keys], "left")
-                .filter(F.col("_ex_lsn").isNull() | (F.col("_ex_lsn") < F.col(LSN_COL)))
-                .filter(F.col("_op") != "delete")
-                .select(*out_cols)
-            )
+            kept_winners = reduced.filter(F.col("_op") != "delete").select(*out_cols)
             # only the (small) winner side shuffles to bucket layout;
             # existing rows flow scan -> filter -> write with no exchange
             resolved = kept_existing.select(*out_cols).unionByName(
@@ -669,6 +680,7 @@ class LakeTable:
                 .repartition(n_part, "_bucket")
             )
         mapping = self._write_bucket_files(resolved, snap["schema_id"], pre_bucketed=True)
+        t_write = _time.perf_counter()
 
         # new snapshot: untouched buckets carried over, touched replaced
         buckets_meta = {
@@ -705,6 +717,11 @@ class LakeTable:
             snap["ledger"]["applied_segments"] = sorted(
                 set(prev) | set(applied_segments)
             )
+        timings = {
+            "gate_agg_sec": round(t_gate - t0, 3),
+            "cow_write_sec": round(t_write - t_gate, 3),
+            "meta_commit_sec": round(_time.perf_counter() - t_write, 3),
+        }
         stats = MergeStats(
             batch_rows=batch_total if count_batch else int(agg["rows"]),
             batch_keys=int(agg["keys"]),
@@ -716,6 +733,7 @@ class LakeTable:
             skipped_already_applied=(
                 batch_total - int(agg["rows"]) if count_batch else -1
             ),
+            timings=timings,
         )
         lineage = {
             "batch_id": batch_id or uuid.uuid4().hex,
@@ -725,6 +743,7 @@ class LakeTable:
             "touched_buckets": sorted(touched),
             "deletes": stats.deletes,
             "skipped_already_applied": stats.skipped_already_applied,
+            "timings": timings,
         }
         if extra_lineage:
             lineage.update(extra_lineage)
