@@ -14,7 +14,7 @@ Prints ONE JSON line:
   reports sustained events/sec.
 
 Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (local[N]),
-SPARK_GRAFT_CDC_EVENTS (WAL size, default 1_000_000),
+SPARK_GRAFT_CDC_EVENTS (WAL size, default 16_000_000),
 SPARK_GRAFT_BENCH_SKIP_QUERIES=1 (CDC throughput only).
 """
 
@@ -56,6 +56,9 @@ _BENCH_QUERIES = [
     "summary_wide_customer",
     "os_survival_events",
     "grouped_timeline_compact",
+    "yaml_summary_pipeline",
+    "timeline_audit_events",
+    "age_at_sequencing_samples",
     "cdc_replay_final_state",
     "cdc_repos_replay",
 ]
@@ -143,7 +146,7 @@ def bench_cdc_throughput(
     # sandbox shows multi-second scheduling stalls run-to-run; best-of
     # recovers the engine's actual sustained rate (standard on shared
     # boxes).  SPARK_GRAFT_CDC_REPS=1 keeps the old single-shot behavior.
-    reps = int(os.environ.get("SPARK_GRAFT_CDC_REPS", "1"))
+    reps = int(os.environ.get("SPARK_GRAFT_CDC_REPS", "2"))
     wall, report, rows_after = None, None, None
     for rep in range(max(1, reps)):
         tdir = os.path.join(work_dir, f"repos-{rep}")
@@ -186,7 +189,7 @@ def main() -> None:
         int(cpus)
     except ValueError:  # e.g. "*"
         cpus = str(os.cpu_count() or 32)
-    n_events = int(os.environ.get("SPARK_GRAFT_CDC_EVENTS", "8000000"))
+    n_events = int(os.environ.get("SPARK_GRAFT_CDC_EVENTS", "16000000"))
     os.makedirs("/dev/shm/spark-local", exist_ok=True)
     spark = get_spark(
         "bench",
