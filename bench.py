@@ -142,6 +142,7 @@ def bench_cdc_throughput(
     events.write.mode("overwrite").parquet(wal_dir)
     wal = spark.read.parquet(wal_dir)
     strategy = os.environ.get("SPARK_GRAFT_CDC_STRATEGY", "broadcast")
+    merge_mode = os.environ.get("SPARK_GRAFT_CDC_MODE", "cow")
     # best-of-N replays (fresh table each rep, same stored WAL): the
     # sandbox shows multi-second scheduling stalls run-to-run; best-of
     # recovers the engine's actual sustained rate (standard on shared
@@ -154,6 +155,7 @@ def bench_cdc_throughput(
             spark, tdir,
             T.StructType(list(REPOS_SCHEMA.fields)),
             key_cols=["repo", "path"], n_buckets=64,
+            properties={"merge_mode": merge_mode},
         )
         t0 = time.perf_counter()
         rep_report = CdcReplayer(table).replay_range_batches(

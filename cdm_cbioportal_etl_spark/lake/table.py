@@ -17,6 +17,11 @@ Iceberg-style semantics implemented portably (no external jars):
   ``groupBy(key).agg(max_by(struct(...), lsn))`` — a hash aggregate with
   map-side partial combine — NOT a row_number window, so hot keys are
   pre-reduced on the map side and skew never concentrates on one reducer.
+- **Two merge modes** (table property ``merge_mode`` / per-call
+  ``mode``): ``cow`` rewrites touched buckets (resolution-free reads);
+  ``mor`` appends per-bucket delta files with tombstones (Iceberg-v2
+  merge-on-read — merge cost ~ batch bytes, reads resolve
+  latest-per-key, ``compact()`` folds deltas back to base files).
 - **Exactly-once ledger**: the max applied LSN (and per-source-partition
   watermarks) live in the snapshot manifest, so the ledger update commits
   atomically with the data it covers.  Replaying a batch twice is a no-op.
@@ -46,6 +51,7 @@ from pyspark.sql import types as T
 
 # system columns stored in data files alongside user columns
 LSN_COL = "_lsn"  # LSN that last wrote this row (latest-wins arbiter)
+DELETED_COL = "_deleted"  # MOR delta files only: tombstone marker
 
 # keyed by DataType.simpleString() names
 _ATOMIC_TYPES: dict[str, T.DataType] = {
@@ -234,7 +240,13 @@ class LakeTable:
     # ------------------------------------------------------------------ #
     # read path
     # ------------------------------------------------------------------ #
-    def _align(self, df: DataFrame, target: T.StructType, with_lsn: bool) -> DataFrame:
+    def _align(
+        self,
+        df: DataFrame,
+        target: T.StructType,
+        with_lsn: bool,
+        with_deleted: bool = False,
+    ) -> DataFrame:
         cols = []
         have = set(df.columns)
         for f in target.fields:
@@ -245,6 +257,13 @@ class LakeTable:
         if with_lsn:
             cols.append(
                 (F.col(LSN_COL) if LSN_COL in have else F.lit(None)).cast("long").alias(LSN_COL)
+            )
+        if with_deleted:
+            cols.append(
+                F.coalesce(
+                    F.col(DELETED_COL) if DELETED_COL in have else F.lit(None).cast("boolean"),
+                    F.lit(False),
+                ).alias(DELETED_COL)
             )
         return df.select(*cols)
 
@@ -277,10 +296,12 @@ class LakeTable:
             else schema_from_json(snap["schemas"][str(snap["schema_id"])])
         )
         by_schema: dict[int, list[str]] = {}
+        has_deltas = False
         for b, files in snap["buckets"].items():
             if buckets is not None and int(b) not in buckets:
                 continue
             for fobj in files:
+                has_deltas = has_deltas or fobj.get("delta", False)
                 by_schema.setdefault(fobj["schema_id"], []).append(
                     os.path.join(self.root, fobj["path"])
                 )
@@ -292,16 +313,45 @@ class LakeTable:
             # explicitly so the read plans with zero footer-inference work
             # (measured ~0.5s per inference on 64 files; read() runs
             # multiple times per MERGE, so inference was a top per-batch
-            # fixed cost)
+            # fixed cost).  DELETED_COL exists only in MOR delta files;
+            # listing it in the schema null-fills it on base files (one
+            # code path, coalesced to false in _align).
             file_schema = T.StructType(
                 list(schema_from_json(snap["schemas"][str(sid)]).fields)
-                + [T.StructField(LSN_COL, T.LongType(), True)]
+                + [
+                    T.StructField(LSN_COL, T.LongType(), True),
+                    T.StructField(DELETED_COL, T.BooleanType(), True),
+                ]
             )
             raw = self.spark.read.schema(file_schema).parquet(*paths)
-            parts.append(self._align(raw, target, with_lsn))
+            parts.append(
+                self._align(raw, target, with_lsn=True, with_deleted=has_deltas)
+            )
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p)
+        if has_deltas:
+            # merge-on-read resolution: delta files carry newer row
+            # versions + tombstones alongside the base files, so the scan
+            # resolves latest-LSN-per-key and drops tombstones — the same
+            # map-side-combinable max_by aggregate the write path uses.
+            # One shuffle on the key: the MOR read tax (compact() folds
+            # deltas back into base files to repay it; at scale the
+            # bucket layout bounds each key's rows to one bucket, so a
+            # bucket-local sort-merge resolution is the physical upgrade)
+            keys = snap["key_cols"]
+            payload = F.struct(
+                *[F.col(c) for c in df.columns if c not in keys]
+            )
+            df = (
+                df.groupBy(*keys)
+                .agg(F.max_by(payload, F.col(LSN_COL)).alias("_p"))
+                .select(*keys, "_p.*")
+                .filter(~F.col(DELETED_COL))
+                .drop(DELETED_COL)
+            )
+        if not with_lsn:
+            df = df.drop(LSN_COL)
         return df
 
     # ------------------------------------------------------------------ #
@@ -548,6 +598,7 @@ class LakeTable:
         strategy: str = "auto",
         salt_partitions: int = 0,
         applied_segments: list[str] | None = None,
+        mode: str | None = None,
     ) -> MergeStats:
         """Latest-LSN-wins upsert of a change batch (ops: upsert-ish/delete).
 
@@ -572,6 +623,7 @@ class LakeTable:
             extra_lineage=extra_lineage,
             batch_total=batch_total,
             applied_segments=applied_segments,
+            mode=mode,
         )
 
     def apply_prepared(
@@ -582,12 +634,27 @@ class LakeTable:
         extra_lineage: dict[str, Any] | None = None,
         batch_total: int = -1,
         applied_segments: list[str] | None = None,
+        mode: str | None = None,
     ) -> MergeStats:
-        """Phase 2 of MERGE: resolve a prepared winner set against the
-        table and commit COW-rewritten buckets + ledger atomically.
+        """Phase 2 of MERGE: apply a prepared winner set and commit data +
+        ledger atomically, in one of two physical modes (``mode`` param,
+        else table property ``merge_mode``, default ``cow``):
 
-        Only touched buckets are read and rewritten (COW + pruning); the
-        existing-side scan is pruned by bucket id from metadata alone.
+        - **cow** (copy-on-write): touched buckets are read and rewritten
+          with winners folded in; reads stay resolution-free.  Merge cost
+          ~ touched-bucket bytes.
+        - **mor** (merge-on-read): winners — including delete tombstones —
+          are APPENDED as per-bucket delta files; nothing existing is
+          read or rewritten, so merge cost ~ batch bytes only (the
+          Iceberg-v2 shape for hot tables at 10^10-event scale).  Reads
+          resolve latest-LSN-per-key and drop tombstones (read tax);
+          ``compact()`` folds deltas back into base files.  With MOR,
+          ``rows_after``/``row_count()`` are PHYSICAL rows (including
+          tombstones and superseded versions) — logical counts require a
+          resolved read.
+
+        Exactly-once, watermark, lineage, and schema-evolution semantics
+        are identical in both modes.
         """
         import time as _time
 
@@ -625,6 +692,38 @@ class LakeTable:
         #    OBSERVED winner count (AQE-style):
         out_cols = [*keys, *[c for c in data_cols if c not in keys], LSN_COL, "_bucket"]
         n_part = min(snap["n_buckets"], 64)
+        mode = mode or snap.get("properties", {}).get("merge_mode", "cow")
+        if mode not in ("cow", "mor"):
+            raise ValueError(f"invalid merge mode: {mode}")
+        if mode == "mor":
+            # merge-on-read: append winner rows + tombstones as delta
+            # files — no existing-bucket read, no rewrite
+            delta = reduced.select(
+                *keys,
+                *[c for c in data_cols if c not in keys],
+                F.col(LSN_COL),
+                (F.col("_op") == "delete").alias(DELETED_COL),
+                "_bucket",
+            ).repartition(n_part, "_bucket")
+            mapping = self._write_bucket_files(delta, snap["schema_id"], pre_bucketed=True)
+            for files in mapping.values():
+                for fobj in files:
+                    fobj["delta"] = True
+            t_write = _time.perf_counter()
+            buckets_meta = {b: list(files) for b, files in snap["buckets"].items()}
+            prior_rows = snap.get("bucket_rows", {})
+            bucket_rows = {
+                b: prior_rows.get(b, self._files_rows(files))
+                for b, files in buckets_meta.items()
+            }
+            for b, files in mapping.items():
+                buckets_meta[b] = buckets_meta.get(b, []) + files
+                bucket_rows[b] = bucket_rows.get(b, 0) + self._files_rows(files)
+            return self._finish_apply(
+                snap, agg, touched, buckets_meta, bucket_rows, applied,
+                batch_total, count_batch, batch_id, source_watermarks,
+                extra_lineage, applied_segments, t0, t_gate, t_write,
+            )
         if int(agg["keys"]) <= self._winner_threshold():
             # broadcast resolve — no key-shuffle of any payload: the slim
             # winner key set is broadcast against the existing scan.
@@ -698,6 +797,21 @@ class LakeTable:
             if b not in mapping
         }
         bucket_rows.update({b: self._files_rows(files) for b, files in mapping.items()})
+        return self._finish_apply(
+            snap, agg, touched, buckets_meta, bucket_rows, applied,
+            batch_total, count_batch, batch_id, source_watermarks,
+            extra_lineage, applied_segments, t0, t_gate, t_write,
+        )
+
+    def _finish_apply(
+        self, snap, agg, touched, buckets_meta, bucket_rows, applied,
+        batch_total, count_batch, batch_id, source_watermarks,
+        extra_lineage, applied_segments, t0, t_gate, t_write,
+    ) -> MergeStats:
+        """Shared commit tail of apply_prepared (cow + mor branches):
+        snapshot bookkeeping, ledger advance, lineage, atomic commit."""
+        import time as _time
+
         rows_after = sum(bucket_rows.values())
         snap["bucket_rows"] = bucket_rows
         snap["version"] += 1
@@ -784,6 +898,10 @@ class LakeTable:
         todo = {
             int(b) for b, files in snap["buckets"].items()
             if len(files) > max_files_per_bucket
+            # MOR delta files always qualify: compaction resolves
+            # latest-per-key, drops tombstones, and rewrites the bucket
+            # as plain base files — repaying the read tax
+            or any(f.get("delta", False) for f in files)
         }
         if not todo:
             return 0

@@ -1866,3 +1866,39 @@ def ann_ivf_recall(spark, sf_dir):
             (F.col("_n_hits") >= F.ceil(F.col("_n_exact") * 0.7)).alias("recall_ok"),
         )
     )
+
+
+# --------------------------------------------------------------------- #
+# Merge-on-read replay: same WAL, same oracle as cdc_repos_replay, but
+# the engine applies batches as delta appends (Iceberg-v2 MOR) and the
+# read resolves — proving mode equivalence through the oracle gate
+# --------------------------------------------------------------------- #
+@_register("cdc_repos_replay_mor", ORACLES["cdc_repos_replay"])
+def cdc_repos_replay_mor(spark, sf_dir):
+    """North-rule flagship in merge-on-read mode: delta-append apply
+    (merge cost ~ batch bytes, no bucket rewrites), read-time
+    latest-LSN resolution — final state must hash-match the same DuckDB
+    oracle as the copy-on-write replay (lake/table.py merge_mode)."""
+    from cdm_cbioportal_etl_spark.cdc import CdcReplayer
+    from cdm_cbioportal_etl_spark.cdc.generator import REPOS_SCHEMA
+
+    wal = _repos_wal(spark, sf_dir)
+    max_lsn = wal.agg(F.max("lsn")).collect()[0][0]
+    root = os.path.join(
+        CDC_WORK_DIR,
+        spark.sparkContext.applicationId,
+        "repos-mor-" + os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    table = LakeTable.create(
+        spark, root, T.StructType(list(REPOS_SCHEMA.fields)),
+        key_cols=["repo", "path"], n_buckets=16,
+        properties={"merge_mode": "mor"},
+    )
+    CdcReplayer(table).replay_range_batches(
+        wal, 0, int(max_lsn) + 1, batch_size=(int(max_lsn) + 4) // 4
+    )
+    return table.read().select(
+        "repo", "path", "commit", "lang", "content",
+        F.sha2("content", 256).alias("content_sha"),
+    )

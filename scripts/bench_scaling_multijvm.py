@@ -118,12 +118,14 @@ def worker(shard: int, shards: int, events: int, cpus: int, workdir: str,
     # vectorized parquet path, page-cache warmup) that a long-running
     # executor amortizes away; best-of reports the sustained rate
     reps = int(os.environ.get("SPARK_GRAFT_CDC_REPS", "2"))
+    merge_mode = os.environ.get("SPARK_GRAFT_CDC_MODE", "cow")
     best = None
     for rep in range(max(1, reps)):
         tdir = os.path.join(workdir, f"shard-{shard}-rep{rep}")
         rtab = LakeTable.create(
             spark, tdir, T.StructType(list(REPOS_SCHEMA.fields)),
             key_cols=["repo", "path"], n_buckets=16,
+            properties={"merge_mode": merge_mode},
         )
         t0 = time.perf_counter()
         report = CdcReplayer(rtab).replay_range_batches(
