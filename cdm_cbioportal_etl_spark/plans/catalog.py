@@ -1902,3 +1902,40 @@ def cdc_repos_replay_mor(spark, sf_dir):
         "repo", "path", "commit", "lang", "content",
         F.sha2("content", 256).alias("content_sha"),
     )
+
+
+# --------------------------------------------------------------------- #
+# Multimodal binary-column plumbing, oracle-gated (U3): text payloads
+# become binary columns, and the mapInPandas stage computes per-byte
+# statistics an engine-independent oracle recomputes exactly
+# --------------------------------------------------------------------- #
+@_register(
+    "multimodal_payload_stats",
+    """
+    WITH codes AS (
+      SELECT doc_id, coalesce(sum(unicode(c)), 0)::BIGINT AS byte_sum
+      FROM (SELECT doc_id, unnest(string_split_regex(text, '')) AS c
+            FROM documents)
+      WHERE c <> ''
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id, strlen(d.text)::INT AS n_bytes,
+           sha256(d.text) AS payload_sha,
+           coalesce(c.byte_sum, 0) AS byte_sum
+    FROM documents d LEFT JOIN codes c USING (doc_id)
+    """,
+)
+def multimodal_payload_stats(spark, sf_dir):
+    """Binary payload column (utf-8 of document text — ASCII in the
+    testdata, so the oracle's per-char unicode sum IS the byte sum)
+    through the mapInPandas Arrow path: byte length, sha256, integer
+    byte sum — exact engine-independent values (text/multimodal.py)."""
+    from cdm_cbioportal_etl_spark.text.multimodal import payload_stats
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+    return payload_stats(docs).select(
+        F.col("media_id").alias("doc_id"), "n_bytes", "payload_sha", "byte_sum"
+    )

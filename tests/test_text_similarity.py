@@ -189,3 +189,18 @@ def test_ivf_ann_full_probe_equals_exact(spark):
         for r in ivf_ann(items, qs, k=4, n_lists=4, n_probe=4).collect()
     }
     assert exact == approx
+
+
+def test_payload_stats_exact_bytes(spark):
+    """mapInPandas binary plumbing: byte-exact stats incl. empty payload."""
+    from cdm_cbioportal_etl_spark.text.multimodal import payload_stats
+
+    media = spark.createDataFrame(
+        [(1, bytearray(b"abc")), (2, bytearray(b"")), (3, bytearray(bytes([0, 255, 7])))],
+        "media_id long, payload binary",
+    )
+    out = {r.media_id: (r.n_bytes, r.byte_sum, r.payload_sha) for r in payload_stats(media).collect()}
+    import hashlib
+    assert out[1] == (3, ord("a") + ord("b") + ord("c"), hashlib.sha256(b"abc").hexdigest())
+    assert out[2] == (0, 0, hashlib.sha256(b"").hexdigest())
+    assert out[3] == (3, 262, hashlib.sha256(bytes([0, 255, 7])).hexdigest())
