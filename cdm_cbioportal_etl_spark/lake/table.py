@@ -921,6 +921,26 @@ class LakeTable:
         self._commit(snap)
         return len(todo)
 
+    def expire_snapshots(self, keep_last: int = 5) -> int:
+        """Delete old snapshot manifests, keeping the most recent
+        ``keep_last`` (Iceberg's expire_snapshots).  Time travel to
+        expired versions stops resolving; data files they referenced
+        become vacuum-eligible orphans unless still referenced by a
+        retained snapshot.  Returns # manifests removed."""
+        import re as _re
+
+        current = self.snapshot["version"]
+        removed = 0
+        for fn in sorted(os.listdir(self._meta_dir)):
+            m = _re.fullmatch(r"snap-(\d{8})\.json", fn)
+            if not m:
+                continue
+            v = int(m.group(1))
+            if v <= current - keep_last:
+                os.remove(os.path.join(self._meta_dir, fn))
+                removed += 1
+        return removed
+
     def vacuum(self) -> int:
         """Delete data files not referenced by the CURRENT snapshot
         (orphans from crashed writes + files superseded by COW rewrites /

@@ -1939,3 +1939,50 @@ def multimodal_payload_stats(spark, sf_dir):
     return payload_stats(docs).select(
         F.col("media_id").alias("doc_id"), "n_bytes", "payload_sha", "byte_sum"
     )
+
+
+# --------------------------------------------------------------------- #
+# ROLLUP grouping-sets aggregate (aggregation-surface breadth: subtotal
+# hierarchies in ONE pass — region -> nation -> grand total)
+# --------------------------------------------------------------------- #
+@_register(
+    "rollup_region_nation_balance",
+    """
+    SELECT coalesce(r.r_name, '(all)') AS region_name,
+           CASE WHEN r.r_name IS NULL THEN '(all)'
+                ELSE coalesce(n.n_name, '(all)') END AS nation_name,
+           count(c.c_custkey) AS n_customers,
+           round(sum(c.c_acctbal), 2) AS total_balance
+    FROM customer c
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+)
+def rollup_region_nation_balance(spark, sf_dir):
+    """ROLLUP(region, nation): per-nation, per-region subtotal, and
+    grand-total rows from one hash aggregate (Spark expands grouping
+    sets map-side — no repeated scans, unlike the reference's separate
+    per-level groupbys)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    j = (
+        c.join(F.broadcast(n), n["n_nationkey"] == c["c_nationkey"])
+        .join(F.broadcast(r), r["r_regionkey"] == n["n_regionkey"])
+    )
+    return (
+        j.rollup("r_name", "n_name")
+        .agg(
+            F.count("c_custkey").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
+        )
+        .select(
+            F.coalesce(F.col("r_name"), F.lit("(all)")).alias("region_name"),
+            F.when(F.col("r_name").isNull(), F.lit("(all)"))
+            .otherwise(F.coalesce(F.col("n_name"), F.lit("(all)")))
+            .alias("nation_name"),
+            "n_customers",
+            "total_balance",
+        )
+    )

@@ -260,3 +260,19 @@ def test_snapshot_isolation_for_concurrent_reader(spark, tmp_path):
     t.merge(mk([("a", "2")], 10), count_batch=False)
     assert {(r.k, r.v) for r in reader.collect()} == {("a", "1"), ("b", "1")}
     assert {(r.k, r.v) for r in t.read().collect()} == {("a", "2"), ("b", "1")}
+
+
+def test_expire_snapshots(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    for i in range(6):
+        t.merge(_batch(spark, [(i + 1, "update", "r", "p", f"c{i}", "md", f"v{i}")]))
+    import os
+    meta = os.path.join(str(tmp_path / "t"), "_meta")
+    n_before = len([f for f in os.listdir(meta) if f.startswith("snap-")])
+    removed = t.expire_snapshots(keep_last=2)
+    assert removed == n_before - 2
+    # current snapshot still readable; expired version is gone
+    assert t.read().count() == 1
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="no snapshot"):
+        t.snapshot_at(0)
