@@ -61,6 +61,7 @@ _BENCH_QUERIES = [
     "age_at_sequencing_samples",
     "cdc_replay_final_state",
     "cdc_repos_replay",
+    "cdc_repos_replay_mor",
 ]
 
 
