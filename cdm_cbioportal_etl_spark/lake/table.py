@@ -909,6 +909,12 @@ class LakeTable:
             "_bucket", self._bucket_expr()
         )
         mapping = self._write_bucket_files(df, snap["schema_id"])
+        # a todo bucket absent from the write output resolved to ZERO live
+        # rows (e.g. every key tombstoned in MOR deltas) — it must still
+        # be compacted, to an empty file list, or its stale delta files
+        # would silently survive
+        for b in todo:
+            mapping.setdefault(str(b), [])
         snap["buckets"].update(mapping)
         snap["bucket_rows"] = snap.get("bucket_rows", {})
         snap["bucket_rows"].update(

@@ -103,3 +103,25 @@ def test_mor_replayer_end_to_end(spark, tmp_path):
     want = _state(expected_final_state(events, ["repo", "path"]))
     assert _state(t.read()) == want
     assert t.snapshot["ledger"]["applied_lsn"] == 2999
+
+
+def test_compact_fully_tombstoned_bucket(spark, tmp_path):
+    """A bucket whose every key is deleted must compact to an EMPTY file
+    list (regression: it previously kept its stale delta files)."""
+    t = _mk(spark, tmp_path / "t4", mode="mor")
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows,
+        "lsn long, op string, repo string, path string, commit string, lang string, content string",
+    )
+    t.merge(mk([(1, "insert", "r", "p", "c1", "md", "x")]))
+    t.merge(mk([(2, "delete", "r", "p", None, None, None)]))
+    assert t.read().count() == 0
+    n = t.compact(max_files_per_bucket=1000)
+    assert n > 0
+    # no delta (or any) files remain for the tombstoned key's bucket
+    assert all(
+        not f.get("delta", False)
+        for files in t.snapshot["buckets"].values()
+        for f in files
+    )
+    assert t.read().count() == 0 and t.row_count() == 0
