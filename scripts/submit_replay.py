@@ -41,8 +41,12 @@ def main() -> None:
     ap.add_argument("--events", type=int, default=None, help="lsn upper bound")
     ap.add_argument("--batches", type=int, default=4)
     ap.add_argument("--buckets", type=int, default=64)
-    ap.add_argument("--strategy", default="broadcast",
+    ap.add_argument("--strategy", default="auto",
                     choices=["broadcast", "shuffle", "auto"])
+    ap.add_argument("--mode", default="cow", choices=["cow", "mor"],
+                    help="merge mode: copy-on-write rewrite vs "
+                         "merge-on-read delta append (applies at table "
+                         "creation; existing tables keep their property)")
     ap.add_argument("--salt", type=int, default=0)
     ap.add_argument("--resume", action="store_true",
                     help="continue from the table's LSN ledger watermark")
@@ -68,6 +72,7 @@ def main() -> None:
         table = LakeTable.create(
             spark, args.table, T.StructType(list(REPOS_SCHEMA.fields)),
             key_cols=["repo", "path"], n_buckets=args.buckets,
+            properties={"merge_mode": args.mode},
         )
 
     replayer = CdcReplayer(table)
