@@ -147,7 +147,14 @@ def worker(shard: int, shards: int, events: int, cpus: int, workdir: str,
 
 
 def launch(shard: int, args, barrier: bool = False) -> subprocess.Popen:
-    cmd = [
+    cmd = []
+    if getattr(args, "pin", False):
+        # CPU-pin each executor JVM to its own core slice — what a real
+        # cluster's node placement gives an executor for free; prevents
+        # cross-JVM scheduler migration/cache thrash in the sandbox
+        lo = shard * args.cpus
+        cmd += ["taskset", "-c", f"{lo}-{lo + args.cpus - 1}"]
+    cmd += [
         sys.executable, os.path.abspath(__file__), "--worker",
         "--shard", str(shard), "--shards", str(args.shards),
         "--events", str(args.events), "--cpus", str(args.cpus),
@@ -180,6 +187,9 @@ def main() -> None:
                          "huge, so fewer/larger batches is the faithful shape")
     ap.add_argument("--workdir", default="/dev/shm/cdc_multijvm")
     ap.add_argument("--barrier", action="store_true")
+    ap.add_argument("--pin", action="store_true",
+                    help="taskset each JVM to its own core slice (executor "
+                         "placement model)")
     args = ap.parse_args()
 
     if args.worker:
