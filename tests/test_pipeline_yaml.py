@@ -217,3 +217,52 @@ def test_timeline_audit_with_samples(spark):
     assert r.patient_overlap_pct == 50.0
     assert (r.unique_samples, r.sample_overlap_count, r.sample_overlap_pct) == (2, 1, 50.0)
     assert str(r.last_date) == "2020-02-01" and r.days_since_last_date == 29
+
+
+def test_sample_level_config_no_anchor_join(spark, tmp_path):
+    """SAMPLE_ID-keyed configs skip the anchor deid join entirely and any
+    stray MRN column is dropped (reference summary_config_processor.py:
+    196-203); the template's SAMPLE_ID is the row universe."""
+    cfg = load_summary_config(
+        _write_cfg(
+            tmp_path,
+            "s.yaml",
+            """
+            summary_id: s
+            patient_or_sample: sample
+            source_table: src
+            key_column: SAMPLE_ID
+            columns: [SAMPLE_ID, MRN, GRADE]
+            column_metadata:
+              GRADE: {label: Grade, fill_value: NA}
+            """,
+        )
+    )
+    source = spark.createDataFrame(
+        [("S-1", "123", "high"), ("S-9", "456", "low")],
+        "SAMPLE_ID string, MRN string, GRADE string",
+    )
+    template = spark.createDataFrame([("S-1",), ("S-2",)], "SAMPLE_ID string")
+    anchor = spark.createDataFrame(
+        [], "MRN string, DMP_ID string, DATE_TUMOR_SEQUENCING string"
+    )
+    out = {
+        r.SAMPLE_ID: r.GRADE
+        for r in build_intermediate_summary(cfg, source, anchor, template).collect()
+    }
+    # S-9 outside the template universe; S-2 backfilled; MRN gone
+    assert out == {"S-1": "high", "S-2": "NA"}
+    cols = build_intermediate_summary(cfg, source, anchor, template).columns
+    assert "MRN" not in cols
+
+
+def test_run_pipeline_rejects_empty_level(spark, tmp_path):
+    import pytest as _pytest
+    from cdm_cbioportal_etl_spark.pipeline import run_summary_pipeline
+
+    with _pytest.raises(ValueError, match="no configs"):
+        run_summary_pipeline(
+            spark, [], lambda n: None,
+            spark.createDataFrame([], "MRN string, DMP_ID string, DATE_TUMOR_SEQUENCING string"),
+            spark.createDataFrame([("P-1",)], "PATIENT_ID string"),
+        )
