@@ -482,18 +482,26 @@ class LakeTable:
         winners_slim = None
         if strategy == "auto":
             # slim (key, max lsn, n) aggregate — identical to the one the
-            # broadcast path consumes; materialize once, count for ~free,
+            # broadcast path consumes; cache once (persist, NOT
+            # localCheckpoint: persist goes through the cache manager so
+            # the blocks are explicitly unpersistable), count for ~free,
             # and reuse it below if broadcast wins
+            from pyspark import StorageLevel
+
             winners_slim = (
                 new_events.groupBy(*keys)
                 .agg(F.max(lsn_col).alias("_w_lsn"), F.count(F.lit(1)).alias("_n_events"))
-                .localCheckpoint(eager=True)
+                .persist(StorageLevel.MEMORY_AND_DISK)
             )
             strategy = (
                 "broadcast" if winners_slim.count() <= self._winner_threshold() else "shuffle"
             )
 
         if strategy == "shuffle":
+            if winners_slim is not None:
+                # probe result is not consumed by this branch — free its
+                # checkpointed blocks now instead of waiting for driver GC
+                winners_slim.unpersist()
             payload = F.struct(
                 F.col(op_col).alias("_op"),
                 *[
@@ -556,13 +564,14 @@ class LakeTable:
         # 1) winner lsn per key over slim columns — the only wide agg, and
         #    it shuffles ~(keys + 8B), not the payload (reused from the
         #    auto probe when it already ran)
+        is_cached_probe = winners_slim is not None
         if winners_slim is None:
             winners_slim = new_events.groupBy(*keys).agg(
                 F.max(lsn_col).alias("_w_lsn"), F.count(F.lit(1)).alias("_n_events")
             )
         # 2) fetch winner payload rows via broadcast hash join (no shuffle
         #    of the batch side); duplicate (key, lsn) redeliveries collapse
-        return (
+        out = (
             new_events.join(
                 F.broadcast(winners_slim),
                 on=[*keys],
@@ -585,6 +594,11 @@ class LakeTable:
             )
             .withColumn("_bucket", self._bucket_expr())
         ).localCheckpoint(eager=True)  # ~one row per key; reused 3x in apply
+        if is_cached_probe:
+            # eager checkpoint above already consumed the probe cache —
+            # free its blocks now instead of waiting for driver GC
+            winners_slim.unpersist()
+        return out
 
     def merge(
         self,
@@ -826,11 +840,20 @@ class LakeTable:
             # WAL segment names applied so far — lets the streaming tail
             # tell harmless redelivery apart from a late/out-of-order
             # segment (streaming/wal.py::_segment_guard); commits
-            # atomically with the data it covers
-            prev = snap["ledger"].get("applied_segments", [])
-            snap["ledger"]["applied_segments"] = sorted(
-                set(prev) | set(applied_segments)
+            # atomically with the data it covers.  Retention is CAPPED
+            # (insertion-ordered, oldest pruned) so a long-lived stream's
+            # manifests don't grow O(total segments ever): redelivery of
+            # a segment older than the window then FAILS the stale guard
+            # (fail-safe false positive) instead of being silently
+            # re-merged — acceptable because redelivery that old means a
+            # checkpoint loss an operator should see anyway.
+            max_keep = int(
+                snap.get("properties", {}).get("max_tracked_segments", 10_000)
             )
+            prev = snap["ledger"].get("applied_segments", [])
+            seen = set(prev)
+            merged = list(prev) + [s for s in applied_segments if s not in seen]
+            snap["ledger"]["applied_segments"] = merged[-max_keep:]
         timings = {
             "gate_agg_sec": round(t_gate - t0, 3),
             "cow_write_sec": round(t_write - t_gate, 3),
@@ -935,6 +958,10 @@ class LakeTable:
         retained snapshot.  Returns # manifests removed."""
         import re as _re
 
+        if keep_last < 1:
+            # keep_last=0 would delete the CURRENT manifest and brick the
+            # table (VERSION pointer left dangling)
+            raise ValueError(f"keep_last must be >= 1, got {keep_last}")
         current = self.snapshot["version"]
         removed = 0
         for fn in sorted(os.listdir(self._meta_dir)):

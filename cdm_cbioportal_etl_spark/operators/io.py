@@ -92,15 +92,60 @@ def read_cbioportal_tsv(
     ``monotonically_increasing_id`` is NOT deterministic here.)  This is
     one of the rare justified RDD escapes: Spark exposes no per-file row
     offset through the DataFrame API."""
-    import csv as _csv
-
     fpath = _single_tsv_file(path)
+
+    def _parse(line: str) -> list[str]:
+        # MUST match the writer's dialect exactly (Spark csv sink /
+        # univocity: fields quoted with '"' only when needed, '\' escapes
+        # apply ONLY inside quotes).  python csv can't express
+        # "escape-only-inside-quotes", so tokenize by hand: a field
+        # starting with '"' is quoted (ends at its unescaped close
+        # quote); any other field is raw text up to the next tab.
+        fields: list[str] = []
+        i, n = 0, len(line)
+        while True:
+            if i < n and line[i] == '"':
+                i += 1
+                buf: list[str] = []
+                while i < n:
+                    c = line[i]
+                    if c == "\\" and i + 1 < n:
+                        buf.append(line[i + 1])
+                        i += 2
+                        continue
+                    if c == '"':
+                        i += 1
+                        break
+                    buf.append(c)
+                    i += 1
+                fields.append("".join(buf))
+                j = line.find("\t", i)
+                if j == -1:
+                    break
+                i = j + 1
+            else:
+                j = line.find("\t", i)
+                if j == -1:
+                    fields.append(line[i:])
+                    break
+                fields.append(line[i:j])
+                i = j + 1
+        return fields
+
     parsed = (
         spark.sparkContext.textFile(fpath)
         .zipWithIndex()
-        .map(lambda t: (t[1], next(_csv.reader([t[0]], delimiter="\t"))))
+        # blank lines (trailing newline, manual edits) are not rows —
+        # the csv-sink writer never emits them
+        .filter(lambda t: t[0] != "")
+        .map(lambda t: (t[1], _parse(t[0])))
     )
     header_rows_raw = dict(parsed.filter(lambda t: t[0] < N_HEADER_ROWS).collect())
+    if len(header_rows_raw) < N_HEADER_ROWS:
+        raise ValueError(
+            f"{fpath}: not a cBioPortal TSV — expected {N_HEADER_ROWS} "
+            f"header rows, file has {len(header_rows_raw)} line(s)"
+        )
     header_rows = [header_rows_raw[i] for i in range(N_HEADER_ROWS)]
     names = header_rows[N_HEADER_ROWS - 1]
     ncol = len(names)

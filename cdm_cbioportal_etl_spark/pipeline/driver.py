@@ -77,8 +77,22 @@ def build_intermediate_summary(
         df = df.drop("MRN")
 
     # 3) date → interval-days from the anchor date (reference :209-254);
-    #    anchor date column always dropped afterwards
-    if cfg.date_columns and ANCHOR_DATE_COL in df.columns:
+    #    anchor date column always dropped afterwards.  Dates are
+    #    converted IN PLACE (no suffix), exactly like the reference —
+    #    operators/summary.py::process_summary is the LEGACY flow with
+    #    the '_INTERVAL'-suffixed variant; the two are kept separate on
+    #    purpose (different output contracts), not by accident.
+    if cfg.date_columns:
+        if ANCHOR_DATE_COL not in df.columns:
+            # HARD error, not a silent skip: emitting a configured date
+            # column un-converted would ship raw PHI dates — the one
+            # failure a deidentification pipeline must never allow
+            raise ValueError(
+                f"{cfg.summary_id}: date_columns configured but no "
+                f"{ANCHOR_DATE_COL} available (key_column="
+                f"{cfg.key_column!r} skips the anchor join; include the "
+                "anchor date in the source or key by MRN)"
+            )
         for c in cfg.date_columns:
             df = df.withColumn(
                 c, interval_days(F.col(c).cast("date"), F.col(ANCHOR_DATE_COL).cast("date"))

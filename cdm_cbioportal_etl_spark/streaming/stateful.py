@@ -29,7 +29,9 @@ def _fn_factory(gap_sec: int):
     def fn(key, pdfs, state: GroupState):
         import pandas as pd
 
-        ts = pd.concat([pdf[["ts"]] for pdf in pdfs])["ts"].sort_values()
+        # null timestamps carry no ordering information — drop them BEFORE
+        # the epoch conversion (astype on NaT raises / corrupts state)
+        ts = pd.concat([pdf[["ts"]] for pdf in pdfs])["ts"].dropna().sort_values()
         secs = (ts.astype("int64") // 1_000_000_000).tolist()
         if state.exists:
             start_s, end_s, n = state.get

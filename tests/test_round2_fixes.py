@@ -165,3 +165,91 @@ def test_read_tsv_rejects_multi_file(spark, tmp_path):
     (d / "b.tsv").write_text("y\n")
     with pytest.raises(ValueError, match="exactly one data file"):
         read_cbioportal_tsv(spark, str(d))
+
+
+def test_tsv_roundtrip_quoted_values(spark, tmp_path):
+    """Writer/reader csv dialect parity: quotes, tabs, backslashes in
+    values must survive the TSV roundtrip byte-for-byte (review finding:
+    python csv defaults mismatch Spark's quote/escape dialect)."""
+    from cdm_cbioportal_etl_spark.operators.header import (
+        ColumnMeta,
+        combine_header_and_data,
+    )
+    from cdm_cbioportal_etl_spark.operators.io import (
+        read_cbioportal_tsv,
+        write_cbioportal_tsv,
+    )
+
+    tricky = [
+        ("P1", 'size "large"'),
+        ("P2", "tab\there"),
+        ("P3", "back\\slash"),
+        ("P4", 'mix "q"\tand\ttabs\\'),
+    ]
+    df = spark.createDataFrame(tricky, "PATIENT_ID string, NOTE string")
+    out = str(tmp_path / "tricky")
+    write_cbioportal_tsv(
+        combine_header_and_data(df, {"NOTE": ColumnMeta("NOTE", "Note", "Note")}), out
+    )
+    _, got = read_cbioportal_tsv(spark, out)
+    assert {(r.PATIENT_ID, r.NOTE) for r in got.collect()} == set(tricky)
+
+
+def test_tsv_reader_rejects_short_file(spark, tmp_path):
+    from cdm_cbioportal_etl_spark.operators.io import read_cbioportal_tsv
+
+    f = tmp_path / "short.tsv"
+    f.write_text("just\tone\nline\ttwo\n")
+    with pytest.raises(ValueError, match="header rows"):
+        read_cbioportal_tsv(spark, str(f))
+
+
+def test_expire_snapshots_rejects_zero_keep(spark, tmp_path):
+    from pyspark.sql import types as T
+    from cdm_cbioportal_etl_spark.lake import LakeTable
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "ek"),
+        T.StructType([T.StructField("k", T.StringType()), T.StructField("v", T.StringType())]),
+        key_cols=["k"], n_buckets=2,
+    )
+    with pytest.raises(ValueError, match="keep_last"):
+        t.expire_snapshots(keep_last=0)
+
+
+def test_sessionizer_ignores_null_timestamps(spark, tmp_path):
+    """A null ts in a micro-batch must not kill the stateful UDF."""
+    import os
+    from pyspark.sql import functions as F
+    from cdm_cbioportal_etl_spark.streaming.stateful import sessionize_stream
+
+    src = tmp_path / "nsrc"
+    (
+        spark.createDataFrame(
+            [(1, "2024-01-01 10:00:00"), (1, None), (1, "2024-01-01 12:00:00")],
+            "user_id long, ts string",
+        )
+        .select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+        .coalesce(1)
+        .write.parquet(str(src / "seg-0"))
+    )
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .parquet(str(src / "seg-*"))
+    )
+    q = (
+        sessionize_stream(stream, gap_sec=600)
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "nout"))
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "nck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    out = spark.read.schema(
+        "user_id long, session_start timestamp, session_end timestamp, n_events long"
+    ).parquet(str(tmp_path / "nout"))
+    # 10:00 session closed by the 12:00 event (gap > 600s); null ignored
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0].n_events == 1
