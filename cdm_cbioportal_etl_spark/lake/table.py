@@ -140,16 +140,31 @@ class LakeTable:
             self._snap = json.load(fh)
 
     def _commit(self, snap: dict[str, Any]) -> None:
-        """Write manifest then atomically swing the VERSION pointer."""
+        """Write manifest then atomically swing the VERSION pointer.
+
+        Durability order: manifest contents fsync'd BEFORE the pointer
+        swing, pointer contents fsync'd before the rename, directory
+        entry fsync'd after — a power loss at any point leaves either
+        the old committed state or the new one, never a pointer at a
+        truncated/missing manifest."""
         os.makedirs(self._meta_dir, exist_ok=True)
         version = snap["version"]
         path = os.path.join(self._meta_dir, f"snap-{version:08d}.json")
         with open(path, "w") as fh:
             json.dump(snap, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
         tmp = os.path.join(self._meta_dir, f".VERSION.{uuid.uuid4().hex}")
         with open(tmp, "w") as fh:
             fh.write(str(version))
+            fh.flush()
+            os.fsync(fh.fileno())
         os.replace(tmp, os.path.join(self._meta_dir, "VERSION"))
+        dfd = os.open(self._meta_dir, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
         self._snap = snap
 
     def snapshot_at(self, version: int) -> dict[str, Any]:
@@ -179,6 +194,9 @@ class LakeTable:
             raise ValueError(f"table already exists at {root}")
         os.makedirs(t._data_dir, exist_ok=True)
         fields = schema_to_json(schema)
+        # validate BEFORE committing: an unsupported type (decimal/array/
+        # map) in a committed manifest would brick every later read
+        schema_from_json(fields)
         for k in key_cols:
             if k not in [f["name"] for f in fields]:
                 raise ValueError(f"key column {k} not in schema")
@@ -226,6 +244,13 @@ class LakeTable:
                 raise SchemaEvolutionError(
                     f"illegal type change {name}: {t_cur} -> {t_new}"
                 )
+        for name, t_new in new.items():
+            # ADDED columns get type-validated too — committing an
+            # unsupported type would brick the table at next read
+            if name not in cur and t_new not in _ATOMIC_TYPES:
+                raise SchemaEvolutionError(
+                    f"unsupported type for new column {name}: {t_new}"
+                )
         if new == cur:
             return False
         snap = dict(self.snapshot)
@@ -267,8 +292,8 @@ class LakeTable:
             )
         return df.select(*cols)
 
-    def _empty(self, with_lsn: bool) -> DataFrame:
-        target = self.schema
+    def _empty(self, with_lsn: bool, target: T.StructType | None = None) -> DataFrame:
+        target = target if target is not None else self.schema
         fields = list(target.fields)
         if with_lsn:
             fields = fields + [T.StructField(LSN_COL, T.LongType(), True)]
@@ -306,7 +331,7 @@ class LakeTable:
                     os.path.join(self.root, fobj["path"])
                 )
         if not by_schema:
-            return self._empty(with_lsn)
+            return self._empty(with_lsn, target)
         parts = []
         for sid, paths in sorted(by_schema.items()):
             # each file group's schema is KNOWN from the manifest — pass it
@@ -399,8 +424,14 @@ class LakeTable:
                 mapping[b] = files
         return mapping
 
-    def overwrite(self, df: DataFrame, lsn: int = 0) -> None:
-        """Full rewrite (the reference's only persistence mode)."""
+    def overwrite(self, df: DataFrame, lsn: int = 0, reset_ledger: bool = False) -> None:
+        """Full rewrite (the reference's only persistence mode).
+
+        The LSN ledger never REGRESSES implicitly: the new watermark is
+        max(current, lsn) unless ``reset_ledger=True`` — otherwise an
+        overwrite with the default lsn=0 would re-open the exactly-once
+        gate and let already-applied WAL batches re-merge on top of the
+        overwritten state."""
         snap = json.loads(json.dumps(self.snapshot))
         df = self._align(df, self.schema, with_lsn=False)
         staged = df.withColumn(LSN_COL, F.lit(lsn).cast("long")).withColumn(
@@ -410,7 +441,8 @@ class LakeTable:
         snap["version"] += 1
         snap["buckets"] = mapping
         snap["bucket_rows"] = {b: self._files_rows(f) for b, f in mapping.items()}
-        snap["ledger"]["applied_lsn"] = lsn
+        cur = snap["ledger"]["applied_lsn"]
+        snap["ledger"]["applied_lsn"] = lsn if reset_ledger else max(cur, lsn)
         self._commit(snap)
 
     # ------------------------------------------------------------------ #
@@ -472,6 +504,11 @@ class LakeTable:
             if min_lsn_exclusive is not None
             else self.snapshot["ledger"]["applied_lsn"]
         )
+
+        if strategy not in ("auto", "broadcast", "shuffle"):
+            # a typo must not silently take the unconditional-broadcast
+            # path this docstring warns about
+            raise ValueError(f"invalid prepare strategy: {strategy}")
 
         batch = batch.withColumn(lsn_col, F.col(lsn_col).cast("long"))
         new_events = batch.filter(F.col(lsn_col) > F.lit(applied))
@@ -570,13 +607,23 @@ class LakeTable:
                 F.max(lsn_col).alias("_w_lsn"), F.count(F.lit(1)).alias("_n_events")
             )
         # 2) fetch winner payload rows via broadcast hash join (no shuffle
-        #    of the batch side); duplicate (key, lsn) redeliveries collapse
+        #    of the batch side); duplicate (key, lsn) redeliveries collapse.
+        #    NULL-SAFE key equality: groupBy keeps a null-key group, so a
+        #    plain equi-join would silently drop null-key events here
+        #    (and duplicate them at resolve) — eqNullSafe keeps the two
+        #    paths consistent with shuffle-mode semantics
+        ws = winners_slim.select(
+            *[F.col(k).alias(f"_wk_{i}") for i, k in enumerate(keys)],
+            "_w_lsn",
+            "_n_events",
+        )
+        cond = None
+        for i, k in enumerate(keys):
+            c = new_events[k].eqNullSafe(F.col(f"_wk_{i}"))
+            cond = c if cond is None else (cond & c)
         out = (
-            new_events.join(
-                F.broadcast(winners_slim),
-                on=[*keys],
-                how="inner",
-            )
+            new_events.join(F.broadcast(ws), cond, "inner")
+            .drop(*[f"_wk_{i}" for i in range(len(keys))])
             .filter(F.col(lsn_col) == F.col("_w_lsn"))
             .dropDuplicates([*keys])
             .select(
@@ -727,7 +774,10 @@ class LakeTable:
             buckets_meta = {b: list(files) for b, files in snap["buckets"].items()}
             prior_rows = snap.get("bucket_rows", {})
             bucket_rows = {
-                b: prior_rows.get(b, self._files_rows(files))
+                # NOT dict.get(b, default): the default is evaluated
+                # eagerly, which would footer-read EVERY table file per
+                # merge — the opposite of metadata-only counting
+                b: (prior_rows[b] if b in prior_rows else self._files_rows(files))
                 for b, files in buckets_meta.items()
             }
             for b, files in mapping.items():
@@ -751,15 +801,27 @@ class LakeTable:
             # needed (an earlier version did both: one extra bucket scan
             # and two extra broadcast builds per batch, all provably
             # no-ops under the invariant).
-            w_keys = F.broadcast(reduced.select(*keys, F.lit(1).alias("_w")))
+            # null-safe key match (see prepare_batch): a null-key existing
+            # row must be REPLACED by its null-key winner, not kept
+            # alongside it
+            w_keys = F.broadcast(
+                reduced.select(
+                    *[F.col(k).alias(f"_wk_{i}") for i, k in enumerate(keys)],
+                    F.lit(1).alias("_w"),
+                )
+            )
             existing = (
                 self.read(buckets=touched, with_lsn=True)
                 .withColumn("_bucket", self._bucket_expr())
             )
+            cond = None
+            for i, k in enumerate(keys):
+                c = existing[k].eqNullSafe(F.col(f"_wk_{i}"))
+                cond = c if cond is None else (cond & c)
             kept_existing = (
-                existing.join(w_keys, [*keys], "left")
+                existing.join(w_keys, cond, "left")
                 .filter(F.col("_w").isNull())
-                .drop("_w")
+                .drop("_w", *[f"_wk_{i}" for i in range(len(keys))])
             )
             kept_winners = reduced.filter(F.col("_op") != "delete").select(*out_cols)
             # only the (small) winner side shuffles to bucket layout;
@@ -806,7 +868,8 @@ class LakeTable:
         # table row count is metadata-only at any scale
         prior_rows = snap.get("bucket_rows", {})
         bucket_rows = {
-            b: prior_rows.get(b, self._files_rows(files))
+            # see MOR branch note: no eager-default dict.get here
+            b: (prior_rows[b] if b in prior_rows else self._files_rows(files))
             for b, files in buckets_meta.items()
             if b not in mapping
         }
@@ -975,16 +1038,25 @@ class LakeTable:
         return removed
 
     def vacuum(self) -> int:
-        """Delete data files not referenced by the CURRENT snapshot
-        (orphans from crashed writes + files superseded by COW rewrites /
-        compaction).  Retains all snapshot manifests (metadata is tiny)
-        but time travel to vacuumed versions will no longer find data.
+        """Delete data files not referenced by ANY retained snapshot
+        manifest (orphans from crashed writes + files whose every
+        referencing snapshot has been expired).  Time travel to retained
+        versions always survives a vacuum; run ``expire_snapshots``
+        first to make superseded COW/compaction files reclaimable.
         Returns # files removed."""
-        live = {
-            fobj["path"]
-            for files in self.snapshot["buckets"].values()
-            for fobj in files
-        }
+        import re as _re
+
+        # liveness = union over ALL RETAINED snapshot manifests, not just
+        # the current one — otherwise vacuum breaks time travel to
+        # versions expire_snapshots has intentionally kept
+        live: set[str] = set()
+        for fn in os.listdir(self._meta_dir):
+            if not _re.fullmatch(r"snap-\d{8}\.json", fn):
+                continue
+            with open(os.path.join(self._meta_dir, fn)) as fh:
+                manifest = json.load(fh)
+            for files in manifest.get("buckets", {}).values():
+                live.update(fobj["path"] for fobj in files)
         removed = 0
         for dirpath, _dirnames, filenames in os.walk(self._data_dir):
             for fn in filenames:

@@ -190,7 +190,12 @@ def test_time_travel_compact_vacuum(spark, tmp_path):
     assert all(len(f) <= 1 for f in t.snapshot["buckets"].values())
     assert t.row_count() == 3
 
-    # vacuum: drops unreferenced files; current state unaffected
+    # vacuum respects RETAINED snapshots: with all manifests kept,
+    # nothing is reclaimable (time travel must survive)...
+    assert t.vacuum() == 0
+    assert {(r.k, r.v) for r in t.read(version=v1).collect()} == old
+    # ...after expiring history, superseded files become orphans
+    t.expire_snapshots(keep_last=1)
     removed = t.vacuum()
     assert removed > 0
     assert {(r.k, r.v) for r in t.read().collect()} == cur
@@ -276,3 +281,28 @@ def test_expire_snapshots(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="no snapshot"):
         t.snapshot_at(0)
+
+
+def test_null_key_rows_latest_wins_both_strategies(spark, tmp_path):
+    """NULL key values must follow latest-LSN-wins like any other key:
+    broadcast path must not drop them (null-rejecting equi-join) and the
+    resolve must REPLACE, not duplicate (review finding; eqNullSafe)."""
+    for strat in ("broadcast", "shuffle"):
+        t = LakeTable.create(
+            spark, str(tmp_path / f"nk-{strat}"), REPOS_SCHEMA,
+            ["repo", "path"], n_buckets=4,
+        )
+        b1 = _batch(spark, [
+            (1, "insert", "r", None, "c1", "md", "x"),
+            (2, "update", "r", None, "c2", "md", "y"),
+            (3, "insert", "r", "p", "c3", "md", "z"),
+        ])
+        t.merge(b1, strategy=strat)
+        got = {(r.repo, r.path): r.content for r in t.read().collect()}
+        assert got == {("r", None): "y", ("r", "p"): "z"}, strat
+        # second batch replaces the null-key row (no duplicate)
+        t.merge(_batch(spark, [(4, "update", "r", None, "c4", "md", "w")]),
+                strategy=strat)
+        rows = t.read().collect()
+        got = {(r.repo, r.path): r.content for r in rows}
+        assert len(rows) == 2 and got[("r", None)] == "w", strat
