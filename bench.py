@@ -148,7 +148,7 @@ def bench_cdc_throughput(
     # sandbox shows multi-second scheduling stalls run-to-run; best-of
     # recovers the engine's actual sustained rate (standard on shared
     # boxes).  SPARK_GRAFT_CDC_REPS=1 keeps the old single-shot behavior.
-    reps = int(os.environ.get("SPARK_GRAFT_CDC_REPS", "2"))
+    reps = int(os.environ.get("SPARK_GRAFT_CDC_REPS", "3"))
     wall, report, rows_after = None, None, None
     for rep in range(max(1, reps)):
         tdir = os.path.join(work_dir, f"repos-{rep}")
