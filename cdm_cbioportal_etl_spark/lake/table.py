@@ -919,7 +919,8 @@ class LakeTable:
             snap["ledger"]["applied_segments"] = merged[-max_keep:]
         timings = {
             "gate_agg_sec": round(t_gate - t0, 3),
-            "cow_write_sec": round(t_write - t_gate, 3),
+            # mode-agnostic: COW bucket rewrite or MOR delta append
+            "write_sec": round(t_write - t_gate, 3),
             "meta_commit_sec": round(_time.perf_counter() - t_write, 3),
         }
         stats = MergeStats(

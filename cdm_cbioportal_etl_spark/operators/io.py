@@ -109,7 +109,9 @@ def read_cbioportal_tsv(
                 buf: list[str] = []
                 while i < n:
                     c = line[i]
-                    if c == "\\" and i + 1 < n:
+                    # univocity escapes ONLY the quote/escape chars; a
+                    # backslash before anything else is literal data
+                    if c == "\\" and i + 1 < n and line[i + 1] in ('"', "\\"):
                         buf.append(line[i + 1])
                         i += 2
                         continue

@@ -15,6 +15,7 @@ hints; the widen-merge fold reuses a single exchange on the id key
 
 from __future__ import annotations
 
+import datetime as _dt
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -23,7 +24,8 @@ from cdm_cbioportal_etl_spark.functions import interval_days, zero_pad_id
 from cdm_cbioportal_etl_spark.functions.scalar import normalize_colname
 from cdm_cbioportal_etl_spark.operators.header import ColumnMeta
 from cdm_cbioportal_etl_spark.operators.summary import backfill, merge_intermediates
-from cdm_cbioportal_etl_spark.pipeline.config import SummaryConfig
+from cdm_cbioportal_etl_spark.operators.timeline import deidentify_timeline
+from cdm_cbioportal_etl_spark.pipeline.config import SummaryConfig, TimelineConfig
 
 ANCHOR_DATE_COL = "DATE_TUMOR_SEQUENCING"
 
@@ -150,3 +152,78 @@ def run_summary_pipeline(
         metas.update(cfg.column_metas())  # later configs win, like the
         # reference's manifest-ordered header concat
     return wide, metas
+
+
+# --------------------------------------------------------------------- #
+# Timeline YAML surface: config → deid plan (the reference's second
+# declarative product line; batch driver analog of
+# cbioportal_timeline_batch_deidentify.py::run_timeline_deidentification,
+# which fans one deid job out per config/timelines/*.yaml)
+# --------------------------------------------------------------------- #
+def build_timeline_deid(
+    cfg: TimelineConfig,
+    source: DataFrame,
+    samples: DataFrame,
+    anchor: DataFrame,
+    os_dates: DataFrame,
+    today: "_dt.date | str",
+    truncate_at_os: bool = True,
+) -> DataFrame:
+    """One timeline config's deid plan: project the configured columns
+    from the (PHI, MRN-keyed) source, then run the 4-way deid join /
+    future-nulling / OS-truncation / day-interval flow
+    (operators/timeline.py::deidentify_timeline — reference
+    cbioportal_timeline_deidentify.py:252-558) with the config's
+    patient-vs-sample level and date columns.
+
+    ``PATIENT_ID`` in cfg.columns is produced by the deid spine (it does
+    not exist in the PHI source, which is MRN-keyed); every other
+    configured column must exist in the source.
+    """
+    want = [c for c in cfg.columns if c != "PATIENT_ID"]
+    missing = [c for c in want if c not in source.columns]
+    if missing:
+        raise ValueError(
+            f"{cfg.timeline_id}: source {cfg.source_table!r} lacks "
+            f"configured columns {missing} (has {source.columns})"
+        )
+    sample_level = cfg.patient_or_sample == "sample"
+    key_cols = ["MRN"] + (["SAMPLE_ID"] if sample_level else [])
+    proj = source.select(
+        *dict.fromkeys(key_cols + want)  # ordered, de-duplicated
+    )
+    out = deidentify_timeline(
+        proj,
+        samples,
+        anchor,
+        os_dates,
+        today=today,
+        date_cols=tuple(cfg.date_columns),
+        truncate_at_os=truncate_at_os,
+        sample_level=sample_level,
+    )
+    # the config's declared column order IS the output contract
+    # (cBioPortal column order matters); deid may drop nothing else
+    return out.select(*[c for c in cfg.columns if c in out.columns])
+
+
+def run_timeline_pipeline(
+    spark: SparkSession,
+    configs: list[TimelineConfig],
+    resolve: SourceResolver,
+    samples: DataFrame,
+    anchor: DataFrame,
+    os_dates: DataFrame,
+    today: "_dt.date | str",
+) -> dict[str, DataFrame]:
+    """Batch fan-out: one lazy deid plan per config, keyed by
+    timeline_id (reference batch wrapper runs these as separate
+    processes; here they are independent lazy plans sharing the
+    broadcast anchor/OS dims, so Spark schedules them concurrently when
+    the caller materializes them)."""
+    return {
+        cfg.timeline_id: build_timeline_deid(
+            cfg, resolve(cfg.source_table), samples, anchor, os_dates, today
+        )
+        for cfg in configs
+    }

@@ -1192,6 +1192,19 @@ def grouped_timeline_compact(spark, sf_dir):
     return compact_group_timeline(_t(spark, sf_dir, "events"))
 
 
+# production path: same summary as grouped_timeline_compact, same oracle,
+# but pure JVM aggregates (two map-side-combinable hash aggs + one join,
+# no Python) — the applyInPandas twin above stays as the grouped-map
+# plumbing harness
+@_register("grouped_timeline_compact_sql", ORACLES["grouped_timeline_compact"])
+def grouped_timeline_compact_sql(spark, sf_dir):
+    from cdm_cbioportal_etl_spark.operators.grouped import (
+        compact_group_timeline_sql,
+    )
+
+    return compact_group_timeline_sql(_t(spark, sf_dir, "events"))
+
+
 # --------------------------------------------------------------------- #
 # Timeline deid END TO END (J4 + F2/F4/F7/F8 + P6 + O1) over events-
 # derived clinical-shaped inputs — full DuckDB oracle
@@ -1586,6 +1599,131 @@ def yaml_summary_pipeline(spark, sf_dir):
 
     wide, _metas = run_summary_pipeline(spark, configs, resolve, anchor, template)
     return wide
+
+
+# --------------------------------------------------------------------- #
+# YAML-config-driven TIMELINE pipeline (the reference's second
+# declarative product line: config/timelines/*.yaml fanned out by
+# cbioportal_timeline_batch_deidentify.py:15-74 — VERDICT round-2 gap #1)
+# --------------------------------------------------------------------- #
+@_register(
+    "yaml_timeline_pipeline",
+    f"""
+    WITH anchor AS (
+      SELECT user_id,
+             'P' || lpad(user_id::VARCHAR, 4, '0') AS pid,
+             min(ts)::DATE AS a,
+             max(ts)::DATE AS os
+      FROM events GROUP BY user_id
+    ), st AS (
+      SELECT e.user_id, e.event_id, e.event_type,
+             CASE WHEN e.ts::DATE > DATE '{_DEID_TODAY}' THEN NULL
+                  ELSE e.ts::DATE END AS sd
+      FROM events e
+    ), tr AS (
+      SELECT e.user_id, e.event_id, e.event_type,
+             CASE WHEN e.ts::DATE > DATE '{_DEID_TODAY}' THEN NULL
+                  ELSE e.ts::DATE END AS sd,
+             CASE WHEN e.ts::DATE + (floor(e.value)::BIGINT % 30)::INT
+                       > DATE '{_DEID_TODAY}' THEN NULL
+                  ELSE e.ts::DATE + (floor(e.value)::BIGINT % 30)::INT
+             END AS ed
+      FROM events e
+    )
+    SELECT 'status' AS timeline_id, a.pid AS patient_id,
+           date_diff('day', a.a, least(t.sd, a.os))::BIGINT AS start_date,
+           NULL::BIGINT AS stop_date,
+           'STATUS' AS event_type,
+           t.event_type AS subtype,
+           NULL::VARCHAR AS agent,
+           t.event_id
+    FROM st t JOIN anchor a USING (user_id)
+    WHERE t.sd IS NOT NULL
+    UNION ALL
+    SELECT 'treatment', a.pid,
+           date_diff('day', a.a, least(t.sd, a.os))::BIGINT,
+           CASE WHEN t.ed IS NULL THEN NULL
+                ELSE date_diff('day', a.a, least(t.ed, a.os)) END::BIGINT,
+           'TREATMENT', NULL::VARCHAR, t.event_type, t.event_id
+    FROM tr t JOIN anchor a USING (user_id)
+    WHERE t.sd IS NOT NULL
+    """,
+)
+def yaml_timeline_pipeline(spark, sf_dir):
+    """Timeline YAML surface end-to-end: two specs from
+    configs/timelines/ (status: START_DATE only; treatment:
+    START_DATE+STOP_DATE pair) drive generated deid plans via
+    pipeline/driver.py::run_timeline_pipeline — the reference's batch
+    fan-out (cbioportal_timeline_batch_deidentify.py::
+    run_timeline_deidentification) over events-derived clinical-shaped
+    sources, results unioned with a timeline_id discriminator for the
+    oracle check."""
+    from cdm_cbioportal_etl_spark.pipeline import (
+        load_timeline_configs,
+        run_timeline_pipeline,
+    )
+
+    cfg_dir = os.path.join(
+        os.path.dirname(__file__), "..", "..", "configs", "timelines"
+    )
+    configs = load_timeline_configs(cfg_dir, "test", "patient")
+    ev = _t(spark, sf_dir, "events")
+    pid = F.concat(F.lit("P"), F.lpad(F.col("user_id").cast("string"), 4, "0"))
+    mrn = F.col("user_id").cast("string")  # zero-padded inside the operator
+    anchor_base = ev.groupBy("user_id").agg(
+        F.min("ts").cast("date").alias("DATE_TUMOR_SEQUENCING"),
+        F.max("ts").cast("date").alias("OS_DATE"),
+    )
+    samples = anchor_base.select(pid.alias("PATIENT_ID"))
+    anchor = anchor_base.select(
+        mrn.alias("MRN"), pid.alias("DMP_ID"), "DATE_TUMOR_SEQUENCING"
+    )
+    os_dates = anchor_base.select(mrn.alias("MRN"), "OS_DATE")
+
+    def resolve(name: str) -> DataFrame:
+        if name == "timeline_status":
+            return ev.select(
+                mrn.alias("MRN"),
+                F.col("ts").cast("string").alias("START_DATE"),
+                F.lit("STATUS").alias("EVENT_TYPE"),
+                F.col("event_type").alias("SUBTYPE"),
+                F.col("event_id").alias("EVENT_ID"),
+            )
+        if name == "timeline_treatment":
+            # deterministic synthetic stop date: start + (floor(value) % 30) days
+            stop = F.date_add(
+                F.col("ts").cast("date"),
+                (F.floor("value").cast("long") % 30).cast("int"),
+            )
+            return ev.select(
+                mrn.alias("MRN"),
+                F.col("ts").cast("string").alias("START_DATE"),
+                stop.cast("string").alias("STOP_DATE"),
+                F.lit("TREATMENT").alias("EVENT_TYPE"),
+                F.col("event_type").alias("AGENT"),
+                F.col("event_id").alias("EVENT_ID"),
+            )
+        raise KeyError(f"unknown timeline source_table {name}")
+
+    outs = run_timeline_pipeline(
+        spark, configs, resolve, samples, anchor, os_dates, today=_DEID_TODAY
+    )
+    frames = [
+        df.withColumn("timeline_id", F.lit(tid)) for tid, df in sorted(outs.items())
+    ]
+    res = frames[0]
+    for f in frames[1:]:
+        res = res.unionByName(f, allowMissingColumns=True)
+    return res.select(
+        F.col("timeline_id"),
+        F.col("PATIENT_ID").alias("patient_id"),
+        F.col("START_DATE").cast("long").alias("start_date"),
+        F.col("STOP_DATE").cast("long").alias("stop_date"),
+        F.col("EVENT_TYPE").alias("event_type"),
+        F.col("SUBTYPE").alias("subtype"),
+        F.col("AGENT").alias("agent"),
+        F.col("EVENT_ID").alias("event_id"),
+    )
 
 
 # --------------------------------------------------------------------- #

@@ -43,11 +43,16 @@ def _fn_factory(gap_sec: int):
             if start_s is None:
                 start_s, end_s, n = s, s, 1
             elif s - end_s <= gap_sec:
-                end_s, n = s, n + 1
+                # late arrivals (s < end_s, possible across micro-batches)
+                # must extend the session bounds monotonically, never
+                # regress them — a regressed end_s would let the next
+                # in-order event spuriously close the session
+                start_s, end_s, n = min(start_s, s), max(end_s, s), n + 1
             else:
                 closed.append((key[0], start_s, end_s, n))
                 start_s, end_s, n = s, s, 1
-        state.update((start_s, end_s, n))
+        if start_s is not None:
+            state.update((start_s, end_s, n))
         if closed:
             yield pd.DataFrame(
                 {

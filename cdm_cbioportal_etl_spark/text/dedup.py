@@ -10,11 +10,14 @@ Scale shape:
   candidate blowup by banding (r rows/band) instead of an O(n²) cross.
 - **n-gram Jaccard**: exact verification on candidate pairs only
   (explode-join-aggregate), the standard verify step after LSH.
-- Hash primitive is md5 (identical bytes in Spark and DuckDB) so every
-  operator here is oracle-checkable cross-engine; xxhash64 would be
-  faster JVM-side but engine-private.  The min-hash family is ONE md5
-  per shingle folded to a 60-bit int, then H XOR permutations (pure
-  long arithmetic, whole-stage codegen) — not H md5 calls: hashing cost
+- Hash primitive is selectable via ``hash_fn``: ``"md5"`` (default —
+  identical bytes in Spark and DuckDB, so every operator here is
+  oracle-checkable cross-engine) or ``"xxhash64"`` (production mode —
+  Spark's native 64-bit hash, no hex round-trip, measurably faster;
+  engine-private, so candidate SETS are verified equivalent against the
+  md5 mode in tests rather than against the SQL oracle).  Either way the
+  min-hash family is ONE hash per shingle, then H XOR permutations (pure
+  long arithmetic, whole-stage codegen) — not H hash calls: hashing cost
   is O(shingles), not O(shingles × H).
 """
 
@@ -51,11 +54,33 @@ def shingles(col, k: int = 3) -> Column:
     )
 
 
-def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def _check_hash_fn(hash_fn: str) -> None:
+    if hash_fn not in ("md5", "xxhash64"):
+        raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}")
+
+
+def exact_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn: str = "md5",
+) -> DataFrame:
     """Exact-duplicate groups on canonicalized content: per fingerprint the
     kept (minimum) id and the duplicate count.  Single hash aggregate."""
+    _check_hash_fn(hash_fn)
+    fp = (
+        F.md5(_canon(text_col))
+        if hash_fn == "md5"
+        # production mode: 128 bits from two seeded xxhash64 passes — same
+        # collision regime as md5 without the hex materialization
+        else F.concat_ws(
+            ":",
+            F.xxhash64(_canon(text_col)).cast("string"),
+            F.xxhash64(F.lit("fp2"), _canon(text_col)).cast("string"),
+        )
+    )
     return (
-        docs.select(F.md5(_canon(text_col)).alias("fingerprint"), F.col(id_col))
+        docs.select(fp.alias("fingerprint"), F.col(id_col))
         .groupBy("fingerprint")
         .agg(
             F.min(id_col).alias("keep_id"),
@@ -70,10 +95,16 @@ def family_constant(i: int) -> int:
     return int(hashlib.md5(f"family:{i}".encode()).hexdigest()[:15], 16)
 
 
-def shingle_base_hash(sh: Column) -> Column:
-    """md5(shingle) folded to a 60-bit long — ONE hash per shingle; hash
-    families are XOR permutations of this base (portable: DuckDB mirrors
-    with ``('0x' || substr(md5(s),1,15))::BIGINT``)."""
+def shingle_base_hash(sh: Column, hash_fn: str = "md5") -> Column:
+    """One 64-bit-ish base hash per shingle; hash families are XOR
+    permutations of this base.
+
+    - ``md5``: folded to a 60-bit long via hex (portable: DuckDB mirrors
+      with ``('0x' || substr(md5(s),1,15))::BIGINT``).
+    - ``xxhash64``: Spark's native long hash — no hex string round-trip,
+      the production fast path."""
+    if hash_fn == "xxhash64":
+        return F.transform(sh, lambda s: F.xxhash64(s))
     return F.transform(
         sh, lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
     )
@@ -85,13 +116,15 @@ def minhash_signatures(
     text_col: str = "text",
     num_hashes: int = 16,
     shingle_k: int = 3,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """H engine-portable min-hashes per doc (bigint columns mh_0..mh_H-1).
 
     Family i = ``min(base_hash(s) XOR C_i)`` over the doc's shingles; the
     XOR constants are a (weak but standard) permutation family, and the
-    whole signature costs one md5 + H long-XORs per shingle — all
+    whole signature costs one base hash + H long-XORs per shingle — all
     whole-stage codegen, no Python."""
+    _check_hash_fn(hash_fn)
     # explode to one row per (doc, shingle-hash), then H plain `min`
     # aggregates: md5 runs once per shingle, the aggregate is map-side
     # combinable (shuffle carries ~#docs x H longs, not shingles), and no
@@ -100,7 +133,9 @@ def minhash_signatures(
     # re-evaluate the md5 pipeline per column)
     ex = docs.select(
         F.col(id_col),
-        F.explode(shingle_base_hash(shingles(text_col, shingle_k))).alias("_b"),
+        F.explode(
+            shingle_base_hash(shingles(text_col, shingle_k), hash_fn)
+        ).alias("_b"),
     )
     return ex.groupBy(id_col).agg(
         *[
@@ -117,28 +152,32 @@ def minhash_lsh_candidates(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_k: int = 3,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Candidate near-duplicate pairs: docs sharing ≥1 LSH band.
 
     Signature split into ``bands`` bands of r = H/bands rows; band key =
-    md5 of the concatenated band slice; self-join per band; pairs
+    hash of the concatenated band slice; self-join per band; pairs
     deduped with id_a < id_b.
     """
     assert num_hashes % bands == 0
+    _check_hash_fn(hash_fn)
     r = num_hashes // bands
-    sig = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_k)
+    sig = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_k, hash_fn)
+
     # band index folded into the hash input → a single-column join key with
-    # no cross-band false joins (and a trivially mirrorable SQL oracle)
-    band_cols = [
-        F.md5(
-            F.concat_ws(
-                "|",
-                F.lit(str(b)),
-                *[F.col(f"mh_{b * r + j}").cast("string") for j in range(r)],
-            )
-        ).alias(f"band_{b}")
-        for b in range(bands)
-    ]
+    # no cross-band false joins (and, in md5 mode, a trivially mirrorable
+    # SQL oracle); xxhash64 mode hashes the longs directly — no string
+    # concat in the hot loop
+    def _band_key(b: int) -> Column:
+        members = [F.col(f"mh_{b * r + j}") for j in range(r)]
+        if hash_fn == "xxhash64":
+            return F.xxhash64(F.lit(b), *members)
+        return F.md5(
+            F.concat_ws("|", F.lit(str(b)), *[m.cast("string") for m in members])
+        )
+
+    band_cols = [_band_key(b).alias(f"band_{b}") for b in range(bands)]
     banded = sig.select(F.col(id_col), *band_cols)
     long = banded.unpivot(id_col, [f"band_{b}" for b in range(bands)], "band_idx", "band_key")
     left = long.select(
@@ -164,9 +203,14 @@ def ngram_jaccard_pairs(
     """Exact n-gram Jaccard similarity per pair.
 
     With ``pairs`` given (id_a, id_b), verifies only those candidates —
-    the LSH-then-verify pattern.  Without, compares all pairs sharing at
-    least one shingle (still never a cross join: the shingle join IS the
-    candidate generator).
+    the LSH-then-verify pattern.  The candidate restriction is applied
+    BEFORE the shingle self-join (semi-join of the exploded shingles to
+    the ids appearing in ``pairs``), so verification cost is
+    O(candidate docs' shingles), not O(all docs' shingles) — at 100 TB
+    the candidate set is orders of magnitude smaller than the corpus.
+    Without ``pairs``, compares all pairs sharing at least one shingle
+    (still never a cross join: the shingle join IS the candidate
+    generator).
     """
     sh = docs.select(
         F.col(id_col), shingles(text_col, shingle_k).alias("sh"), F.size(
@@ -174,6 +218,15 @@ def ngram_jaccard_pairs(
         ).alias("n_sh"),
     )
     ex = sh.select(id_col, "n_sh", F.explode("sh").alias("s"))
+    if pairs is not None:
+        # prune EARLY: only docs named in a candidate pair enter the
+        # self-join (LSH already did discovery; verify must not re-pay it)
+        cand_ids = (
+            pairs.select(F.col("id_a").alias(id_col))
+            .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        ex = ex.join(cand_ids, id_col, "left_semi")
     a = ex.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na"), "s")
     b = ex.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb"), "s")
     common = (
@@ -183,6 +236,8 @@ def ngram_jaccard_pairs(
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     if pairs is not None:
+        # exact restriction to the candidate PAIRS (two candidate docs may
+        # share shingles without being an LSH candidate pair)
         common = common.join(pairs, ["id_a", "id_b"], "left_semi")
     return common.select(
         "id_a",
