@@ -56,7 +56,9 @@ _BENCH_QUERIES = [
     "summary_wide_customer",
     "os_survival_events",
     "grouped_timeline_compact",
+    "grouped_timeline_compact_sql",
     "yaml_summary_pipeline",
+    "yaml_timeline_pipeline",
     "timeline_audit_events",
     "age_at_sequencing_samples",
     "cdc_replay_final_state",
@@ -236,6 +238,16 @@ def main() -> None:
             # status REST API for the bytes/event ledger (engine default
             # keeps the UI off; the bench wants the counters)
             "spark.ui.enabled": "true",
+            # fault the whole heap in at startup (untimed) — a long-lived
+            # executor's steady state.  Without it, heap growth during the
+            # timed region page-faults against the kernel allocator; with
+            # multiple JVMs that contention was the round-2 scaling
+            # residue (BENCH.md round 3)
+            "spark.driver.extraJavaOptions": (
+                f"-XX:+UseParallelGC -XX:ActiveProcessorCount={cpus} "
+                f"-Xms{os.environ.get('SPARK_GRAFT_DRIVER_MEM', '8g')} "
+                f"-XX:+AlwaysPreTouch"
+            ),
         },
     )
     spark.sparkContext.setLogLevel("ERROR")

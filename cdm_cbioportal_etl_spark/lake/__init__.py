@@ -1,3 +1,16 @@
+from cdm_cbioportal_etl_spark.lake.backend import (
+    IcebergBackend,
+    MergeBackend,
+    iceberg_available,
+    reduce_winners,
+)
 from cdm_cbioportal_etl_spark.lake.table import LakeTable, SchemaEvolutionError
 
-__all__ = ["LakeTable", "SchemaEvolutionError"]
+__all__ = [
+    "IcebergBackend",
+    "LakeTable",
+    "MergeBackend",
+    "SchemaEvolutionError",
+    "iceberg_available",
+    "reduce_winners",
+]

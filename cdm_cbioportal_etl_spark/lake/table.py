@@ -976,6 +976,11 @@ class LakeTable:
             return sum(snap["bucket_rows"].values())
         return self._count_rows(snap["buckets"])
 
+    def applied_lsn(self) -> int:
+        """Ledger read (the MergeBackend seam, lake/backend.py): the max
+        LSN whose effects are committed in the current snapshot."""
+        return int(self.snapshot["ledger"]["applied_lsn"])
+
     def compact(self, max_files_per_bucket: int = 2) -> int:
         """Rewrite buckets holding more than ``max_files_per_bucket`` files
         into one file each (the no-shuffle write mode trades small files

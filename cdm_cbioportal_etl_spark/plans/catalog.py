@@ -2080,6 +2080,61 @@ def multimodal_payload_stats(spark, sf_dir):
 
 
 # --------------------------------------------------------------------- #
+# Multimodal REAL decode (PPM image + PCM16 WAV audio, numpy kernels):
+# payloads are genuine encoded files whose pixel/sample values are
+# closed-form in the id, so the oracle recomputes the DECODED features
+# exactly — value-checks the decode path, not just the plumbing
+# --------------------------------------------------------------------- #
+@_register(
+    "multimodal_decode_features",
+    """
+    WITH ids AS (SELECT doc_id FROM documents),
+    img AS (
+      SELECT i.doc_id, c.c AS ch,
+             sum((i.doc_id*31 + x.x*3 + y.y*5 + c.c*17) % 256) AS s
+      FROM ids i,
+           generate_series(0, 15) x(x),
+           generate_series(0, 15) y(y),
+           generate_series(0, 2) c(c)
+      WHERE i.doc_id % 2 = 0
+      GROUP BY i.doc_id, c.c
+    ),
+    aud AS (
+      SELECT i.doc_id,
+             sum((i.doc_id*13 + t.i*7) % 4096 - 2048) AS ssum,
+             max((i.doc_id*13 + t.i*7) % 4096 - 2048) AS smax,
+             min((i.doc_id*13 + t.i*7) % 4096 - 2048) AS smin
+      FROM ids i, generate_series(0, 999) t(i)
+      WHERE i.doc_id % 2 = 1
+      GROUP BY i.doc_id
+    )
+    SELECT doc_id AS media_id, 'image' AS kind, 16 AS dim_x, 16 AS dim_y,
+           max(CASE WHEN ch = 0 THEN s END) / 256.0 AS f1,
+           max(CASE WHEN ch = 1 THEN s END) / 256.0 AS f2,
+           max(CASE WHEN ch = 2 THEN s END) / 256.0 AS f3
+    FROM img GROUP BY doc_id
+    UNION ALL
+    SELECT doc_id, 'audio', 1000, 1,
+           ssum / 1000.0, smax::DOUBLE, smin::DOUBLE
+    FROM aud
+    """,
+)
+def multimodal_decode_features(spark, sf_dir):
+    """Real decode end-to-end: synthesize genuine P6 PPM / PCM16 WAV
+    payloads keyed by doc_id (closed-form content), decode them with the
+    numpy codec kernels (text/multimodal.py::decode_ppm /
+    decode_wav_pcm16) inside mapInPandas, and emit exact per-media
+    features the SQL oracle recomputes from the same closed forms."""
+    from cdm_cbioportal_etl_spark.text.multimodal import (
+        decode_features,
+        synth_real_media,
+    )
+
+    ids = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("media_id"))
+    return decode_features(synth_real_media(ids))
+
+
+# --------------------------------------------------------------------- #
 # ROLLUP grouping-sets aggregate (aggregation-surface breadth: subtotal
 # hierarchies in ONE pass — region -> nation -> grand total)
 # --------------------------------------------------------------------- #

@@ -2,11 +2,21 @@
 
 Images/audio/video ride as ``binary`` columns with a metadata struct; the
 Spark-side plumbing (schema, Arrow batch shape, ``mapInPandas`` signature,
-partition sizing) is real and tested.  The actual decode kernels need
-codec libraries that are not in this container, so they are STUBBED:
-``decode_stub=True`` produces deterministic fake features (so pipelines
-are testable end-to-end), ``decode_stub=False`` raises
-``NotImplementedError`` at the exact point a real decoder would plug in.
+partition sizing) is real and tested.
+
+Decode kernels: formats decodable with numpy + the stdlib are REAL —
+``ppm`` (P6 binary RGB raster) and ``wav`` (PCM16 via the stdlib
+``wave`` module), both parsed in the Arrow batch with vectorized numpy.
+Codecs that need external libraries (JPEG/PNG/MP3/H.264 — PIL/ffmpeg are
+not in this container) stay STUBBED: ``decode_stub=True`` produces
+deterministic fake features (so pipelines are testable end-to-end),
+``decode_stub=False`` decodes the real formats and raises
+``NotImplementedError`` at the exact point any other codec would plug
+in.  ``synth_real_media`` generates genuine PPM/WAV payloads whose pixel
+and sample values are CLOSED-FORM functions of the media id, so a SQL
+oracle recomputes the decoded features exactly (catalog query
+``multimodal_decode_features``) — the decode path is value-checked, not
+just shape-checked.
 """
 
 from __future__ import annotations
@@ -61,6 +71,190 @@ def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
     )
 
 
+# ------------------------------------------------------------------- #
+# Real codec kernels (numpy/stdlib only): PPM P6 images, PCM16 WAV
+# ------------------------------------------------------------------- #
+IMG_W = IMG_H = 16
+N_SAMPLES = 1000
+SAMPLE_RATE = 8000
+
+
+def decode_ppm(payload: bytes):
+    """P6 binary PPM → uint8 ndarray (h, w, 3).  Header = magic, width,
+    height, maxval as whitespace-separated tokens, one whitespace, then
+    the raw RGB raster."""
+    import numpy as np
+
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    tokens, i = [], 2
+    while len(tokens) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":  # comment line
+            i = payload.index(b"\n", i) + 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        tokens.append(int(payload[i:j]))
+        i = j
+    i += 1  # single whitespace after maxval
+    w, h, maxval = tokens
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    return np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=i).reshape(
+        h, w, 3
+    )
+
+
+def encode_ppm(img) -> bytes:
+    h, w, _ = img.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + img.astype("uint8").tobytes()
+
+
+def decode_wav_pcm16(payload: bytes):
+    """PCM16 mono/stereo WAV → int16 sample ndarray (interleaved)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(payload), "rb") as wv:
+        if wv.getsampwidth() != 2:
+            raise ValueError("only PCM16 supported")
+        return np.frombuffer(wv.readframes(wv.getnframes()), dtype="<i2")
+
+
+def encode_wav_pcm16(samples, rate: int = SAMPLE_RATE) -> bytes:
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wv:
+        wv.setnchannels(1)
+        wv.setsampwidth(2)
+        wv.setframerate(rate)
+        wv.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def synth_real_media(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """REAL media payloads from an id frame: even ids → a P6 PPM image,
+    odd ids → a PCM16 WAV clip.  Pixel/sample values are closed-form in
+    the id (pixel(y,x,c) = (id·31 + x·3 + y·5 + c·17) mod 256;
+    sample(i) = (id·13 + i·7) mod 4096 − 2048), so decoded features are
+    recomputable by an engine-independent SQL oracle — this is synthetic
+    CONTENT, not a stubbed DECODER."""
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        y, x, c = np.ogrid[0:IMG_H, 0:IMG_W, 0:3]
+        i = np.arange(N_SAMPLES, dtype=np.int64)
+        for pdf in batches:
+            rows = []
+            for mid in pdf[id_col].astype("int64"):
+                mid = int(mid)
+                if mid % 2 == 0:
+                    img = ((mid * 31 + x * 3 + y * 5 + c * 17) % 256).astype(np.uint8)
+                    rows.append(
+                        (mid, "image", encode_ppm(img), (IMG_W, IMG_H, 0, "ppm"))
+                    )
+                else:
+                    s = ((mid * 13 + i * 7) % 4096 - 2048).astype("<i2")
+                    rows.append(
+                        (
+                            mid,
+                            "audio",
+                            encode_wav_pcm16(s),
+                            (0, 0, N_SAMPLES * 1000 // SAMPLE_RATE, "wav"),
+                        )
+                    )
+            yield pd.DataFrame(
+                {
+                    "media_id": [r[0] for r in rows],
+                    "kind": [r[1] for r in rows],
+                    "payload": [r[2] for r in rows],
+                    "meta": [
+                        {
+                            "width": m[0],
+                            "height": m[1],
+                            "duration_ms": m[2],
+                            "codec": m[3],
+                        }
+                        for m in (r[3] for r in rows)
+                    ],
+                }
+            )
+
+    return ids.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        _gen, MEDIA_SCHEMA
+    )
+
+
+DECODE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("dim_x", T.IntegerType()),
+        T.StructField("dim_y", T.IntegerType()),
+        T.StructField("f1", T.DoubleType()),
+        T.StructField("f2", T.DoubleType()),
+        T.StructField("f3", T.DoubleType()),
+    ]
+)
+
+
+def decode_features(media: DataFrame) -> DataFrame:
+    """Decode REAL payloads and emit exact, oracle-checkable features:
+
+    - image/ppm: dims + per-channel means (integer pixel sum / area)
+    - audio/wav: sample count + mean / max / min sample value
+
+    Unknown codecs raise — the honest plug point for PIL/ffmpeg-class
+    decoders stays visible rather than silently passing through."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "kind", "dim_x", "dim_y", "f1", "f2", "f3")}
+            for mid, kind, payload, meta in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"], pdf["meta"]
+            ):
+                codec = meta["codec"] if isinstance(meta, dict) else meta.codec
+                if codec == "ppm":
+                    img = decode_ppm(bytes(payload)).astype(np.int64)
+                    h, w, _ = img.shape
+                    means = img.reshape(-1, 3).sum(axis=0) / float(h * w)
+                    vals = (w, h, *(round(float(m), 6) for m in means))
+                elif codec == "wav":
+                    s = decode_wav_pcm16(bytes(payload)).astype(np.int64)
+                    vals = (
+                        len(s),
+                        1,
+                        round(float(s.sum() / len(s)), 6),
+                        float(s.max()),
+                        float(s.min()),
+                    )
+                else:
+                    raise NotImplementedError(
+                        f"codec {codec!r}: plug a real decoder (PIL/ffmpeg) "
+                        "in here — only ppm/wav decode natively"
+                    )
+                out["media_id"].append(mid)
+                out["kind"].append(kind)
+                out["dim_x"].append(vals[0])
+                out["dim_y"].append(vals[1])
+                out["f1"].append(vals[2])
+                out["f2"].append(vals[3])
+                out["f3"].append(vals[4])
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(_decode, DECODE_FEATURES_SCHEMA)
+
+
 def extract_features(
     media: DataFrame, feature_dim: int = 8, decode_stub: bool = True, batch_hint: int = 1024
 ) -> DataFrame:
@@ -68,25 +262,41 @@ def extract_features(
 
     The UDF receives an iterator of pandas batches — the shape a real
     image/audio decoder needs (vectorized I/O, bounded memory per batch).
+    With ``decode_stub=False``, ppm/wav payloads are REALLY decoded
+    (numpy kernels above) and the feature is decoded-value statistics
+    padded/truncated to ``feature_dim``; other codecs raise at the plug
+    point.  ``decode_stub=True`` keeps the byte-fold fake for pipelines
+    testing plumbing only.
     """
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
+        def _fold(arr: "np.ndarray") -> list[float]:
+            arr = arr.astype(np.float32).ravel()
+            pad = (-len(arr)) % feature_dim
+            if pad:
+                arr = np.concatenate([arr, np.zeros(pad, np.float32)])
+            return arr.reshape(-1, feature_dim).mean(axis=0).tolist()
+
         for pdf in batches:
-            if not decode_stub:
-                raise NotImplementedError(
-                    "real decode requires codec libs (PIL/ffmpeg) not present "
-                    "in this container; plug the decoder in here"
-                )
-            # deterministic fake 'feature': bytes folded into feature_dim floats
             feats = []
-            for payload in pdf["payload"]:
-                arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float32)
-                pad = (-len(arr)) % feature_dim
-                if pad:
-                    arr = np.concatenate([arr, np.zeros(pad, np.float32)])
-                feats.append((arr.reshape(-1, feature_dim).mean(axis=0) / 255.0).tolist())
+            for payload, meta in zip(pdf["payload"], pdf["meta"]):
+                if decode_stub:
+                    raw = np.frombuffer(payload, dtype=np.uint8)
+                    feats.append([v / 255.0 for v in _fold(raw)])
+                    continue
+                codec = meta["codec"] if isinstance(meta, dict) else meta.codec
+                if codec == "ppm":
+                    feats.append(_fold(decode_ppm(bytes(payload))))
+                elif codec == "wav":
+                    feats.append(_fold(decode_wav_pcm16(bytes(payload))))
+                else:
+                    raise NotImplementedError(
+                        f"codec {codec!r}: real decode requires codec libs "
+                        "(PIL/ffmpeg) not present in this container; plug "
+                        "the decoder in here"
+                    )
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

@@ -49,7 +49,64 @@ def plan_text(df) -> str:
     return buf.getvalue()
 
 
+# ------------------------------------------------------------------- #
+# Cartesian guard: no catalog query may plan a CartesianProduct /
+# BroadcastNestedLoopJoin unless whitelisted (the documented exact
+# baselines and scalar-aggregate cross joins).  Wired into pytest
+# (tests/test_plan_guard.py) so a regression fails CI, and runnable
+# standalone via `python scripts/explain_audit.py --cartesian`.
+# ------------------------------------------------------------------- #
+QUADRATIC_OPS = ("CartesianProduct", "BroadcastNestedLoopJoin")
+
+# queries ALLOWED to contain a quadratic operator, and why
+CARTESIAN_WHITELIST = {
+    # exact all-pairs scorers: the documented brute-force baselines the
+    # bucketed LSH/IVF paths are recall-gated against
+    "cosine_topk_embeddings",
+    "embedding_neardup_pairs",
+    # recall audits join approximate vs exact top-k per query point and
+    # embed the exact baseline above
+    "ann_lsh_recall",
+    "ann_ivf_recall",
+    # scalar-aggregate cross join: one row (global counts) joined
+    # against per-source stats — O(n), not O(n^2)
+    "timeline_audit_events",
+}
+
+# queries whose CONSTRUCTION executes jobs (CDC replays write tables;
+# the guard wants plan shapes, not replays) — audited separately via
+# their merge plans in BENCH/EXPLAIN
+SKIP_EXEC = {
+    "cdc_repos_replay",
+    "cdc_repos_replay_mor",
+    "cdc_replay_final_state",
+}
+
+
+def scan_quadratic_joins(spark, sf_dir: str) -> dict[str, list[str]]:
+    """name -> quadratic operators found in its initial physical plan."""
+    from cdm_cbioportal_etl_spark.plans import QUERIES as _Q
+
+    bad: dict[str, list[str]] = {}
+    for name, fn in _Q.items():
+        if name in SKIP_EXEC:
+            continue
+        txt = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        hits = [op for op in QUADRATIC_OPS if op in txt]
+        if hits:
+            bad[name] = hits
+    return bad
+
+
 def main() -> None:
+    if "--cartesian" in sys.argv:
+        spark = get_spark("cartesian-guard")
+        spark.sparkContext.setLogLevel("ERROR")
+        bad = scan_quadratic_joins(spark, "/root/testdata/sf0.001")
+        rogue = {n: ops for n, ops in bad.items() if n not in CARTESIAN_WHITELIST}
+        print(f"quadratic plans: {sorted(bad)}; rogue: {sorted(rogue)}")
+        spark.stop()
+        sys.exit(1 if rogue else 0)
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     # AQE hides codegen annotations in pre-execution plans; the audit
     # wants the static plan shape, so disable it here only

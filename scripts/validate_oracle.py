@@ -41,9 +41,11 @@ def main(sf_dir: str, only: list[str] | None = None):
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     failures = []
+    attempted = 0
     for name, fn in QUERIES.items():
         if only and name not in only:
             continue
+        attempted += 1
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
@@ -80,7 +82,7 @@ def main(sf_dir: str, only: list[str] | None = None):
             print(f"FAIL  {name}: values differ e.g. {diff}")
             continue
         print(f"OK    {name}: {len(s_rows)} rows [{time.time()-t0:.1f}s]")
-    print(f"\n{len(QUERIES) - len(failures)}/{len(QUERIES)} pass")
+    print(f"\n{attempted - len(failures)}/{attempted} pass")
     return 1 if failures else 0
 
 

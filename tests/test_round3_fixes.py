@@ -261,6 +261,78 @@ def test_tsv_backslash_roundtrip(spark, tmp_path):
 
 
 # ------------------------------------------------------------------ #
+# Multimodal REAL decode: PPM / WAV numpy kernels
+# ------------------------------------------------------------------ #
+def test_ppm_wav_roundtrip():
+    import numpy as np
+
+    from cdm_cbioportal_etl_spark.text.multimodal import (
+        decode_ppm,
+        decode_wav_pcm16,
+        encode_ppm,
+        encode_wav_pcm16,
+    )
+
+    img = np.arange(16 * 16 * 3, dtype=np.uint8).reshape(16, 16, 3)
+    assert (decode_ppm(encode_ppm(img)) == img).all()
+    # header with a comment line still parses
+    with_comment = b"P6\n# a comment\n16 16\n255\n" + img.tobytes()
+    assert (decode_ppm(with_comment) == img).all()
+
+    s = (np.arange(1000) % 4096 - 2048).astype("<i2")
+    assert (decode_wav_pcm16(encode_wav_pcm16(s)) == s).all()
+
+
+def test_decode_features_real_media(spark):
+    from cdm_cbioportal_etl_spark.text.multimodal import (
+        decode_features,
+        synth_real_media,
+    )
+
+    ids = spark.range(6).select(F.col("id").alias("media_id"))
+    out = {r.media_id: r for r in decode_features(synth_real_media(ids)).collect()}
+    assert len(out) == 6
+    # media 0 (image): channel-c mean = sum((0*31 + 3x + 5y + 17c) % 256)/256
+    exp = [
+        sum((3 * x + 5 * y + 17 * c) % 256 for x in range(16) for y in range(16)) / 256.0
+        for c in range(3)
+    ]
+    assert out[0].kind == "image" and (out[0].dim_x, out[0].dim_y) == (16, 16)
+    assert [out[0].f1, out[0].f2, out[0].f3] == exp
+    # media 1 (audio): mean/max/min of (13 + 7i) % 4096 - 2048
+    samples = [(13 + 7 * i) % 4096 - 2048 for i in range(1000)]
+    assert out[1].kind == "audio" and out[1].dim_x == 1000
+    assert out[1].f1 == sum(samples) / 1000.0
+    assert (out[1].f2, out[1].f3) == (max(samples), min(samples))
+
+
+def test_decode_unknown_codec_raises(spark):
+    from cdm_cbioportal_etl_spark.text.multimodal import (
+        decode_features,
+        synth_media,
+    )
+
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        decode_features(synth_media(spark, n=4)).collect()
+
+
+def test_extract_features_real_branch(spark):
+    from cdm_cbioportal_etl_spark.text.multimodal import (
+        extract_features,
+        synth_real_media,
+    )
+
+    ids = spark.range(4).select(F.col("id").alias("media_id"))
+    rows = extract_features(
+        synth_real_media(ids), feature_dim=8, decode_stub=False
+    ).collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert len(r.feature) == 8
+        assert all(v == v for v in r.feature)  # finite, no NaN
+
+
+# ------------------------------------------------------------------ #
 # JVM twin of the grouped-map compact: identical output
 # ------------------------------------------------------------------ #
 def test_compact_twins_agree(spark):
