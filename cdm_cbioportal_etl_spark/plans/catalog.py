@@ -659,6 +659,50 @@ def ngram_jaccard_docs(spark, sf_dir):
     return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.2)
 
 
+# near-dup CLUSTERS: connected components over the LSH candidate-pair
+# graph (pairs -> duplicate groups, the step "keep one doc per cluster"
+# needs).  Oracle = same pair pipeline + a recursive transitive closure.
+@_register(
+    "neardup_clusters_docs",
+    _SQL_SHINGLES.replace("WITH toks", "WITH RECURSIVE toks", 1)
+    + f"""
+    , sb AS (SELECT doc_id, {_SQL_BASE} AS base FROM sh)
+    , sig AS (
+      SELECT doc_id,
+             {', '.join(f"{_sql_mh(i)} AS mh_{i}" for i in range(16))}
+      FROM sb
+    ), bands AS (
+      SELECT doc_id, unnest([
+        {', '.join(f"md5('{b}' || '|' || mh_{2*b}::VARCHAR || '|' || mh_{2*b+1}::VARCHAR)"
+                   for b in range(8))}
+      ]) AS band_key
+      FROM sig
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b USING (band_key)
+      WHERE a.doc_id < b.doc_id
+    ), e AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ), reach(id, r) AS (
+      SELECT a, a FROM e
+      UNION
+      SELECT e.a, reach.r FROM e JOIN reach ON reach.id = e.b
+    )
+    SELECT id AS doc_id, min(r)::BIGINT AS cluster_id
+    FROM reach GROUP BY id
+    """,
+)
+def neardup_clusters_docs(spark, sf_dir):
+    from cdm_cbioportal_etl_spark.text.dedup import connected_components
+
+    pairs = minhash_lsh_candidates(
+        _t(spark, sf_dir, "documents"), num_hashes=16, bands=8
+    )
+    return connected_components(pairs)
+
+
 @_register(
     "quality_score_docs",
     """

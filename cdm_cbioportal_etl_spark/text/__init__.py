@@ -1,4 +1,5 @@
 from cdm_cbioportal_etl_spark.text.dedup import (
+    connected_components,
     exact_dedup,
     minhash_signatures,
     minhash_lsh_candidates,
@@ -13,6 +14,7 @@ from cdm_cbioportal_etl_spark.text.analysis import (
 )
 
 __all__ = [
+    "connected_components",
     "exact_dedup",
     "minhash_signatures",
     "minhash_lsh_candidates",

@@ -248,6 +248,65 @@ def ngram_jaccard_pairs(
     ).filter(F.col("jaccard") >= threshold)
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over a pair graph → ``(doc_id, cluster_id)``
+    with cluster_id = the component's minimum doc id.
+
+    Algorithm: iterative min-label propagation — each round every node
+    takes ``min(own label, neighbors' labels)`` (one join + one
+    map-side-combinable min aggregate per round), with ``localCheckpoint``
+    per round to keep lineage flat and a driver-side convergence check
+    (labels-changed count).  Rounds needed = graph diameter; LSH
+    near-duplicate components are band-collision cliques of tiny
+    diameter, so 2-3 rounds settle real corpora.  For adversarial
+    long-chain graphs at web scale, swap in alternating large-star /
+    small-star (Kiveris et al., "Connected Components in MapReduce"),
+    which is O(log²) rounds of the same join+agg shape — the plumbing
+    here (flat-lineage loop, checkpointed labels) is already the harness
+    it needs.
+
+    Reference analog: none (the reference dedups exact rows only); this
+    is the missing step between candidate PAIRS and usable duplicate
+    GROUPS (keep one doc per cluster) in the training-data pipeline.
+    """
+    edges = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    # symmetric closure; distinct so multi-band pairs don't amplify
+    edges = (
+        edges.unionByName(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = edges.select(F.col("a").alias("id")).distinct().select(
+        "id", F.col("id").alias("label")
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges["b"] == labels["id"])
+            .select(edges["a"].alias("id"), "label")
+        )
+        new_labels = (
+            labels.unionByName(nbr)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
 def simhash_fingerprint(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32
 ) -> DataFrame:

@@ -39,6 +39,13 @@ AUDIT = {
         pushed=True, broadcast=False, max_exchanges=1, forbid=["NestedLoop"]
     ),
     "timeline_audit_events": dict(pushed=False, broadcast=True),
+    # round-3 additions: the timeline YAML pipeline must broadcast its
+    # anchor/OS dims; the grouped-compact JVM twin must stay pure JVM
+    # (no Arrow/Python eval in the plan)
+    "yaml_timeline_pipeline": dict(pushed=False, broadcast=True),
+    "grouped_timeline_compact_sql": dict(
+        pushed=False, broadcast=False, forbid=["ArrowEvalPython", "FlatMapGroupsInPandas"]
+    ),
 }
 
 
@@ -80,6 +87,9 @@ SKIP_EXEC = {
     "cdc_repos_replay",
     "cdc_repos_replay_mor",
     "cdc_replay_final_state",
+    # iterative CC loop localCheckpoints eagerly during construction;
+    # its per-round plan is the audited join+agg shape
+    "neardup_clusters_docs",
 }
 
 

@@ -261,6 +261,26 @@ def test_tsv_backslash_roundtrip(spark, tmp_path):
 
 
 # ------------------------------------------------------------------ #
+# Near-dup clustering: connected components over candidate pairs
+# ------------------------------------------------------------------ #
+def test_connected_components_chain_and_islands(spark):
+    from cdm_cbioportal_etl_spark.text import connected_components
+
+    # component {1,2,3,4} as a CHAIN (needs propagation, not one hop),
+    # component {10,11}, and 20-21-22 as a triangle
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "id_a long, id_b long",
+    )
+    out = {r.doc_id: r.cluster_id for r in connected_components(pairs).collect()}
+    assert out == {
+        1: 1, 2: 1, 3: 1, 4: 1,
+        10: 10, 11: 10,
+        20: 20, 21: 20, 22: 20,
+    }
+
+
+# ------------------------------------------------------------------ #
 # Multimodal REAL decode: PPM / WAV numpy kernels
 # ------------------------------------------------------------------ #
 def test_ppm_wav_roundtrip():
