@@ -158,47 +158,60 @@ def ivf_ann(
     1. **Train**: ``n_lists`` centroids picked deterministically from the
        item set itself (hash-ranked sample — stable under retries, no
        k-means iterations; for ANN recall the coarse partition only needs
-       to be spread, not optimal).  Centroids are collected to the driver
-       (n_lists × dim floats — KB-scale) and broadcast as literals.
-    2. **Assign**: every item gets its nearest centroid id (argmin over
-       the broadcast centroid array — a JVM expression, no shuffle).
-       This is the inverted file: at 100 TB you would ``partitionBy``
-       the list id so each probe touches only its lists' files.
+       to be spread, not optimal).  Centroids are pre-normalized and
+       packed into a ONE-ROW DataFrame (``array<array<double>>``) that is
+       broadcast — never collected to the driver and never inlined as
+       literals, so the physical plan stays a few KB regardless of
+       ``n_lists × dim`` (the previous literal-expression encoding built
+       a ~n_lists·dim-node Catalyst tree whose codegen dominated wall
+       time and shipped MB-scale task binaries).
+    2. **Assign**: every item gets its nearest centroid id — one
+       ``transform`` over the broadcast centroid array (argmax of
+       dot(vec, ĉ); ĉ unit-norm, so the per-row ``/|vec|`` factor is
+       constant and ordering-equivalent to cosine).  No shuffle.  This
+       is the inverted file: at 100 TB you would ``partitionBy`` the
+       list id so each probe touches only its lists' files.
     3. **Probe**: each query scores the same centroids and keeps its
        ``n_probe`` nearest lists; candidates = items in those lists
        (broadcast join on list id), then the exact cosine re-rank runs
        on candidates only — O(N · n_probe / n_lists) instead of O(N).
     """
-    # 1) deterministic "training" sample: top-n_lists items by seeded hash
-    cents = (
-        items.select(F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cv"))
-        .orderBy(F.xxhash64(F.col("_cid"), F.lit(seed)))
+    # 1) deterministic "training" sample: top-n_lists items by seeded
+    #    hash, packed into a single row.  collect_list runs on <= n_lists
+    #    rows (post-limit), so the agg is trivially bounded; struct sort
+    #    on the hash key keeps centroid order (and thus list ids) stable.
+    cent_row = (
+        items.select(
+            F.xxhash64(F.col(id_col), F.lit(seed)).alias("_hk"),
+            F.col(vec_col).alias("_cv"),
+        )
+        .orderBy("_hk")
         .limit(n_lists)
-        .collect()
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_hk", "_cv"))),
+                lambda s: F.transform(
+                    s["_cv"], lambda x: x.cast("double") / _norm(s["_cv"])
+                ),
+            ).alias("_cents")
+        )
     )
-    cent_arrays = [
-        F.array(*[F.lit(float(v)) for v in row["_cv"]]) for row in cents
-    ]
 
     def _nearest_lists(vec, n):
-        scored = F.array(
-            *[
-                F.struct(
-                    (_dot(vec, c) / (_norm(vec) * _norm(c))).alias("cos"),
-                    F.lit(i).alias("list_id"),
-                )
-                for i, c in enumerate(cent_arrays)
-            ]
+        # score = dot(vec, ĉ): ĉ unit-norm ⇒ same ordering as cosine
+        scored = F.transform(
+            F.col("_cents"),
+            lambda c, i: F.struct(_dot(vec, c).alias("score"), i.alias("list_id")),
         )
-        ordered = F.reverse(F.array_sort(scored))  # by cos desc, list_id desc tiebreak
+        ordered = F.reverse(F.array_sort(scored))  # score desc, list_id desc tiebreak
         return F.slice(ordered, 1, n)
 
-    it = items.select(
+    it = items.crossJoin(F.broadcast(cent_row)).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_iv"),
         _nearest_lists(F.col(vec_col), 1)[0]["list_id"].alias("_list"),
     )
-    q = queries.select(
+    q = queries.crossJoin(F.broadcast(cent_row)).select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
         F.explode(

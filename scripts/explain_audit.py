@@ -78,6 +78,9 @@ CARTESIAN_WHITELIST = {
     # scalar-aggregate cross join: one row (global counts) joined
     # against per-source stats — O(n), not O(n^2)
     "timeline_audit_events",
+    # one-row broadcast of the packed centroid array (array<array<double>>)
+    # cross-joined onto items/queries — O(n) map-side attach, not O(n^2)
+    "ann_ivf_topk",
 }
 
 # queries whose CONSTRUCTION executes jobs (CDC replays write tables;
