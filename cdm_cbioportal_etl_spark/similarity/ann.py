@@ -101,20 +101,41 @@ def lsh_bucketed_ann(
     """
     if dim is None:
         dim = len(items.select(vec_col).first()[0])
-    buckets = []
-    for t in range(n_tables):
-        planes = _hyperplanes(dim, n_planes, seed + 1000 * t)
-        bits = [
-            F.when(
-                _dot(F.col(vec_col), F.array(*[F.lit(v) for v in plane])) >= 0, "1"
-            ).otherwise("0")
-            for plane in planes
-        ]
-        buckets.append(F.concat(F.lit(f"t{t}:"), *bits).alias(f"_bkt_{t}"))
+    # Hyperplanes are driver-computed constants, but inlining them as
+    # literals builds an ~n_tables·n_planes·dim-node Catalyst tree (twice:
+    # items + queries) whose codegen dominates wall time and ships MB-scale
+    # task binaries.  Pack them instead into a ONE-ROW broadcast DataFrame
+    # (table × plane × dim nested array) and compute each table's sign
+    # bucket with a single transform lambda — few-KB plan at any dim.
+    planes_nested = [
+        _hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)
+    ]
+    plane_row = F.broadcast(
+        items.sparkSession.createDataFrame(
+            [(planes_nested,)], "_planes: array<array<array<double>>>"
+        )
+    )
+    buckets = [
+        F.concat(
+            F.lit(f"t{t}:"),
+            F.array_join(
+                F.transform(
+                    F.col("_planes")[t],
+                    lambda p: F.when(_dot(F.col(vec_col), p) >= 0, "1").otherwise(
+                        "0"
+                    ),
+                ),
+                "",
+            ),
+        ).alias(f"_bkt_{t}")
+        for t in range(n_tables)
+    ]
     bucket_names = [f"_bkt_{t}" for t in range(n_tables)]
 
-    it = items.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_iv"), *buckets)
-    q = queries.select(
+    it = items.crossJoin(plane_row).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_iv"), *buckets
+    )
+    q = queries.crossJoin(plane_row).select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qv"), *buckets
     )
     it_long = it.unpivot(

@@ -78,9 +78,11 @@ CARTESIAN_WHITELIST = {
     # scalar-aggregate cross join: one row (global counts) joined
     # against per-source stats — O(n), not O(n^2)
     "timeline_audit_events",
-    # one-row broadcast of the packed centroid array (array<array<double>>)
-    # cross-joined onto items/queries — O(n) map-side attach, not O(n^2)
+    # one-row broadcast of packed centroid/hyperplane constants
+    # (nested double arrays) cross-joined onto items/queries —
+    # O(n) map-side attach, not O(n^2)
     "ann_ivf_topk",
+    "ann_lsh_topk",
 }
 
 # queries whose CONSTRUCTION executes jobs (CDC replays write tables;
