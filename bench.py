@@ -53,6 +53,10 @@ _BENCH_QUERIES = [
     "simhash_docs",
     "cosine_topk_embeddings",
     "embedding_neardup_pairs",
+    "split_train_val_test",
+    "contamination_ngram_docs",
+    "vocab_top_terms",
+    "pack_sequences_bins",
     "summary_wide_customer",
     "os_survival_events",
     "grouped_timeline_compact",

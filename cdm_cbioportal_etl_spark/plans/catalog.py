@@ -2223,3 +2223,224 @@ def rollup_region_nation_balance(spark, sf_dir):
             "total_balance",
         )
     )
+
+
+# --------------------------------------------------------------------- #
+# training-data curation ops (text/curation.py): dataset assembly steps
+# downstream of dedup/quality — splits, mixture, vocab, contamination,
+# quantile filtering, PII masking, sequence packing
+# --------------------------------------------------------------------- #
+@_register(
+    "split_train_val_test",
+    """
+    SELECT doc_id,
+           CASE WHEN b < 800 THEN 'train'
+                WHEN b < 900 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id,
+                 ('0x' || substr(md5(doc_id::VARCHAR || ':42'), 1, 8))::BIGINT % 1000 AS b
+          FROM documents)
+    """,
+)
+def split_train_val_test(spark, sf_dir):
+    """Deterministic hash train/val/test split — the oracle reproduces
+    the exact per-row membership (same md5-fold), not just the rates."""
+    from cdm_cbioportal_etl_spark.text.curation import split_assign
+
+    docs = _t(spark, sf_dir, "documents")
+    return split_assign(docs, train=0.8, val=0.1, seed=42).select("doc_id", "split")
+
+
+_MIXTURE_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
+
+
+@_register(
+    "mixture_sample_sources",
+    """
+    SELECT doc_id, source
+    FROM (SELECT doc_id, source,
+                 ('0x' || substr(md5(doc_id::VARCHAR || ':7'), 1, 8))::BIGINT % 1000000 AS b,
+                 CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+                             WHEN 'src2' THEN 0.25 WHEN 'src3' THEN 0.1
+                             ELSE 0.05 END AS rate
+          FROM documents)
+    WHERE b < CAST(rate * 1000000 AS BIGINT)
+    """,
+)
+def mixture_sample_sources(spark, sf_dir):
+    """Per-source mixture subsampling (upweight curated, downweight
+    crawl) with exact deterministic membership — zero-shuffle map stage."""
+    from cdm_cbioportal_etl_spark.text.curation import mixture_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return mixture_sample(
+        docs, _MIXTURE_RATES, default_rate=0.05, seed=7
+    ).select("doc_id", "source")
+
+
+@_register(
+    "vocab_top_terms",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(
+               trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), '\\s+')) AS term
+      FROM documents
+    ), c AS (
+      SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1
+    )
+    SELECT term, tf, df,
+           row_number() OVER (ORDER BY tf DESC, term) AS rank
+    FROM c ORDER BY tf DESC, term LIMIT 50
+    """,
+)
+def vocab_top_terms_q(spark, sf_dir):
+    """Corpus vocabulary build (tf + df for IDF): one combinable
+    aggregate + TakeOrdered top-k, no global sort."""
+    from cdm_cbioportal_etl_spark.text.curation import vocab_top_terms
+
+    return vocab_top_terms(_t(spark, sf_dir, "documents"), top_n=50)
+
+
+@_register(
+    "contamination_ngram_docs",
+    _SQL_SHINGLES
+    + """
+    , ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    ev AS (SELECT DISTINCT s FROM ex WHERE doc_id < 50),
+    tr AS (SELECT doc_id, s FROM ex WHERE doc_id >= 50),
+    tot AS (SELECT doc_id, count(*) AS n_shingles FROM tr GROUP BY 1),
+    hit AS (SELECT tr.doc_id, count(*) AS n_hits
+            FROM tr JOIN ev ON tr.s = ev.s GROUP BY 1)
+    SELECT t.doc_id, t.n_shingles, coalesce(h.n_hits, 0) AS n_hits,
+           round(coalesce(h.n_hits, 0) / t.n_shingles::DOUBLE, 4) AS contamination,
+           coalesce(h.n_hits, 0) / t.n_shingles::DOUBLE >= 0.5 AS flagged
+    FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id
+    """,
+)
+def contamination_ngram_docs(spark, sf_dir):
+    """Benchmark decontamination: docs 0-49 play the held-out benchmark;
+    every training doc reports the fraction of its 3-gram shingles seen
+    in the benchmark (GPT-3/PaLM-style n-gram overlap).  The benchmark
+    shingle set is broadcast — the corpus sweep never shuffles."""
+    from cdm_cbioportal_etl_spark.text.curation import contamination_check
+
+    docs = _t(spark, sf_dir, "documents")
+    return contamination_check(
+        docs.filter(F.col("doc_id") >= 50),
+        docs.filter(F.col("doc_id") < 50),
+        flag_threshold=0.5,
+    )
+
+
+@_register(
+    "quality_prank_filter_docs",
+    # reuse the oracle-green quality recipe, then cut on percent_rank
+    # ((rank-1)/(n-1), ties share a rank) — an exact rational, so
+    # membership at the boundary is engine-stable by construction
+    "WITH q AS ({quality}) SELECT doc_id, quality, pr FROM ("
+    "  SELECT doc_id, quality,"
+    "         round(percent_rank() OVER (ORDER BY quality), 6) AS pr FROM q)"
+    " WHERE pr >= 0.1",
+)
+def quality_prank_filter_docs(spark, sf_dir):
+    """Drop the bottom decile by quality score using percent_rank (not an
+    interpolated quantile threshold) so the cut is float-stable."""
+    from cdm_cbioportal_etl_spark.text.curation import quality_percent_rank_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    return quality_percent_rank_filter(
+        docs, quality_score("text"), drop_bottom=0.1
+    )
+
+
+ORACLES["quality_prank_filter_docs"] = ORACLES["quality_prank_filter_docs"].format(
+    quality=ORACLES["quality_score_docs"]
+)
+
+
+@_register(
+    "pii_mask_docs",
+    """
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               text || ' reach user' || doc_id::VARCHAR ||
+               '@mail.example.org or call 555-0100-' || lpad(doc_id::VARCHAR, 4, '0'),
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+             '\\+?[0-9][0-9() .-]{6,}[0-9]', '[PHONE]', 'g') AS masked
+    FROM documents
+    """,
+)
+def pii_mask_docs(spark, sf_dir):
+    """Regex PII scrub (emails then phone-shaped digit runs).  The word-
+    soup corpus has no organic PII, so both engines append a synthetic
+    deterministic contact string per doc before masking — the oracle then
+    verifies the masking expressions byte-for-byte."""
+    from cdm_cbioportal_etl_spark.text.curation import pii_mask
+
+    docs = _t(spark, sf_dir, "documents")
+    synth = F.concat(
+        F.col("text"),
+        F.lit(" reach user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.org or call 555-0100-"),
+        F.lpad(F.col("doc_id").cast("string"), 4, "0"),
+    )
+    return docs.select("doc_id", pii_mask(synth).alias("masked"))
+
+
+@_register("pack_sequences_bins")  # greedy fill is sequential per group —
+# not SQL-expressible without a recursive CTE; validity is contract-gated
+# by pack_sequences_valid below (the ann_*_topk / *_recall pattern)
+def pack_sequences_bins(spark, sf_dir):
+    from cdm_cbioportal_etl_spark.text.curation import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_sequences(docs, budget=256).orderBy("source", "doc_id")
+
+
+@_register(
+    "pack_sequences_valid",
+    # contract oracle: constants emitted only when the packing invariants
+    # hold — every bin within budget (or a lone oversized doc), every doc
+    # packed exactly once, bin ids contiguous from 0 per group
+    "SELECT CAST(1 AS BOOLEAN) AS bins_within_budget,"
+    "       CAST(1 AS BOOLEAN) AS all_docs_packed,"
+    "       CAST(1 AS BOOLEAN) AS bins_contiguous,"
+    "       (SELECT count(*) FROM documents) AS n_docs",
+)
+def pack_sequences_valid(spark, sf_dir):
+    from cdm_cbioportal_etl_spark.text.curation import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    packed = pack_sequences(docs, budget=256)
+    per_bin = packed.groupBy("source", "bin_id").agg(
+        F.sum("n_tokens").alias("_tok"), F.count(F.lit(1)).alias("_n")
+    )
+    bins_ok = per_bin.agg(
+        F.min((F.col("_tok") <= 256) | (F.col("_n") == 1)).alias("ok")
+    )
+    per_grp = packed.groupBy("source").agg(
+        F.min("bin_id").alias("_mn"),
+        F.max("bin_id").alias("_mx"),
+        F.countDistinct("bin_id").alias("_nb"),
+    )
+    contig = per_grp.agg(
+        F.min((F.col("_mn") == 0) & (F.col("_mx") + 1 == F.col("_nb"))).alias("ok")
+    )
+    counts = packed.agg(
+        F.count(F.lit(1)).alias("_n"), F.countDistinct("doc_id").alias("_nd")
+    ).crossJoin(docs.agg(F.count(F.lit(1)).alias("_total")))
+    return (
+        bins_ok.crossJoin(contig.withColumnRenamed("ok", "ok2"))
+        .crossJoin(counts)
+        .select(
+            F.col("ok").alias("bins_within_budget"),
+            ((F.col("_n") == F.col("_total")) & (F.col("_nd") == F.col("_total"))).alias(
+                "all_docs_packed"
+            ),
+            F.col("ok2").alias("bins_contiguous"),
+            F.col("_total").alias("n_docs"),
+        )
+    )

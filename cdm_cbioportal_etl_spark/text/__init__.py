@@ -12,6 +12,15 @@ from cdm_cbioportal_etl_spark.text.analysis import (
     quality_score,
     token_count,
 )
+from cdm_cbioportal_etl_spark.text.curation import (
+    contamination_check,
+    mixture_sample,
+    pack_sequences,
+    pii_mask,
+    quality_percent_rank_filter,
+    split_assign,
+    vocab_top_terms,
+)
 
 __all__ = [
     "connected_components",
@@ -24,4 +33,11 @@ __all__ = [
     "language_id",
     "quality_score",
     "token_count",
+    "contamination_check",
+    "mixture_sample",
+    "pack_sequences",
+    "pii_mask",
+    "quality_percent_rank_filter",
+    "split_assign",
+    "vocab_top_terms",
 ]

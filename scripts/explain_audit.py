@@ -83,6 +83,9 @@ CARTESIAN_WHITELIST = {
     # O(n) map-side attach, not O(n^2)
     "ann_ivf_topk",
     "ann_lsh_topk",
+    # three one-row invariant aggregates cross-joined into the single
+    # contract row — O(1) each, not O(n^2)
+    "pack_sequences_valid",
 }
 
 # queries whose CONSTRUCTION executes jobs (CDC replays write tables;
