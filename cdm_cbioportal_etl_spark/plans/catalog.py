@@ -2444,3 +2444,119 @@ def pack_sequences_valid(spark, sf_dir):
             F.col("_total").alias("n_docs"),
         )
     )
+
+
+@_register(
+    "tfidf_top_terms_per_doc",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(
+               trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), '\\s+')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+    ), df AS (
+      SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1
+    ), n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             round(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0), 4) AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tfidf, rank FROM (
+      SELECT doc_id, term, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, term) AS rank
+      FROM scored)
+    WHERE rank <= 3
+    """,
+)
+def tfidf_top_terms_per_doc(spark, sf_dir):
+    """Top-3 terms per doc by smoothed tf-idf (the classic keyword /
+    feature-extraction pass).  All combinable aggregates; the df table is
+    vocabulary-sized and broadcast onto the tf rows, and the per-doc
+    top-k is a partitioned window, never a global sort."""
+    from cdm_cbioportal_etl_spark.text.dedup import tokens as _tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    ex = docs.select("doc_id", F.explode(_tokens("text")).alias("term"))
+    tf = ex.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = ex.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.count()  # scalar, driver-side by design
+    scored = tf.join(F.broadcast(df), "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf") * (F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0),
+            4,
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "tfidf", "rank")
+    )
+
+
+@_register(
+    "embedding_mean_pool",
+    """
+    SELECT label, pos, round(avg(val), 4) AS mean_val
+    FROM (SELECT label,
+                 unnest(range(len(embedding))) AS pos,
+                 unnest(embedding)::DOUBLE AS val
+          FROM embeddings)
+    GROUP BY 1, 2
+    """,
+)
+def embedding_mean_pool(spark, sf_dir):
+    """Per-label mean-pooled embedding (centroid), emitted long-form as
+    (label, pos, mean) — the cluster-statistics / class-prototype step.
+    posexplode + one combinable avg: shuffle carries labels × dim rows,
+    never the raw vectors."""
+    emb = _t(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "val")
+    ).select("label", F.col("pos").cast("long").alias("pos"),
+             F.col("val").cast("double").alias("val"))
+    return ex.groupBy("label", "pos").agg(
+        F.round(F.avg("val"), 4).alias("mean_val")
+    )
+
+
+@_register(
+    "approx_distinct_terms_gate",
+    # contract oracle: the HLL++ estimate must land within 15% of the
+    # exact distinct-term count (Spark's default rsd is 5%) — the
+    # sketch-accuracy gate pattern, like the ANN recall gates
+    """
+    WITH toks AS (
+      SELECT unnest(string_split_regex(
+               trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), '\\s+')) AS term
+      FROM documents
+    )
+    SELECT count(DISTINCT term) AS n_exact, CAST(1 AS BOOLEAN) AS within_bound
+    FROM toks
+    """,
+)
+def approx_distinct_terms_gate(spark, sf_dir):
+    """approx_count_distinct (HyperLogLog++) vs the exact count — at
+    100 TB the sketch is the only affordable distinct count (map-side
+    mergeable, constant memory); the gate proves its error bound on this
+    corpus rather than trusting it."""
+    from cdm_cbioportal_etl_spark.text.dedup import tokens as _tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    ex = docs.select(F.explode(_tokens("text")).alias("term"))
+    return ex.agg(
+        F.countDistinct("term").alias("n_exact"),
+        F.approx_count_distinct("term").alias("_n_approx"),
+    ).select(
+        "n_exact",
+        (
+            F.abs(F.col("_n_approx") - F.col("n_exact"))
+            <= F.col("n_exact") * 0.15
+        ).alias("within_bound"),
+    )
