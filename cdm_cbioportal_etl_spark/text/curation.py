@@ -124,32 +124,33 @@ def contamination_check(
     GPT-3/PaLM data papers.
 
     The eval shingle set is broadcast (benchmark suites are small by
-    construction), so the training sweep is scan + broadcast left-semi
-    lookup + one combinable aggregate — no shuffle of the corpus."""
+    construction), so the training sweep is ONE pass: scan + explode,
+    broadcast left-join marking hits, and a single combinable aggregate
+    counting total and hit shingles together — the corpus is neither
+    shuffled nor exploded twice."""
     ev = (
         eval_docs.select(F.explode(shingles(text_col, shingle_k)).alias("_s"))
         .distinct()
+        .withColumn("_hit", F.lit(1))
     )
     ex = train_docs.select(
         F.col(id_col), F.explode(shingles(text_col, shingle_k)).alias("_s")
     )
-    hits = (
-        ex.join(F.broadcast(ev), "_s", "left_semi")
+    agg = (
+        ex.join(F.broadcast(ev), "_s", "left")
         .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_hits"))
-    )
-    totals = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
-    frac = F.col("n_hits") / F.col("n_shingles")
-    return (
-        totals.join(hits, id_col, "left")
-        .na.fill({"n_hits": 0})
-        .select(
-            id_col,
-            "n_shingles",
-            "n_hits",
-            F.round(frac, 4).alias("contamination"),
-            (frac >= flag_threshold).alias("flagged"),
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).alias("n_hits"),
         )
+    )
+    frac = F.col("n_hits") / F.col("n_shingles")
+    return agg.select(
+        id_col,
+        "n_shingles",
+        "n_hits",
+        F.round(frac, 4).alias("contamination"),
+        (frac >= flag_threshold).alias("flagged"),
     )
 
 
