@@ -41,17 +41,27 @@ def tokens(col) -> Column:
 
 
 def shingles(col, k: int = 3) -> Column:
-    """Distinct word k-shingles as an array<string> column."""
-    toks = tokens(col)
-    return F.array_distinct(
-        F.when(
-            F.size(toks) >= k,
-            F.transform(
-                F.sequence(F.lit(0), F.size(toks) - k),
-                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
-            ),
-        ).otherwise(F.array(F.concat_ws(" ", toks)))
-    )
+    """Distinct word k-shingles as an array<string> column.
+
+    The token array is bound ONCE per row as a lambda variable
+    (``transform(array(tokens), tt -> ...)``) before the per-shingle
+    loop: referencing the raw tokenize expression inside the inner
+    lambda re-evaluates the regex split per element (interpreted HOFs
+    don't CSE across lambda invocations), which measured 10x slower
+    (7.3s vs 0.7s warm for the sf0.1 shingle explode)."""
+
+    def _build(tt):
+        return F.array_distinct(
+            F.when(
+                F.size(tt) >= k,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(tt) - k),
+                    lambda i: F.concat_ws(" ", F.slice(tt, i + 1, k)),
+                ),
+            ).otherwise(F.array(F.concat_ws(" ", tt)))
+        )
+
+    return F.transform(F.array(tokens(col)), _build)[0]
 
 
 def _check_hash_fn(hash_fn: str) -> None:
