@@ -2560,3 +2560,59 @@ def approx_distinct_terms_gate(spark, sf_dir):
             <= F.col("n_exact") * 0.15
         ).alias("within_bound"),
     )
+
+
+@_register(
+    "multimodal_resample_features",
+    # closed-form oracle over the RESAMPLED grids: resized pixel (Y,X,c)
+    # reads source pixel (y=Y*2, x=X*2) under 16->8 nearest-neighbor;
+    # decimated sample j reads source sample j*4 under stride-4 slicing
+    """
+    WITH ids AS (SELECT doc_id FROM documents),
+    img AS (
+      SELECT i.doc_id, c.c AS ch,
+             sum((i.doc_id*31 + (x.x*2)*3 + (y.y*2)*5 + c.c*17) % 256) AS s
+      FROM ids i,
+           generate_series(0, 7) x(x),
+           generate_series(0, 7) y(y),
+           generate_series(0, 2) c(c)
+      WHERE i.doc_id % 2 = 0
+      GROUP BY i.doc_id, c.c
+    ),
+    aud AS (
+      SELECT i.doc_id,
+             sum((i.doc_id*13 + t.j*4*7) % 4096 - 2048) AS ssum,
+             max((i.doc_id*13 + t.j*4*7) % 4096 - 2048) AS smax,
+             min((i.doc_id*13 + t.j*4*7) % 4096 - 2048) AS smin
+      FROM ids i, generate_series(0, 249) t(j)
+      WHERE i.doc_id % 2 = 1
+      GROUP BY i.doc_id
+    )
+    SELECT doc_id AS media_id, 'image' AS kind, 8 AS dim_x, 8 AS dim_y,
+           max(CASE WHEN ch = 0 THEN s END) / 64.0 AS f1,
+           max(CASE WHEN ch = 1 THEN s END) / 64.0 AS f2,
+           max(CASE WHEN ch = 2 THEN s END) / 64.0 AS f3
+    FROM img GROUP BY doc_id
+    UNION ALL
+    SELECT doc_id, 'audio', 250, 1,
+           ssum / 250.0, smax::DOUBLE, smin::DOUBLE
+    FROM aud
+    """,
+)
+def multimodal_resample_features(spark, sf_dir):
+    """Resize + frame-sample end-to-end: synthesize real PPM/WAV
+    payloads, nearest-neighbor resize images 16x16 -> 8x8, decimate
+    audio 4x, then decode the RESAMPLED payloads and emit features the
+    SQL oracle recomputes from the closed-form content — i.e. the
+    resample kernels are value-checked through a full encode -> resample
+    -> re-encode -> decode round trip, not shape-checked."""
+    from cdm_cbioportal_etl_spark.text.multimodal import (
+        decode_features,
+        resize_image_nn,
+        sample_frames,
+        synth_real_media,
+    )
+
+    ids = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("media_id"))
+    media = synth_real_media(ids)
+    return decode_features(sample_frames(resize_image_nn(media, 8, 8), 4))

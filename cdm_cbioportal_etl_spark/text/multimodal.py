@@ -357,3 +357,82 @@ def payload_stats(
     return media.select(
         F.col(id_col).alias(id_col), F.col(payload_col).alias(payload_col)
     ).mapInPandas(_stats, PAYLOAD_STATS_SCHEMA)
+
+
+def resize_image_nn(
+    media: DataFrame, out_w: int, out_h: int
+) -> DataFrame:
+    """Nearest-neighbor image resize inside the Arrow batch: decode the
+    PPM payload, index-map to the output grid (pure numpy fancy
+    indexing — ``img[(np.arange(out_h)*h)//out_h][:, (np.arange(out_w)*w)//out_w]``),
+    re-encode, and rewrite the meta dims.  Non-image rows pass through
+    untouched, so the op composes with mixed-modality frames.  The
+    PIL/ffmpeg plug point for compressed codecs is the same one
+    ``decode_features`` documents."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads, metas = [], []
+            for kind, payload, meta in zip(pdf["kind"], pdf["payload"], pdf["meta"]):
+                codec = meta["codec"] if isinstance(meta, dict) else meta.codec
+                if kind == "image" and codec == "ppm":
+                    img = decode_ppm(bytes(payload))
+                    h, w, _ = img.shape
+                    ys = (np.arange(out_h) * h) // out_h
+                    xs = (np.arange(out_w) * w) // out_w
+                    out = img[ys][:, xs]
+                    payloads.append(encode_ppm(out))
+                    metas.append(
+                        {"width": out_w, "height": out_h,
+                         "duration_ms": 0, "codec": "ppm"}
+                    )
+                else:
+                    payloads.append(payload)
+                    metas.append(meta)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": payloads,
+                    "meta": metas,
+                }
+            )
+
+    return media.mapInPandas(_resize, MEDIA_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_k: int) -> DataFrame:
+    """Temporal decimation — keep every k-th sample/frame.  For PCM16
+    WAV this is numpy stride slicing on the decoded sample array,
+    re-encoded with the same rate (the video-codec frame-sampling analog
+    rides the same plug point as the other compressed formats).
+    Non-audio rows pass through untouched."""
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, metas = [], []
+            for kind, payload, meta in zip(pdf["kind"], pdf["payload"], pdf["meta"]):
+                codec = meta["codec"] if isinstance(meta, dict) else meta.codec
+                if kind == "audio" and codec == "wav":
+                    s = decode_wav_pcm16(bytes(payload))[::every_k]
+                    payloads.append(encode_wav_pcm16(s))
+                    metas.append(
+                        {"width": 0, "height": 0,
+                         "duration_ms": len(s) * 1000 // SAMPLE_RATE,
+                         "codec": "wav"}
+                    )
+                else:
+                    payloads.append(payload)
+                    metas.append(meta)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": payloads,
+                    "meta": metas,
+                }
+            )
+
+    return media.mapInPandas(_sample, MEDIA_SCHEMA)

@@ -204,3 +204,34 @@ def test_payload_stats_exact_bytes(spark):
     assert out[1] == (3, ord("a") + ord("b") + ord("c"), hashlib.sha256(b"abc").hexdigest())
     assert out[2] == (0, 0, hashlib.sha256(b"").hexdigest())
     assert out[3] == (3, 262, hashlib.sha256(bytes([0, 255, 7])).hexdigest())
+
+
+def test_resize_and_sample_roundtrip(spark):
+    import numpy as np
+
+    from cdm_cbioportal_etl_spark.text.multimodal import (
+        decode_ppm,
+        decode_wav_pcm16,
+        resize_image_nn,
+        sample_frames,
+        synth_real_media,
+    )
+
+    ids = spark.range(0, 6).select(F.col("id").alias("media_id"))
+    media = sample_frames(resize_image_nn(synth_real_media(ids), 4, 4), 10)
+    rows = {r["media_id"]: r for r in media.collect()}
+    # images resized to 4x4 with nearest-neighbor src = out_idx * 4
+    img = decode_ppm(bytes(rows[2]["payload"]))
+    assert img.shape == (4, 4, 3)
+    y, x, c = np.ogrid[0:16, 0:16, 0:3]
+    full = (2 * 31 + x * 3 + y * 5 + c * 17) % 256
+    assert (img == full[::4, ::4]).all()
+    assert rows[2]["meta"]["width"] == 4 and rows[2]["meta"]["height"] == 4
+    # audio decimated 10x: sample j = closed_form(j*10)
+    s = decode_wav_pcm16(bytes(rows[3]["payload"]))
+    assert len(s) == 100
+    j = np.arange(100, dtype=np.int64)
+    assert (s == ((3 * 13 + j * 10 * 7) % 4096 - 2048)).all()
+    # cross-modality pass-through: audio unchanged by resize, image by sample
+    assert rows[3]["meta"]["codec"] == "wav"
+    assert rows[2]["meta"]["codec"] == "ppm"
