@@ -54,6 +54,8 @@ _BENCH_QUERIES = [
     "cosine_topk_embeddings",
     "embedding_neardup_pairs",
     "split_train_val_test",
+    "repetition_ratio_docs",
+    "semantic_dedup_prune",
     "contamination_ngram_docs",
     "vocab_top_terms",
     "pack_sequences_bins",

@@ -2616,3 +2616,91 @@ def multimodal_resample_features(spark, sf_dir):
     ids = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("media_id"))
     media = synth_real_media(ids)
     return decode_features(sample_frames(resize_image_nn(media, 8, 8), 4))
+
+
+@_register(
+    "repetition_ratio_docs",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             string_split_regex(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), '\\s+') AS t
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, t,
+             CASE WHEN len(t) >= 2 THEN
+               list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+             WHEN len(t) > 0 THEN [array_to_string(t, ' ')]
+             ELSE [] END AS g
+      FROM toks
+    ), ex AS (
+      SELECT doc_id, unnest(g) AS gram FROM grams
+    ), cnt AS (
+      SELECT doc_id, gram, count(*) AS c FROM ex GROUP BY 1, 2
+    ), top AS (
+      SELECT doc_id, max(c) AS maxc, sum(c) AS total FROM cnt GROUP BY 1
+    )
+    SELECT g.doc_id,
+           round(CASE WHEN len(g.t) > 0
+                 THEN 1.0 - len(list_distinct(g.t)) * 1.0 / len(g.t)
+                 ELSE 0.0 END, 4) AS dup_token_frac,
+           round(coalesce(top.maxc * 1.0 / top.total, 0.0), 4) AS top_gram_frac
+    FROM grams g LEFT JOIN top ON g.doc_id = top.doc_id
+    """,
+)
+def repetition_ratio_docs(spark, sf_dir):
+    """Gopher/RefinedWeb repetition filters: duplicate-token fraction and
+    top-bigram occurrence fraction per document — zero-shuffle map stage
+    (see text.curation.repetition_signals)."""
+    from cdm_cbioportal_etl_spark.text.curation import repetition_signals
+
+    docs = _t(spark, sf_dir, "documents")
+    sig = repetition_signals(F.col("text"), k=2)
+    return docs.withColumn("_s", sig).select(
+        "doc_id",
+        F.col("_s.dup_token_frac").alias("dup_token_frac"),
+        F.col("_s.top_gram_frac").alias("top_gram_frac"),
+    )
+
+
+@_register(
+    "semantic_dedup_prune",
+    """
+    WITH c0 AS (
+      SELECT ('0x' || substr(md5('c:' || CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT AS hk,
+             vec_id, embedding::DOUBLE[] AS cv
+      FROM embeddings ORDER BY hk, vec_id LIMIT 8
+    ), cents AS (
+      SELECT row_number() OVER (ORDER BY hk, vec_id) - 1 AS idx, cv FROM c0
+    ), scoredc AS (
+      SELECT e.vec_id, e.embedding::DOUBLE[] AS v, c.idx,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cv) DESC,
+                        c.idx ASC) AS rn
+      FROM embeddings e CROSS JOIN cents c
+    ), asg AS (
+      SELECT vec_id, v, idx AS cluster_id FROM scoredc WHERE rn = 1
+    ), pruned AS (
+      SELECT DISTINCT b.vec_id
+      FROM asg a JOIN asg b
+        ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.35
+    )
+    SELECT a.vec_id, a.cluster_id, (p.vec_id IS NULL) AS kept
+    FROM asg a LEFT JOIN pruned p USING (vec_id)
+    """,
+)
+def semantic_dedup_prune(spark, sf_dir):
+    """SemDeDup-style semantic near-duplicate pruning: portable
+    hash-seeded clustering, broadcast-centroid assignment, per-cluster
+    bounded cosine prune (see similarity.semdedup)."""
+    from cdm_cbioportal_etl_spark.similarity.semdedup import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    # synthetic embeddings are near-orthogonal (within-cluster cosine
+    # tops out ~0.49 at sf0.01), so the catalog exercises the prune at the
+    # same 0.35 near-dup band the embedding_neardup_pairs audit uses; a
+    # real corpus would run the SemDeDup-typical ~0.9+.
+    return semantic_dedup(emb, n_clusters=8, threshold=0.35).withColumn(
+        "cluster_id", F.col("cluster_id").cast("long")
+    )

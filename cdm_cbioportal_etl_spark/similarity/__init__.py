@@ -6,10 +6,12 @@ from cdm_cbioportal_etl_spark.similarity.quantize import (
     dequantize_expr,
     quantized_embeddings,
 )
+from cdm_cbioportal_etl_spark.similarity.semdedup import semantic_dedup
 
 __all__ = [
     "cosine_topk_bruteforce",
     "lsh_bucketed_ann",
     "quantized_embeddings",
     "dequantize_expr",
+    "semantic_dedup",
 ]

@@ -194,6 +194,71 @@ def pii_mask(col) -> Column:
     return F.regexp_replace(masked, _PII_PHONE, "[PHONE]")
 
 
+def repetition_signals(col, k: int = 2) -> Column:
+    """Gopher-style within-document repetition signals as a struct:
+
+    - ``dup_token_frac``: 1 - distinct_tokens / total_tokens — the
+      duplicate-word fraction;
+    - ``top_gram_frac``: occurrences of the single most frequent word
+      k-gram / total k-gram occurrences (non-distinct) — the
+      "top n-gram fraction" repetition filter from the Gopher / RefinedWeb
+      data-quality recipes.
+
+    Pure column expressions, zero shuffle: the k-gram multiset is built
+    per row, sorted, and its longest equal-run found with one
+    ``aggregate`` fold (equal grams are adjacent after the sort, so the
+    max run IS the max multiplicity).  Both the token array and the gram
+    array are bound once per row as lambda variables (the
+    ``transform(array(x), v -> ...)[0]`` idiom — interpreted HOFs don't
+    CSE across lambda invocations, see text.dedup.shingles).
+
+    At 100 TB this is a map-only stage over the documents scan; the fold
+    is O(grams·log grams) per row with no per-row Python.
+    """
+
+    def _ratios(tt: Column, gg: Column) -> Column:
+        zero = F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        )
+
+        def _step(acc, x):
+            run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+            return F.struct(
+                x.alias("prev"),
+                run.alias("run"),
+                F.greatest(acc["best"], run).alias("best"),
+            )
+
+        best = F.aggregate(F.array_sort(gg), zero, _step, lambda acc: acc["best"])
+        top_frac = F.when(
+            F.size(gg) > 0, best.cast("double") / F.size(gg)
+        ).otherwise(F.lit(0.0))
+        dup_frac = F.when(
+            F.size(tt) > 0,
+            F.lit(1.0) - F.size(F.array_distinct(tt)).cast("double") / F.size(tt),
+        ).otherwise(F.lit(0.0))
+        return F.struct(
+            F.round(dup_frac, 4).alias("dup_token_frac"),
+            F.round(top_frac, 4).alias("top_gram_frac"),
+        )
+
+    def _build(tt: Column) -> Column:
+        grams = (
+            F.when(
+                F.size(tt) >= k,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(tt) - k),
+                    lambda i: F.concat_ws(" ", F.slice(tt, i + 1, k)),
+                ),
+            )
+            .when(F.size(tt) > 0, F.array(F.concat_ws(" ", tt)))
+            .otherwise(F.array().cast("array<string>"))
+        )
+        return F.transform(F.array(grams), lambda gg: _ratios(tt, gg))[0]
+
+    return F.transform(F.array(tokens(col)), _build)[0]
+
+
 def pack_sequences(
     docs: DataFrame,
     budget: int,

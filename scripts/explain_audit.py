@@ -83,6 +83,8 @@ CARTESIAN_WHITELIST = {
     # O(n) map-side attach, not O(n^2)
     "ann_ivf_topk",
     "ann_lsh_topk",
+    # same one-row centroid-pack broadcast attach (semdedup assignment)
+    "semantic_dedup_prune",
     # three one-row invariant aggregates cross-joined into the single
     # contract row — O(1) each, not O(n^2)
     "pack_sequences_valid",

@@ -149,3 +149,61 @@ def test_quality_prank_drops_bottom_decile(spark, docs):
     # distinct quality values, n=200: exactly the bottom 10% cut
     assert len(rows) == 180
     assert min(r["pr"] for r in rows) >= 0.1
+
+
+def test_repetition_signals_known_values(spark):
+    from cdm_cbioportal_etl_spark.text.curation import repetition_signals
+
+    rows = [
+        (1, "a a a a"),              # tokens: 4x'a' -> dup 0.75; grams: 3x'a a' -> 1.0
+        (2, "a b c d"),              # all distinct -> dup 0.0; grams all distinct -> 1/3
+        (3, "x"),                    # single token: gram = the token itself -> 1.0
+        (4, "  "),                   # blank: zero tokens -> both 0.0
+        (5, "a b a b a"),            # dup 3/5; grams: 'a b','b a','a b','b a' -> 2/4
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["s"]["dup_token_frac"], r["s"]["top_gram_frac"])
+        for r in df.select(
+            "doc_id", repetition_signals(F.col("text")).alias("s")
+        ).collect()
+    }
+    assert out[1] == (0.75, 1.0)
+    assert out[2] == (0.0, round(1 / 3, 4))
+    assert out[3] == (0.0, 1.0)
+    assert out[4] == (0.0, 0.0)
+    assert out[5] == (round(1 - 2 / 5, 4), 0.5)
+
+
+def test_semantic_dedup_prunes_near_duplicates(spark):
+    from cdm_cbioportal_etl_spark.similarity.semdedup import semantic_dedup
+
+    # 20 well-separated base vectors + exact copies of two of them with
+    # higher ids: the copies MUST be pruned (cosine 1.0 to a lower id in
+    # the same cluster); everything else must survive at a high threshold.
+    base = [(i, [1.0 if j == i % 8 else 0.1 * ((i * 7 + j) % 3) for j in range(8)])
+            for i in range(20)]
+    dups = [(100, base[3][1]), (101, base[7][1])]
+    df = spark.createDataFrame(base + dups, "vec_id long, embedding array<float>")
+    out = semantic_dedup(df, n_clusters=4, threshold=0.999)
+    rows = {r["vec_id"]: r for r in out.collect()}
+    assert len(rows) == 22
+    assert rows[100]["kept"] is False
+    assert rows[101]["kept"] is False
+    assert all(r["kept"] for vid, r in rows.items() if vid < 100)
+    # copies land in the same cluster as their originals
+    assert rows[100]["cluster_id"] == rows[3]["cluster_id"]
+    assert rows[101]["cluster_id"] == rows[7]["cluster_id"]
+
+
+def test_semantic_dedup_deterministic(spark):
+    from cdm_cbioportal_etl_spark.similarity.semdedup import semantic_dedup
+
+    df = spark.range(50).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[(F.hash(F.col("id"), F.lit(j)) % 1000 / 1000.0).cast("float")
+                  for j in range(8)]).alias("embedding"),
+    )
+    a = sorted(map(tuple, semantic_dedup(df, n_clusters=4, threshold=0.9).collect()))
+    b = sorted(map(tuple, semantic_dedup(df, n_clusters=4, threshold=0.9).collect()))
+    assert a == b
