@@ -249,10 +249,14 @@ def main() -> None:
             # timed region page-faults against the kernel allocator; with
             # multiple JVMs that contention was the round-2 scaling
             # residue (BENCH.md round 3)
+            # 512m code cache: the 37-query sweep + replay generates more
+            # codegen classes than the default 240m holds; once full,
+            # HotSpot stops JIT-compiling and late queries run interpreted
+            # (measured 3-6x inflation on the back half of the sweep)
             "spark.driver.extraJavaOptions": (
                 f"-XX:+UseParallelGC -XX:ActiveProcessorCount={cpus} "
                 f"-Xms{os.environ.get('SPARK_GRAFT_DRIVER_MEM', '8g')} "
-                f"-XX:+AlwaysPreTouch"
+                f"-XX:+AlwaysPreTouch -XX:ReservedCodeCacheSize=512m"
             ),
         },
     )

@@ -981,21 +981,22 @@ def embedding_neardup_pairs(spark, sf_dir):
     full near-dup pass).  At 100 TB the full pass is LSH-bucket-then-
     verify (`ann_lsh_topk` path); exact all-pairs is the verify stage
     after candidate generation, never the scan itself."""
-    from cdm_cbioportal_etl_spark.similarity.ann import _dot, _norm
+    from cdm_cbioportal_etl_spark.similarity.ann import _dot, unit_vector
 
     emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 4 == 0)
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"))
+    # unit-normalize once per row -> one dot per pair (not dot + 2 norms)
+    a = emb.select(
+        F.col("vec_id").alias("id_a"), unit_vector(F.col("embedding")).alias("_va")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"), unit_vector(F.col("embedding")).alias("_vb")
+    )
     pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
     return (
         pairs.select(
             "id_a",
             "id_b",
-            F.round(
-                _dot(F.col("_va"), F.col("_vb"))
-                / (_norm(F.col("_va")) * _norm(F.col("_vb"))),
-                4,
-            ).alias("cosine"),
+            F.round(_dot(F.col("_va"), F.col("_vb")), 4).alias("cosine"),
         )
         .filter(F.col("cosine") >= 0.35)
     )

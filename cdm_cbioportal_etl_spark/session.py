@@ -33,8 +33,12 @@ _DEFAULTS = {
     # heavy task threads in one JVM (measured 2-3x slower than ParallelGC on
     # a codegen sha2 scan); batch analytics wants max throughput, not pause
     # targets
-    "spark.driver.extraJavaOptions": "-XX:+UseParallelGC",
-    "spark.executor.extraJavaOptions": "-XX:+UseParallelGC",
+    # 512m code cache: the default 240m fills after ~30 distinct
+    # whole-stage-codegen'd query plans in one JVM, HotSpot stops
+    # JIT-compiling, and late queries run interpreted (measured 3-6x
+    # inflation on the full bench sweep in one session)
+    "spark.driver.extraJavaOptions": "-XX:+UseParallelGC -XX:ReservedCodeCacheSize=512m",
+    "spark.executor.extraJavaOptions": "-XX:+UseParallelGC -XX:ReservedCodeCacheSize=512m",
     "spark.ui.enabled": "false",
     "spark.sql.autoBroadcastJoinThreshold": "33554432",  # 32 MB
 }

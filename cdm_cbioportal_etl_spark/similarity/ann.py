@@ -28,6 +28,20 @@ def _norm(a):
     return F.sqrt(_dot(a, a))
 
 
+def unit_vector(vec):
+    """vec / ||vec|| as array<double>, with the norm bound ONCE per row
+    as a lambda variable — referencing ``_norm(vec)`` inside the divide
+    lambda would re-evaluate the O(dim) aggregate per ELEMENT
+    (interpreted HOFs don't CSE outer references; see
+    text.dedup.shingles).  Pre-normalizing turns every downstream
+    pairwise cosine into a single dot product — at N^2/bucketed-pair
+    scale that's a 3x HOF reduction per pair."""
+    return F.transform(
+        F.array(_norm(vec)),
+        lambda n: F.transform(vec, lambda x: x.cast("double") / n),
+    )[0]
+
+
 def cosine_topk_bruteforce(
     items: DataFrame,
     queries: DataFrame,
@@ -43,15 +57,17 @@ def cosine_topk_bruteforce(
     determinism.  Returns (query_id, neighbor_id, cosine, rank).
     """
     q = queries.select(
-        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+        F.col(query_id_col).alias("query_id"),
+        unit_vector(F.col(vec_col)).alias("_qv"),
     )
-    it = items.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_iv"))
+    it = items.select(
+        F.col(id_col).alias("neighbor_id"), unit_vector(F.col(vec_col)).alias("_iv")
+    )
+    # both sides pre-normalized once per row -> one dot per scored pair
     scored = it.crossJoin(F.broadcast(q)).select(
         "query_id",
         "neighbor_id",
-        (_dot(F.col("_qv"), F.col("_iv")) / (_norm(F.col("_qv")) * _norm(F.col("_iv")))).alias(
-            "_cos"
-        ),
+        _dot(F.col("_qv"), F.col("_iv")).alias("_cos"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("_cos"), F.asc("neighbor_id"))
     return (
@@ -132,11 +148,18 @@ def lsh_bucketed_ann(
     ]
     bucket_names = [f"_bkt_{t}" for t in range(n_tables)]
 
+    # bucket bits come from the RAW vector (sign is scale-invariant);
+    # the carried payload is unit-normalized once per row so the verify
+    # stage below is a single dot per candidate pair
     it = items.crossJoin(plane_row).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_iv"), *buckets
+        F.col(id_col).alias("neighbor_id"),
+        unit_vector(F.col(vec_col)).alias("_iv"),
+        *buckets,
     )
     q = queries.crossJoin(plane_row).select(
-        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qv"), *buckets
+        F.col(query_id_col).alias("query_id"),
+        unit_vector(F.col(vec_col)).alias("_qv"),
+        *buckets,
     )
     it_long = it.unpivot(
         ["neighbor_id", "_iv"], bucket_names, "_tbl", "_bucket"
@@ -147,12 +170,11 @@ def lsh_bucketed_ann(
         .select("query_id", "neighbor_id", "_qv", "_iv")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
+    # both sides were unit-normalized once per row -> one dot per candidate
     scored = cands.select(
         "query_id",
         "neighbor_id",
-        (_dot(F.col("_qv"), F.col("_iv")) / (_norm(F.col("_qv")) * _norm(F.col("_iv")))).alias(
-            "_cos"
-        ),
+        _dot(F.col("_qv"), F.col("_iv")).alias("_cos"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("_cos"), F.asc("neighbor_id"))
     return (
@@ -211,9 +233,7 @@ def ivf_ann(
         .agg(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("_hk", "_cv"))),
-                lambda s: F.transform(
-                    s["_cv"], lambda x: x.cast("double") / _norm(s["_cv"])
-                ),
+                lambda s: unit_vector(s["_cv"]),
             ).alias("_cents")
         )
     )
@@ -227,14 +247,17 @@ def ivf_ann(
         ordered = F.reverse(F.array_sort(scored))  # score desc, list_id desc tiebreak
         return F.slice(ordered, 1, n)
 
+    # list assignment uses the RAW vector (argmax over unit centroids is
+    # scale-invariant); the carried payload is unit-normalized once per
+    # row so the re-rank below is a single dot per candidate
     it = items.crossJoin(F.broadcast(cent_row)).select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("_iv"),
+        unit_vector(F.col(vec_col)).alias("_iv"),
         _nearest_lists(F.col(vec_col), 1)[0]["list_id"].alias("_list"),
     )
     q = queries.crossJoin(F.broadcast(cent_row)).select(
         F.col(query_id_col).alias("query_id"),
-        F.col(vec_col).alias("_qv"),
+        unit_vector(F.col(vec_col)).alias("_qv"),
         F.explode(
             F.transform(
                 _nearest_lists(F.col(vec_col), n_probe), lambda s: s["list_id"]
@@ -244,12 +267,11 @@ def ivf_ann(
     cands = it.join(F.broadcast(q), "_list").select(
         "query_id", "neighbor_id", "_qv", "_iv"
     )
+    # both sides were unit-normalized once per row -> one dot per candidate
     scored = cands.select(
         "query_id",
         "neighbor_id",
-        (_dot(F.col("_qv"), F.col("_iv")) / (_norm(F.col("_qv")) * _norm(F.col("_iv")))).alias(
-            "_cos"
-        ),
+        _dot(F.col("_qv"), F.col("_iv")).alias("_cos"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("_cos"), F.asc("neighbor_id"))
     return (

@@ -29,11 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from .ann import _dot, _norm
-
-
-def _cosine(a, b):
-    return _dot(a, b) / (_norm(a) * _norm(b))
+from .ann import _dot, unit_vector
 
 
 def semantic_dedup(
@@ -59,6 +55,10 @@ def semantic_dedup(
     # hash; struct sort on (hash, id) keeps centroid order (= cluster
     # ids) stable and DuckDB-reproducible.  collect_list sees <=
     # n_clusters rows (post-limit) — trivially bounded.
+    # centroids are unit-normalized ONCE in the pack (8 rows); corpus
+    # vectors are unit-normalized ONCE per row below — so assignment and
+    # the pairwise prune each cost a single dot product, never a
+    # per-pair norm (nonzero vectors assumed, as in the whole ANN family)
     cent_row = (
         emb.select(hk.alias("_hk"), F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cv"))
         .orderBy("_hk", "_cid")
@@ -66,20 +66,26 @@ def semantic_dedup(
         .agg(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("_hk", "_cid", "_cv"))),
-                lambda s: s["_cv"],
+                lambda s: unit_vector(s["_cv"]),
             ).alias("_cents")
         )
     )
 
-    vec = F.col(vec_col)
+    vn = F.col("_vn")
     scored = F.transform(
         F.col("_cents"),
-        lambda c, i: F.struct((-_cosine(vec, c)).alias("ns"), i.alias("idx")),
+        lambda c, i: F.struct((-_dot(vn, c)).alias("ns"), i.alias("idx")),
     )
-    assigned = emb.crossJoin(F.broadcast(cent_row)).select(
-        F.col(id_col).alias("vec_id"),
-        vec.alias("_v"),
-        F.array_sort(scored)[0]["idx"].alias("cluster_id"),
+    assigned = (
+        emb.select(
+            F.col(id_col).alias("vec_id"), unit_vector(F.col(vec_col)).alias("_vn")
+        )
+        .crossJoin(F.broadcast(cent_row))
+        .select(
+            "vec_id",
+            vn.alias("_v"),
+            F.array_sort(scored)[0]["idx"].alias("cluster_id"),
+        )
     )
 
     a = assigned.select(
@@ -91,7 +97,7 @@ def semantic_dedup(
     pruned = (
         a.join(b, "cluster_id")
         .where(F.col("_aid") < F.col("_bid"))
-        .where(F.round(_cosine(F.col("_av"), F.col("_bv")), 4) >= F.lit(threshold))
+        .where(F.round(_dot(F.col("_av"), F.col("_bv")), 4) >= F.lit(threshold))
         .select(F.col("_bid").alias("vec_id"))
         .distinct()
     )
