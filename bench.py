@@ -14,7 +14,7 @@ Prints ONE JSON line:
   reports sustained events/sec.
 
 Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (local[N]),
-SPARK_GRAFT_CDC_EVENTS (WAL size, default 16_000_000),
+SPARK_GRAFT_CDC_EVENTS (WAL size, default 32_000_000),
 SPARK_GRAFT_BENCH_SKIP_QUERIES=1 (CDC throughput only).
 """
 
@@ -224,7 +224,7 @@ def main() -> None:
         int(cpus)
     except ValueError:  # e.g. "*"
         cpus = str(os.cpu_count() or 32)
-    n_events = int(os.environ.get("SPARK_GRAFT_CDC_EVENTS", "16000000"))
+    n_events = int(os.environ.get("SPARK_GRAFT_CDC_EVENTS", "32000000"))
     os.makedirs("/dev/shm/spark-local", exist_ok=True)
     spark = get_spark(
         "bench",

@@ -74,7 +74,7 @@ def worker(shard: int, shards: int, events: int, cpus: int, workdir: str,
             # executors are in exactly this state
             "spark.driver.extraJavaOptions": (
                 f"-XX:+UseParallelGC -XX:ActiveProcessorCount={cpus} "
-                f"-Xms6g -XX:+AlwaysPreTouch"
+                f"-Xms6g -XX:+AlwaysPreTouch -XX:ReservedCodeCacheSize=512m"
             ),
             "spark.driver.memory": "6g",
             # status REST API for the bytes/event ledger; per-shard port
