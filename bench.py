@@ -56,6 +56,7 @@ _BENCH_QUERIES = [
     "split_train_val_test",
     "repetition_ratio_docs",
     "semantic_dedup_prune",
+    "semantic_dedup_kmeans",
     "contamination_ngram_docs",
     "vocab_top_terms",
     "pack_sequences_bins",

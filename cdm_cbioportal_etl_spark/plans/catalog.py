@@ -2705,3 +2705,72 @@ def semantic_dedup_prune(spark, sf_dir):
     return semantic_dedup(emb, n_clusters=8, threshold=0.35).withColumn(
         "cluster_id", F.col("cluster_id").cast("long")
     )
+
+
+@_register(
+    "semantic_dedup_kmeans",
+    """
+    WITH un AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+               x -> x / sqrt(list_inner_product(embedding::DOUBLE[],
+                                                embedding::DOUBLE[]))) AS v
+      FROM embeddings
+    ), c0 AS (
+      SELECT ('0x' || substr(md5('c:' || CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT AS hk,
+             vec_id, embedding::DOUBLE[] AS cv
+      FROM embeddings ORDER BY hk, vec_id LIMIT 8
+    ), cents0 AS (
+      SELECT row_number() OVER (ORDER BY hk, vec_id) - 1 AS idx,
+             list_transform(cv, x -> x / sqrt(list_inner_product(cv, cv))) AS cv
+      FROM c0
+    ), a0 AS (
+      SELECT u.vec_id, u.v, c.idx,
+             row_number() OVER (PARTITION BY u.vec_id
+                                ORDER BY list_inner_product(u.v, c.cv) DESC,
+                                         c.idx ASC) AS rn
+      FROM un u CROSS JOIN cents0 c
+    ), asg0 AS (SELECT vec_id, v, idx AS cluster_id FROM a0 WHERE rn = 1),
+    dims AS (
+      SELECT unnest(range(1, (SELECT len(embedding) FROM embeddings LIMIT 1) + 1)) AS i
+    ), mean1 AS (
+      SELECT a.cluster_id, d.i, round(avg(a.v[d.i]), 6) AS m
+      FROM asg0 a CROSS JOIN dims d GROUP BY 1, 2
+    ), cm AS (
+      SELECT cluster_id, array_agg(m ORDER BY i) AS c FROM mean1 GROUP BY 1
+    ), cents1 AS (
+      SELECT s.idx,
+             CASE WHEN cm.c IS NULL THEN s.cv
+                  ELSE list_transform(cm.c,
+                         x -> x / sqrt(list_inner_product(cm.c, cm.c)))
+             END AS cv
+      FROM cents0 s LEFT JOIN cm ON cm.cluster_id = s.idx
+    ), a1 AS (
+      SELECT u.vec_id, u.v, c.idx,
+             row_number() OVER (PARTITION BY u.vec_id
+                                ORDER BY list_inner_product(u.v, c.cv) DESC,
+                                         c.idx ASC) AS rn
+      FROM un u CROSS JOIN cents1 c
+    ), asg1 AS (SELECT vec_id, v, idx AS cluster_id FROM a1 WHERE rn = 1),
+    pruned AS (
+      SELECT DISTINCT b.vec_id
+      FROM asg1 a JOIN asg1 b
+        ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+      WHERE round(list_inner_product(a.v, b.v), 4) >= 0.35
+    )
+    SELECT a.vec_id, a.cluster_id, (p.vec_id IS NULL) AS kept
+    FROM asg1 a LEFT JOIN pruned p USING (vec_id)
+    """,
+)
+def semantic_dedup_kmeans(spark, sf_dir):
+    """SemDeDup with one spherical-Lloyd refinement step — the full
+    recipe: seeded centroids, per-cluster renormalized mean (expressed
+    as bounded combinable aggregations, 6-dp-rounded for engine-portable
+    determinism), reassignment, per-cluster cosine prune.  The oracle
+    replays the identical iteration in SQL (see similarity.semdedup)."""
+    from cdm_cbioportal_etl_spark.similarity.semdedup import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        emb, n_clusters=8, threshold=0.35, refine_iters=1
+    ).withColumn("cluster_id", F.col("cluster_id").cast("long"))

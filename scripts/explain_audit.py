@@ -85,6 +85,7 @@ CARTESIAN_WHITELIST = {
     "ann_lsh_topk",
     # same one-row centroid-pack broadcast attach (semdedup assignment)
     "semantic_dedup_prune",
+    "semantic_dedup_kmeans",
     # three one-row invariant aggregates cross-joined into the single
     # contract row — O(1) each, not O(n^2)
     "pack_sequences_valid",

@@ -207,3 +207,36 @@ def test_semantic_dedup_deterministic(spark):
     a = sorted(map(tuple, semantic_dedup(df, n_clusters=4, threshold=0.9).collect()))
     b = sorted(map(tuple, semantic_dedup(df, n_clusters=4, threshold=0.9).collect()))
     assert a == b
+
+
+def test_semantic_dedup_kmeans_refine(spark):
+    from cdm_cbioportal_etl_spark.similarity.semdedup import semantic_dedup
+
+    # two tight clusters around orthogonal axes + exact copies: one Lloyd
+    # step moves the hash-seeded centroids toward the true cluster means;
+    # copies must still be pruned and membership must be deterministic
+    base = []
+    for i in range(12):
+        axis = i % 2
+        v = [0.05 * ((i * 3 + j) % 5) for j in range(8)]
+        v[axis] = 10.0
+        base.append((i, v))
+    dups = [(100, base[0][1]), (101, base[1][1])]
+    df = spark.createDataFrame(base + dups, "vec_id long, embedding array<float>")
+    out1 = sorted(map(tuple, semantic_dedup(
+        df, n_clusters=2, threshold=0.999, refine_iters=2).collect()))
+    out2 = sorted(map(tuple, semantic_dedup(
+        df, n_clusters=2, threshold=0.999, refine_iters=2).collect()))
+    assert out1 == out2
+    rows = {r[0]: r for r in out1}
+    assert rows[100][2] is False and rows[101][2] is False
+    # axis-dominated members are near-dups of each other at 0.999, so
+    # exactly the lowest id per cluster survives
+    assert rows[0][2] is True and rows[1][2] is True
+    assert all(not r[2] for vid, r in rows.items() if 2 <= vid < 100)
+    # after refinement the two axis-clusters separate: members sharing an
+    # axis land together
+    even_clusters = {rows[i][1] for i in range(0, 12, 2)}
+    odd_clusters = {rows[i][1] for i in range(1, 12, 2)}
+    assert len(even_clusters) == 1 and len(odd_clusters) == 1
+    assert even_clusters != odd_clusters
