@@ -194,6 +194,7 @@ def ivf_ann(
     n_lists: int = 16,
     n_probe: int = 4,
     seed: int = 42,
+    refine_iters: int = 0,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the coarse-quantizer scale
     path complementing ``lsh_bucketed_ann``:
@@ -237,6 +238,18 @@ def ivf_ann(
             ).alias("_cents")
         )
     )
+
+    if refine_iters:
+        # optional spherical-Lloyd refinement of the coarse quantizer
+        # (semdedup.lloyd_refine — bounded combinable aggs, k*dim scalar
+        # shuffle keys); checkpointed so downstream stages don't replay
+        # the iterations.  Lazy import: semdedup imports this module.
+        from .semdedup import lloyd_refine
+
+        vn_df = items.select(
+            F.col(id_col).alias("vec_id"), unit_vector(F.col(vec_col)).alias("_vn")
+        )
+        cent_row = lloyd_refine(vn_df, cent_row, refine_iters).localCheckpoint()
 
     def _nearest_lists(vec, n):
         # score = dot(vec, ĉ): ĉ unit-norm ⇒ same ordering as cosine

@@ -235,3 +235,33 @@ def test_resize_and_sample_roundtrip(spark):
     # cross-modality pass-through: audio unchanged by resize, image by sample
     assert rows[3]["meta"]["codec"] == "wav"
     assert rows[2]["meta"]["codec"] == "ppm"
+
+
+def test_ivf_ann_refined_full_probe_equals_exact(spark):
+    """Lloyd refinement moves the coarse centroids but cannot change the
+    answer when every list is probed -- the exhaustive-probe invariant
+    must hold for ANY quantizer.  Also pins determinism: two runs with
+    the same seed+iters give identical rankings."""
+    from cdm_cbioportal_etl_spark.similarity.ann import (
+        cosine_topk_bruteforce,
+        ivf_ann,
+    )
+
+    items = spark.createDataFrame(
+        [(i, [float(i % 7), float((i * 3) % 5), 1.0]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    qs = items.filter("vec_id < 3").selectExpr("vec_id as query_id", "embedding")
+    exact = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in cosine_topk_bruteforce(items, qs, k=4).collect()
+    }
+    run = lambda: {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in ivf_ann(
+            items, qs, k=4, n_lists=4, n_probe=4, refine_iters=2
+        ).collect()
+    }
+    first = run()
+    assert first == exact
+    assert first == run()
