@@ -703,6 +703,87 @@ def neardup_clusters_docs(spark, sf_dir):
     return connected_components(pairs)
 
 
+# incremental dedup: docs with doc_id % 3 == 0 play the already-ingested
+# corpus (reduced to its compact fingerprint ledger / band index); the
+# rest arrive as the new change-batch.  Corpus text is never rescanned —
+# the CDC-shaped dedup the reference's batch pipeline can't express.
+@_register(
+    "incremental_dedup_docs",
+    """
+    WITH fps AS (
+      SELECT doc_id,
+             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
+      FROM documents
+    ), corpus AS (
+      SELECT fingerprint, min(doc_id) AS owner_id
+      FROM fps WHERE doc_id % 3 = 0 GROUP BY fingerprint
+    ), batch AS (
+      SELECT * FROM fps WHERE doc_id % 3 <> 0
+    ), w AS (
+      SELECT fingerprint, min(doc_id) AS bw FROM batch GROUP BY fingerprint
+    )
+    SELECT b.doc_id, b.fingerprint,
+           CASE WHEN c.owner_id IS NOT NULL THEN 'dup_corpus'
+                WHEN b.doc_id <> w.bw THEN 'dup_batch'
+                ELSE 'accepted' END AS status,
+           CASE WHEN c.owner_id IS NOT NULL THEN c.owner_id
+                WHEN b.doc_id <> w.bw THEN w.bw END AS dup_of
+    FROM batch b JOIN w USING (fingerprint) LEFT JOIN corpus c USING (fingerprint)
+    """,
+)
+def incremental_dedup_docs(spark, sf_dir):
+    from cdm_cbioportal_etl_spark.text.dedup import (
+        fingerprint_ledger,
+        incremental_exact_dedup,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    ledger = fingerprint_ledger(d.filter(F.col("doc_id") % 3 == 0))
+    return incremental_exact_dedup(d.filter(F.col("doc_id") % 3 != 0), ledger)
+
+
+@_register(
+    "incremental_lsh_pairs",
+    _SQL_SHINGLES
+    + f"""
+    , sb AS (SELECT doc_id, {_SQL_BASE} AS base FROM sh)
+    , sig AS (
+      SELECT doc_id,
+             {', '.join(f"{_sql_mh(i)} AS mh_{i}" for i in range(16))}
+      FROM sb
+    ), bands AS (
+      SELECT doc_id, unnest([
+        {', '.join(f"md5('{b}' || '|' || mh_{2*b}::VARCHAR || '|' || mh_{2*b+1}::VARCHAR)"
+                   for b in range(8))}
+      ]) AS band_key
+      FROM sig
+    ), nb AS (SELECT * FROM bands WHERE doc_id % 3 <> 0)
+    , cb AS (SELECT * FROM bands WHERE doc_id % 3 = 0)
+    SELECT DISTINCT id_new, id_other, origin FROM (
+      SELECT n.doc_id AS id_new, c.doc_id AS id_other, 'corpus' AS origin
+      FROM nb n JOIN cb c USING (band_key)
+      UNION ALL
+      SELECT a.doc_id, b.doc_id, 'batch'
+      FROM nb a JOIN nb b USING (band_key)
+      WHERE a.doc_id < b.doc_id
+    )
+    """,
+)
+def incremental_lsh_pairs(spark, sf_dir):
+    from cdm_cbioportal_etl_spark.text.dedup import (
+        incremental_lsh_candidates,
+        lsh_band_keys,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    corpus_bands = lsh_band_keys(
+        d.filter(F.col("doc_id") % 3 == 0), num_hashes=16, bands=8
+    )
+    return incremental_lsh_candidates(
+        d.filter(F.col("doc_id") % 3 != 0), corpus_bands, num_hashes=16, bands=8
+    )
+
+
 @_register(
     "quality_score_docs",
     """

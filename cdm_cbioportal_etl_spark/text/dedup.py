@@ -69,6 +69,21 @@ def _check_hash_fn(hash_fn: str) -> None:
         raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}")
 
 
+def content_fingerprint(text_col, hash_fn: str = "md5") -> Column:
+    """Canonical-content fingerprint expression shared by the exact-dedup
+    family: md5 hex in oracle mode; in production mode 128 bits from two
+    seeded xxhash64 passes — same collision regime as md5 without the hex
+    materialization."""
+    _check_hash_fn(hash_fn)
+    if hash_fn == "md5":
+        return F.md5(_canon(text_col))
+    return F.concat_ws(
+        ":",
+        F.xxhash64(_canon(text_col)).cast("string"),
+        F.xxhash64(F.lit("fp2"), _canon(text_col)).cast("string"),
+    )
+
+
 def exact_dedup(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -77,18 +92,7 @@ def exact_dedup(
 ) -> DataFrame:
     """Exact-duplicate groups on canonicalized content: per fingerprint the
     kept (minimum) id and the duplicate count.  Single hash aggregate."""
-    _check_hash_fn(hash_fn)
-    fp = (
-        F.md5(_canon(text_col))
-        if hash_fn == "md5"
-        # production mode: 128 bits from two seeded xxhash64 passes — same
-        # collision regime as md5 without the hex materialization
-        else F.concat_ws(
-            ":",
-            F.xxhash64(_canon(text_col)).cast("string"),
-            F.xxhash64(F.lit("fp2"), _canon(text_col)).cast("string"),
-        )
-    )
+    fp = content_fingerprint(text_col, hash_fn)
     return (
         docs.select(fp.alias("fingerprint"), F.col(id_col))
         .groupBy("fingerprint")
@@ -155,7 +159,7 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_candidates(
+def lsh_band_keys(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -164,11 +168,11 @@ def minhash_lsh_candidates(
     shingle_k: int = 3,
     hash_fn: str = "md5",
 ) -> DataFrame:
-    """Candidate near-duplicate pairs: docs sharing ≥1 LSH band.
+    """Per-doc LSH band keys: ``(id, band_idx, band_key)`` long form.
 
-    Signature split into ``bands`` bands of r = H/bands rows; band key =
-    hash of the concatenated band slice; self-join per band; pairs
-    deduped with id_a < id_b.
+    This is the *persistable* side of the LSH index: write it out
+    (bucketed by ``band_key``) and later batches probe it with
+    ``incremental_lsh_candidates`` instead of re-shingling the corpus.
     """
     assert num_hashes % bands == 0
     _check_hash_fn(hash_fn)
@@ -189,7 +193,29 @@ def minhash_lsh_candidates(
 
     band_cols = [_band_key(b).alias(f"band_{b}") for b in range(bands)]
     banded = sig.select(F.col(id_col), *band_cols)
-    long = banded.unpivot(id_col, [f"band_{b}" for b in range(bands)], "band_idx", "band_key")
+    return banded.unpivot(
+        id_col, [f"band_{b}" for b in range(bands)], "band_idx", "band_key"
+    )
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Candidate near-duplicate pairs: docs sharing ≥1 LSH band.
+
+    Signature split into ``bands`` bands of r = H/bands rows; band key =
+    hash of the concatenated band slice; self-join per band; pairs
+    deduped with id_a < id_b.
+    """
+    long = lsh_band_keys(
+        docs, id_col, text_col, num_hashes, bands, shingle_k, hash_fn
+    )
     left = long.select(
         F.col(id_col).alias("id_a"), "band_idx", "band_key"
     )
@@ -340,3 +366,132 @@ def simhash_fingerprint(
         bit = F.when(F.col(f"b{i}") > 0, F.lit(2 ** i).cast("long")).otherwise(F.lit(0).cast("long"))
         sim = bit if sim is None else sim + bit
     return agg.select(F.col(id_col), sim.alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup — new-batch vs already-ingested corpus
+#
+# The CDC-shaped variant of the family above: once a corpus is ingested,
+# dedup of each NEW change-batch must not re-read (let alone re-shingle)
+# corpus text.  The corpus side is a compact index instead:
+#
+#   exact    → fingerprint_ledger:  (fingerprint, owner_id)
+#   near-dup → lsh_band_keys:       (doc_id, band_idx, band_key)
+#
+# Both are O(distinct docs) small relative to content, persist as bucketed
+# tables (bucket by fingerprint / band_key), and make every batch probe a
+# co-located join.  Accepted rows ARE the ledger increment — append them
+# and the next batch sees them, which is exactly the monotonic-ledger
+# shape the CDC merge engine already uses for LSNs (lake/table.py).
+# ---------------------------------------------------------------------------
+
+
+def fingerprint_ledger(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Compact ``(fingerprint, owner_id)`` ledger of an ingested corpus.
+
+    owner = min id per fingerprint — the deterministic canonical document
+    that later duplicates point at.  One map-side-combinable aggregate;
+    at scale, write it ``bucketBy(fingerprint)`` so batch probes skip the
+    shuffle."""
+    return (
+        docs.select(
+            content_fingerprint(text_col, hash_fn).alias("fingerprint"),
+            F.col(id_col),
+        )
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias("owner_id"))
+    )
+
+
+def incremental_exact_dedup(
+    batch: DataFrame,
+    ledger: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Dedup a new batch against the corpus fingerprint ledger + itself.
+
+    Returns one row per batch doc: ``(doc_id, fingerprint, status,
+    dup_of)`` with status ∈ {'accepted', 'dup_corpus', 'dup_batch'}:
+
+    - **dup_corpus**: fingerprint already in the ledger → points at the
+      corpus owner (corpus precedence is what makes replay idempotent —
+      re-delivering an accepted batch marks every row dup_corpus).
+    - **dup_batch**: first occurrence in THIS batch wins (min id);
+      losers point at the batch winner.
+    - **accepted**: the ledger increment — union ``(fingerprint,
+      doc_id)`` of these back into the ledger for the next batch.
+
+    Plan shape: one fingerprint scan of the batch, one groupBy(fp) for
+    the batch winner, one left join against the ledger on fp.  Keys are
+    uniform hashes → no skew; corpus text is never touched."""
+    fp = (
+        batch.select(
+            F.col(id_col),
+            content_fingerprint(text_col, hash_fn).alias("fingerprint"),
+        )
+    )
+    winners = fp.groupBy("fingerprint").agg(F.min(id_col).alias("_batch_winner"))
+    led = ledger.select("fingerprint", F.col("owner_id").alias("_owner"))
+    return (
+        fp.join(winners, "fingerprint")
+        .join(led, "fingerprint", "left")
+        .select(
+            F.col(id_col),
+            "fingerprint",
+            F.when(F.col("_owner").isNotNull(), F.lit("dup_corpus"))
+            .when(F.col(id_col) != F.col("_batch_winner"), F.lit("dup_batch"))
+            .otherwise(F.lit("accepted"))
+            .alias("status"),
+            F.when(F.col("_owner").isNotNull(), F.col("_owner"))
+            .when(F.col(id_col) != F.col("_batch_winner"), F.col("_batch_winner"))
+            .alias("dup_of"),
+        )
+    )
+
+
+def incremental_lsh_candidates(
+    batch: DataFrame,
+    corpus_bands: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Near-duplicate candidates for a new batch: vs the corpus band
+    index AND within the batch itself.
+
+    ``corpus_bands`` is a persisted ``lsh_band_keys`` output — only the
+    BATCH is shingled/hashed here; the corpus side contributes index rows
+    (``#docs × bands`` longs), so per-batch cost is O(batch shingles) +
+    a band-key join whose keys are uniform by construction.
+
+    Returns ``(id_new, id_other, origin)`` with origin ∈ {'corpus',
+    'batch'}; within-batch pairs are emitted once (id_new < id_other)."""
+    nb = lsh_band_keys(
+        batch, id_col, text_col, num_hashes, bands, shingle_k, hash_fn
+    )
+    cb = corpus_bands.select(
+        F.col(id_col).alias("id_other"), "band_idx", "band_key"
+    )
+    cross = (
+        nb.select(F.col(id_col).alias("id_new"), "band_idx", "band_key")
+        .join(cb, ["band_idx", "band_key"])
+        .select("id_new", "id_other", F.lit("corpus").alias("origin"))
+    )
+    left = nb.select(F.col(id_col).alias("id_new"), "band_idx", "band_key")
+    right = nb.select(F.col(id_col).alias("id_other"), "band_idx", "band_key")
+    within = (
+        left.join(right, ["band_idx", "band_key"])
+        .filter(F.col("id_new") < F.col("id_other"))
+        .select("id_new", "id_other", F.lit("batch").alias("origin"))
+    )
+    return cross.unionByName(within).distinct()

@@ -265,3 +265,87 @@ def test_ivf_ann_refined_full_probe_equals_exact(spark):
     first = run()
     assert first == exact
     assert first == run()
+
+
+def test_incremental_exact_dedup_semantics(spark, docs):
+    from cdm_cbioportal_etl_spark.text import (
+        fingerprint_ledger,
+        incremental_exact_dedup,
+    )
+
+    corpus = docs.filter("doc_id <= 2")           # 1 & 2 are exact dups
+    ledger = fingerprint_ledger(corpus)
+    batch = spark.createDataFrame(
+        [
+            (10, DOCS[0][1]),   # dup of corpus doc 1 (owner = min id = 1)
+            (11, "brand new content never seen before in any corpus"),
+            (12, "brand new content never seen before in any corpus"),  # batch dup of 11
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in incremental_exact_dedup(batch, ledger).collect()}
+    assert out[10].status == "dup_corpus" and out[10].dup_of == 1
+    assert out[11].status == "accepted" and out[11].dup_of is None
+    assert out[12].status == "dup_batch" and out[12].dup_of == 11
+
+    # replay idempotence: accept batch -> extend ledger -> redeliver the
+    # same batch: every row must now be dup_corpus (nothing re-accepted)
+    accepted = (
+        incremental_exact_dedup(batch, ledger)
+        .filter("status = 'accepted'")
+        .select("fingerprint", F.col("doc_id").alias("owner_id"))
+    )
+    redelivered = incremental_exact_dedup(
+        batch, ledger.unionByName(accepted)
+    ).collect()
+    assert all(r.status == "dup_corpus" for r in redelivered)
+
+
+def test_incremental_exact_dedup_hash_modes_agree(spark, docs):
+    """md5 and xxhash64 modes must classify identically (fingerprints
+    differ, the accept/dup decisions may not)."""
+    from cdm_cbioportal_etl_spark.text import (
+        fingerprint_ledger,
+        incremental_exact_dedup,
+    )
+
+    corpus = docs.filter("doc_id % 3 = 0")
+    batch = docs.filter("doc_id % 3 != 0")
+    by_mode = {}
+    for mode in ("md5", "xxhash64"):
+        led = fingerprint_ledger(corpus, hash_fn=mode)
+        by_mode[mode] = {
+            (r.doc_id, r.status, r.dup_of)
+            for r in incremental_exact_dedup(batch, led, hash_fn=mode).collect()
+        }
+    assert by_mode["md5"] == by_mode["xxhash64"]
+
+
+def test_incremental_lsh_matches_full_restriction(spark, docs):
+    """Incremental candidates == full-corpus LSH pairs restricted to
+    pairs touching >=1 batch doc (orientation normalized)."""
+    from cdm_cbioportal_etl_spark.text import (
+        incremental_lsh_candidates,
+        lsh_band_keys,
+    )
+
+    new_ids = {r.doc_id for r in docs.filter("doc_id % 2 = 1").collect()}
+    full = {
+        frozenset((r.id_a, r.id_b))
+        for r in minhash_lsh_candidates(docs, num_hashes=16, bands=8).collect()
+    }
+    expected = {p for p in full if p & new_ids}
+    corpus_bands = lsh_band_keys(
+        docs.filter("doc_id % 2 = 0"), num_hashes=16, bands=8
+    )
+    inc = incremental_lsh_candidates(
+        docs.filter("doc_id % 2 = 1"), corpus_bands, num_hashes=16, bands=8
+    ).collect()
+    got = {frozenset((r.id_new, r.id_other)) for r in inc}
+    assert got == expected
+    # origin tags are consistent with membership
+    for r in inc:
+        if r.origin == "corpus":
+            assert r.id_new in new_ids and r.id_other not in new_ids
+        else:
+            assert r.id_new in new_ids and r.id_other in new_ids
