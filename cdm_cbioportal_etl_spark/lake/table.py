@@ -304,6 +304,7 @@ class LakeTable:
         buckets: set[int] | None = None,
         with_lsn: bool = False,
         version: int | None = None,
+        prune: dict | None = None,
     ) -> DataFrame:
         """Scan the current snapshot, optionally pruned to a bucket subset.
 
@@ -313,6 +314,21 @@ class LakeTable:
 
         ``version`` time-travels to an older snapshot (immutable manifests
         + immutable data files make every retained version readable).
+
+        ``prune`` skips data files by manifest min/max stats: a dict of
+        column → scalar (equality) or (lo, hi) inclusive range (None =
+        open bound).  This is FILE SKIPPING, not filtering — the scan
+        returns a superset of matching rows and the caller still applies
+        the row filter; pruning only guarantees no file that could hold a
+        match is dropped.  When delta files are present (MOR), only KEY
+        columns participate: a non-key column can change between a base
+        row and its newer delta version, so pruning on it could drop the
+        file holding the latest version and resurrect a stale row; key
+        columns are immutable per row, so every version of a key prunes
+        identically.  Sorting within buckets by key (the write path
+        already does) is what makes key-range skipping effective —
+        bucket-pruning picks the bucket, stats-pruning picks files inside
+        it.
         """
         snap = self.snapshot if version is None else self.snapshot_at(version)
         target = (
@@ -320,13 +336,22 @@ class LakeTable:
             if version is None
             else schema_from_json(snap["schemas"][str(snap["schema_id"])])
         )
+        has_deltas = any(
+            fobj.get("delta", False)
+            for b, files in snap["buckets"].items()
+            if buckets is None or int(b) in buckets
+            for fobj in files
+        )
+        eff_prune = prune
+        if prune and has_deltas:
+            eff_prune = {c: p for c, p in prune.items() if c in snap["key_cols"]}
         by_schema: dict[int, list[str]] = {}
-        has_deltas = False
         for b, files in snap["buckets"].items():
             if buckets is not None and int(b) not in buckets:
                 continue
             for fobj in files:
-                has_deltas = has_deltas or fobj.get("delta", False)
+                if eff_prune and not self._stats_admit(fobj, eff_prune):
+                    continue
                 by_schema.setdefault(fobj["schema_id"], []).append(
                     os.path.join(self.root, fobj["path"])
                 )
@@ -408,6 +433,7 @@ class LakeTable:
             .write.partitionBy("_bucket")
             .parquet(out_abs)
         )
+        stats_cols = self._stats_cols()
         mapping: dict[str, list[dict]] = {}
         for entry in sorted(os.listdir(out_abs)):
             if not entry.startswith("_bucket="):
@@ -417,12 +443,95 @@ class LakeTable:
             bdir = os.path.join(out_abs, entry)
             for fn in sorted(os.listdir(bdir)):
                 if fn.endswith(".parquet"):
-                    files.append(
-                        {"path": os.path.join(out_rel, entry, fn), "schema_id": schema_id}
+                    fobj = {
+                        "path": os.path.join(out_rel, entry, fn),
+                        "schema_id": schema_id,
+                    }
+                    # one footer open yields BOTH the skipping stats and
+                    # the row count (so _files_rows never re-reads footers
+                    # for freshly written files)
+                    st, nrows = self._file_column_stats(
+                        os.path.join(bdir, fn), stats_cols
                     )
+                    if st:
+                        fobj["stats"] = st
+                    fobj["rows"] = nrows
+                    files.append(fobj)
             if files:
                 mapping[b] = files
         return mapping
+
+    # ------------------------------------------------------------------ #
+    # per-file column stats (Iceberg-style data skipping)
+    # ------------------------------------------------------------------ #
+    def _stats_cols(self) -> list[str]:
+        """Columns whose min/max are recorded per data file in the
+        manifest.  Table property ``stats_cols`` (comma-separated), default
+        key columns + LSN — the two prune dimensions every CDC read wants
+        (point/range key lookups; incremental since-LSN scans)."""
+        prop = self.snapshot.get("properties", {}).get("stats_cols")
+        if prop is not None:
+            return [c for c in str(prop).split(",") if c]
+        return [*self.key_cols, LSN_COL]
+
+    @staticmethod
+    def _file_column_stats(
+        path: str, cols: list[str]
+    ) -> tuple[dict[str, list], int]:
+        """(min/max per requested column, row count) from one parquet
+        footer read — the writer-side stats collection Iceberg does in
+        its manifests.  Here the writer is the driver, so the footer is
+        re-opened locally; on a real cluster this rides the task commit
+        message instead.  Columns with unusable stats (no min/max,
+        non-scalar types) are simply absent — absence always means
+        "cannot prune"."""
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(path).metadata
+        agg: dict[str, list] = {}
+        for rg in range(md.num_row_groups):
+            row = md.row_group(rg)
+            for ci in range(row.num_columns):
+                col = row.column(ci)
+                name = col.path_in_schema
+                if name not in cols:
+                    continue
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    agg.pop(name, None)
+                    cols = [c for c in cols if c != name]  # poison: some
+                    # row group lacks stats -> the file bound is unknown
+                    continue
+                lo, hi = st.min, st.max
+                if isinstance(lo, bytes):
+                    try:
+                        lo, hi = lo.decode("utf-8"), hi.decode("utf-8")
+                    except UnicodeDecodeError:
+                        continue
+                if not isinstance(lo, (str, int, float, bool)):
+                    continue
+                if name in agg:
+                    agg[name] = [min(agg[name][0], lo), max(agg[name][1], hi)]
+                else:
+                    agg[name] = [lo, hi]
+        return agg, md.num_rows
+
+    @staticmethod
+    def _stats_admit(fobj: dict, prune: dict) -> bool:
+        """True when the file may contain rows matching every prune
+        predicate.  A missing stats entry admits the file (never unsound);
+        predicate forms: scalar (equality) or (lo, hi) with None = open."""
+        stats = fobj.get("stats") or {}
+        for col, pred in prune.items():
+            if col not in stats:
+                continue
+            fmin, fmax = stats[col]
+            lo, hi = pred if isinstance(pred, (tuple, list)) else (pred, pred)
+            if lo is not None and fmax < lo:
+                return False
+            if hi is not None and fmin > hi:
+                return False
+        return True
 
     def overwrite(self, df: DataFrame, lsn: int = 0, reset_ledger: bool = False) -> None:
         """Full rewrite (the reference's only persistence mode).
@@ -956,15 +1065,26 @@ class LakeTable:
     # maintenance
     # ------------------------------------------------------------------ #
     def _files_rows(self, files: list[dict]) -> int:
-        """Row count for a file list from parquet footers (threaded)."""
+        """Row count for a file list: manifest-recorded counts where
+        present (files written since stats collection landed carry
+        ``rows``), parquet footers (threaded) for legacy entries."""
         import pyarrow.parquet as pq
         from concurrent.futures import ThreadPoolExecutor
 
-        paths = [os.path.join(self.root, fobj["path"]) for fobj in files]
+        known = sum(f["rows"] for f in files if "rows" in f)
+        paths = [
+            os.path.join(self.root, fobj["path"])
+            for fobj in files
+            if "rows" not in fobj
+        ]
+        if not paths:
+            return known
         if len(paths) <= 2:
-            return sum(pq.ParquetFile(p).metadata.num_rows for p in paths)
+            return known + sum(pq.ParquetFile(p).metadata.num_rows for p in paths)
         with ThreadPoolExecutor(min(16, len(paths))) as ex:
-            return sum(ex.map(lambda p: pq.ParquetFile(p).metadata.num_rows, paths))
+            return known + sum(
+                ex.map(lambda p: pq.ParquetFile(p).metadata.num_rows, paths)
+            )
 
     def _count_rows(self, buckets_meta: dict[str, list[dict]]) -> int:
         """Row count from parquet footers only — metadata-scale, no scan."""

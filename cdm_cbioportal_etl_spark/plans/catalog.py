@@ -2169,6 +2169,49 @@ def cdc_repos_replay_mor(spark, sf_dir):
 
 
 # --------------------------------------------------------------------- #
+# Stats-pruned lake read (Iceberg-style data skipping): the table's
+# manifest carries per-file min/max for key cols + LSN; read(prune=...)
+# skips files whose range cannot match, then the ordinary row filter
+# produces the exact answer the oracle checks.  Bucket pruning picks
+# buckets; stats pruning picks files inside them — the two metadata-only
+# levers a 100 TB point/range lookup needs.
+# --------------------------------------------------------------------- #
+@_register(
+    "lake_pruned_range_read",
+    """
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer
+    WHERE c_custkey BETWEEN 100 AND 199
+    """,
+)
+def lake_pruned_range_read(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    root = os.path.join(
+        CDC_WORK_DIR,
+        spark.sparkContext.applicationId,
+        "prune-" + os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    table = LakeTable.create(
+        spark,
+        root,
+        T.StructType(
+            [
+                T.StructField("c_custkey", T.LongType()),
+                T.StructField("c_name", T.StringType()),
+                T.StructField("c_acctbal", T.DoubleType()),
+            ]
+        ),
+        key_cols=["c_custkey"],
+        n_buckets=8,
+    )
+    table.overwrite(cust)
+    return table.read(prune={"c_custkey": (100, 199)}).filter(
+        F.col("c_custkey").between(100, 199)
+    )
+
+
+# --------------------------------------------------------------------- #
 # Multimodal binary-column plumbing, oracle-gated (U3): text payloads
 # become binary columns, and the mapInPandas stage computes per-byte
 # statistics an engine-independent oracle recomputes exactly
