@@ -110,6 +110,10 @@ class MergeStats:
     # commit) — recorded in lineage too; the observability the
     # scaling-efficiency work reads
     timings: dict | None = None
+    # COW file skipping: data files in touched buckets whose key-range
+    # stats proved them winner-free, referenced unchanged instead of
+    # rewritten (0 under MOR / when stats are unavailable)
+    carried_files: int = 0
 
 
 class LakeTable:
@@ -840,12 +844,19 @@ class LakeTable:
         # batch idempotent even when prepare() ran against an older snapshot
         reduced = reduced.filter(F.col(LSN_COL) > F.lit(applied))
 
+        # _wmin/_wmax/_nullk ride the same single gate job: the winner
+        # key range drives COW file skipping below (deletes included —
+        # their target files must be admitted for rewrite)
+        k0 = keys[0]
         agg = reduced.agg(
             F.count(F.lit(1)).alias("keys"),
             F.sum("_n_events").alias("rows"),
             F.sum(F.when(F.col("_op") == "delete", 1).otherwise(0)).alias("dels"),
             F.collect_set("_bucket").alias("buckets"),
             F.max(LSN_COL).alias("max_lsn"),
+            F.min(F.col(k0)).alias("_wmin"),
+            F.max(F.col(k0)).alias("_wmax"),
+            F.sum(F.when(F.col(k0).isNull(), 1).otherwise(0)).alias("_nullk"),
         ).collect()[0]
         if not agg["keys"]:
             # everything already applied — pure idempotent no-op
@@ -897,6 +908,70 @@ class LakeTable:
                 batch_total, count_batch, batch_id, source_watermarks,
                 extra_lineage, applied_segments, t0, t_gate, t_write,
             )
+        # ---- COW file skipping (Iceberg's real rewrite granularity) ----
+        # Within each touched bucket, a base file whose key-range stats
+        # are disjoint from the batch's winner range [wmin, wmax] cannot
+        # contain any upserted/deleted key: reference it UNCHANGED and
+        # rewrite only the admitted files.  For insert-mostly streams
+        # whose new keys don't straddle old files this collapses COW
+        # merge cost from O(touched-bucket bytes) to O(batch bytes) while
+        # keeping reads resolution-free.  Soundness: (a) winner keys lie
+        # in [wmin, wmax], so no carried file can hold a current OR stale
+        # version of one; (b) base files inside a bucket hold pairwise
+        # DISJOINT key sets (full rewrites trivially; skipping rewrites
+        # inductively: new files hold admitted-file keys + winner keys,
+        # both disjoint from carried keys), so carrying never duplicates
+        # a key; (c) buckets containing MOR delta files rewrite wholly —
+        # versions of one key may span admitted and carried files there,
+        # and resolving from a partial version set could emit a stale row
+        # into a base file; (d) a batch with null first-key winners
+        # disables skipping (file stats are null-blind).
+        wmin, wmax = agg["_wmin"], agg["_wmax"]
+        file_skip = (
+            wmin is not None
+            and int(agg["_nullk"]) == 0
+            and str(
+                snap.get("properties", {}).get("cow_file_skip", "true")
+            ).lower() != "false"
+        )
+        carried: dict[str, list[dict]] = {}
+        delta_buckets = {
+            b
+            for b in touched
+            if any(f.get("delta") for f in snap["buckets"].get(str(b), []))
+        }
+        if file_skip:
+            for b in touched - delta_buckets:
+                keep = [
+                    f
+                    for f in snap["buckets"].get(str(b), [])
+                    if not self._stats_admit(f, {k0: (wmin, wmax)})
+                ]
+                if keep:
+                    carried[str(b)] = keep
+
+        def _scan_existing() -> DataFrame:
+            # the pruned read admits EXACTLY the complement of `carried`
+            # (same _stats_admit predicate); delta buckets scan in full
+            if not file_skip:
+                return self.read(buckets=touched, with_lsn=True)
+            parts = []
+            cow_buckets = touched - delta_buckets
+            if cow_buckets:
+                parts.append(
+                    self.read(
+                        buckets=cow_buckets,
+                        with_lsn=True,
+                        prune={k0: (wmin, wmax)},
+                    )
+                )
+            if delta_buckets:
+                parts.append(self.read(buckets=delta_buckets, with_lsn=True))
+            df = parts[0]
+            for p in parts[1:]:
+                df = df.unionByName(p)
+            return df
+
         if int(agg["keys"]) <= self._winner_threshold():
             # broadcast resolve — no key-shuffle of any payload: the slim
             # winner key set is broadcast against the existing scan.
@@ -919,10 +994,7 @@ class LakeTable:
                     F.lit(1).alias("_w"),
                 )
             )
-            existing = (
-                self.read(buckets=touched, with_lsn=True)
-                .withColumn("_bucket", self._bucket_expr())
-            )
+            existing = _scan_existing().withColumn("_bucket", self._bucket_expr())
             cond = None
             for i, k in enumerate(keys):
                 c = existing[k].eqNullSafe(F.col(f"_wk_{i}"))
@@ -944,7 +1016,7 @@ class LakeTable:
             # and take max-LSN per key in one hash aggregate; both sides
             # shuffle once on the key, partial agg handles skew
             existing = (
-                self.read(buckets=touched, with_lsn=True)
+                _scan_existing()
                 .withColumn("_op", F.lit("upsert"))
                 .withColumn("_bucket", self._bucket_expr())
             )
@@ -966,33 +1038,47 @@ class LakeTable:
         mapping = self._write_bucket_files(resolved, snap["schema_id"], pre_bucketed=True)
         t_write = _time.perf_counter()
 
-        # new snapshot: untouched buckets carried over, touched replaced
+        # new snapshot: untouched buckets carried over; touched buckets =
+        # their carried (winner-free) files + the rewritten output
         buckets_meta = {
             b: files for b, files in snap["buckets"].items() if int(b) not in touched
         }
-        buckets_meta.update(mapping)
-        # per-bucket row counts live in the manifest: rewritten buckets are
-        # footer-counted from the just-written (page-cache-hot) files in a
-        # thread pool; untouched buckets carry their counts forward — the
-        # table row count is metadata-only at any scale
+        for b, files in carried.items():
+            buckets_meta[b] = list(files)
+        for b, files in mapping.items():
+            buckets_meta[b] = buckets_meta.get(b, []) + files
+        # per-bucket row counts live in the manifest: touched buckets sum
+        # their files' manifest-recorded counts (just-written files carry
+        # `rows`; carried files keep theirs); untouched buckets carry
+        # their counts forward — the table row count is metadata-only at
+        # any scale
         prior_rows = snap.get("bucket_rows", {})
+        touched_str = {str(b) for b in touched}
         bucket_rows = {
             # see MOR branch note: no eager-default dict.get here
             b: (prior_rows[b] if b in prior_rows else self._files_rows(files))
             for b, files in buckets_meta.items()
-            if b not in mapping
+            if b not in touched_str
         }
-        bucket_rows.update({b: self._files_rows(files) for b, files in mapping.items()})
+        bucket_rows.update(
+            {
+                b: self._files_rows(buckets_meta[b])
+                for b in touched_str
+                if b in buckets_meta
+            }
+        )
         return self._finish_apply(
             snap, agg, touched, buckets_meta, bucket_rows, applied,
             batch_total, count_batch, batch_id, source_watermarks,
             extra_lineage, applied_segments, t0, t_gate, t_write,
+            carried_files=sum(len(v) for v in carried.values()),
         )
 
     def _finish_apply(
         self, snap, agg, touched, buckets_meta, bucket_rows, applied,
         batch_total, count_batch, batch_id, source_watermarks,
         extra_lineage, applied_segments, t0, t_gate, t_write,
+        carried_files: int = 0,
     ) -> MergeStats:
         """Shared commit tail of apply_prepared (cow + mor branches):
         snapshot bookkeeping, ledger advance, lineage, atomic commit."""
@@ -1044,6 +1130,7 @@ class LakeTable:
                 batch_total - int(agg["rows"]) if count_batch else -1
             ),
             timings=timings,
+            carried_files=carried_files,
         )
         lineage = {
             "batch_id": batch_id or uuid.uuid4().hex,
@@ -1053,6 +1140,7 @@ class LakeTable:
             "touched_buckets": sorted(touched),
             "deletes": stats.deletes,
             "skipped_already_applied": stats.skipped_already_applied,
+            "carried_files": carried_files,
             "timings": timings,
         }
         if extra_lineage:

@@ -150,3 +150,180 @@ def test_stats_cols_property_override(spark, tmp_path):
     t.merge(_rows(spark, 1, 6))
     for f in _all_files(t):
         assert set(f.get("stats", {})) == {"v"}
+
+
+# --------------------------------------------------------------------- #
+# COW file skipping (file-level copy-on-write granularity)
+# --------------------------------------------------------------------- #
+
+
+def _paths(table):
+    return {f["path"] for f in _all_files(table)}
+
+
+def test_cow_insert_only_batches_carry_all_prior_files(spark, tmp_path):
+    """Disjoint-key insert batches: every prior file is referenced
+    unchanged (merge cost ~ batch bytes), reads stay resolution-free,
+    and the final state is exact."""
+    t = _mk(spark, tmp_path, n_buckets=2)
+    s1 = t.merge(_rows(spark, 1, 20))          # keys k000..k019
+    gen1 = _paths(t)
+    # second batch: key range m... strictly above every k... file range
+    schema = T.StructType(
+        [
+            T.StructField("lsn", T.LongType()),
+            T.StructField("op", T.StringType()),
+            *SCHEMA.fields,
+        ]
+    )
+    b2 = spark.createDataFrame(
+        [(100 + i, "upsert", f"m{i:03d}", "b", 100 + i) for i in range(20)],
+        schema,
+    )
+    s2 = t.merge(b2)
+    assert s1.carried_files == 0
+    assert s2.carried_files == len(gen1) and s2.carried_files > 0
+    assert gen1 <= _paths(t)                    # originals still referenced
+    got = {r.k: r.v for r in t.read().collect()}
+    assert len(got) == 40
+    assert got["k005"] == 6 and got["m005"] == 105
+    assert t.row_count() == 40
+
+
+def test_cow_point_update_rewrites_only_overlapping_files(spark, tmp_path):
+    """After two disjoint generations, updating one key in the first
+    generation's range carries the second generation's files."""
+    t = _mk(spark, tmp_path, n_buckets=2)
+    t.merge(_rows(spark, 1, 20))
+    schema = T.StructType(
+        [
+            T.StructField("lsn", T.LongType()),
+            T.StructField("op", T.StringType()),
+            *SCHEMA.fields,
+        ]
+    )
+    t.merge(
+        spark.createDataFrame(
+            [(100 + i, "upsert", f"m{i:03d}", "b", 100 + i) for i in range(20)],
+            schema,
+        )
+    )
+    m_files = {
+        f["path"] for f in _all_files(t) if f["stats"]["k"][0].startswith("m")
+    }
+    s3 = t.merge(
+        spark.createDataFrame(
+            [(500, "upsert", "k005", "z", 999), (501, "delete", "k006", None, None)],
+            schema,
+        )
+    )
+    assert s3.carried_files >= len(m_files) > 0
+    assert m_files <= _paths(t)
+    got = {r.k: (r.grp, r.v) for r in t.read().collect()}
+    assert got["k005"] == ("z", 999)
+    assert "k006" not in got and len(got) == 39
+    assert t.row_count() == 39
+
+
+def test_cow_file_skip_disabled_by_property(spark, tmp_path):
+    t = _mk(spark, tmp_path, n_buckets=2, cow_file_skip="false")
+    t.merge(_rows(spark, 1, 20))
+    schema = T.StructType(
+        [
+            T.StructField("lsn", T.LongType()),
+            T.StructField("op", T.StringType()),
+            *SCHEMA.fields,
+        ]
+    )
+    s2 = t.merge(
+        spark.createDataFrame(
+            [(100, "upsert", "m000", "b", 100)], schema
+        )
+    )
+    assert s2.carried_files == 0
+    assert {r.k for r in t.read().collect()} == {f"k{i:03d}" for i in range(20)} | {
+        "m000"
+    }
+
+
+def test_cow_null_key_batch_disables_skip_and_stays_correct(spark, tmp_path):
+    t = _mk(spark, tmp_path, n_buckets=2)
+    t.merge(_rows(spark, 1, 20))
+    schema = T.StructType(
+        [
+            T.StructField("lsn", T.LongType()),
+            T.StructField("op", T.StringType()),
+            *SCHEMA.fields,
+        ]
+    )
+    s2 = t.merge(
+        spark.createDataFrame([(100, "upsert", None, "n", 1)], schema)
+    )
+    assert s2.carried_files == 0               # stats are null-blind
+    rows = t.read().collect()
+    assert len(rows) == 21
+    assert any(r.k is None and r.grp == "n" for r in rows)
+    # replacing the null-key row later must replace, not duplicate
+    t.merge(spark.createDataFrame([(200, "upsert", None, "n2", 2)], schema))
+    rows = {(r.k, r.grp) for r in t.read().collect()}
+    assert (None, "n2") in rows and (None, "n") not in rows
+
+
+def test_cow_skip_after_mor_deltas_rewrites_delta_buckets(spark, tmp_path):
+    """Mixed modes: buckets holding delta files must rewrite wholly (a
+    key's versions may span admitted/carried files), and the result
+    matches; afterwards the table is delta-free."""
+    t = _mk(spark, tmp_path, n_buckets=2)
+    t.merge(_rows(spark, 1, 20))
+    schema = T.StructType(
+        [
+            T.StructField("lsn", T.LongType()),
+            T.StructField("op", T.StringType()),
+            *SCHEMA.fields,
+        ]
+    )
+    # MOR update flips grp for k001 — base + delta now both hold k001
+    t.merge(
+        spark.createDataFrame([(100, "upsert", "k001", "new", 100)], schema),
+        mode="mor",
+    )
+    assert any(f.get("delta") for f in _all_files(t))
+    # COW batch with a key range disjoint from everything: delta buckets
+    # still rewrite in full (carried only from delta-free buckets)
+    t.merge(
+        spark.createDataFrame([(200, "upsert", "zzz", "z", 1)], schema)
+    )
+    assert not any(f.get("delta") for f in _all_files(t))
+    got = {r.k: r.grp for r in t.read().collect()}
+    assert got["k001"] == "new" and got["zzz"] == "z" and len(got) == 21
+
+
+def test_cow_skip_many_generations_compact_folds(spark, tmp_path):
+    """Files accumulate across disjoint generations; compact() folds them
+    and preserves state."""
+    t = _mk(spark, tmp_path, n_buckets=2)
+    schema = T.StructType(
+        [
+            T.StructField("lsn", T.LongType()),
+            T.StructField("op", T.StringType()),
+            *SCHEMA.fields,
+        ]
+    )
+    for g in range(5):
+        t.merge(
+            spark.createDataFrame(
+                [
+                    (g * 100 + i + 1, "upsert", f"g{g}k{i:02d}", "x", g * 100 + i)
+                    for i in range(8)
+                ],
+                schema,
+            )
+        )
+    assert t.row_count() == 40
+    files_before = len(_all_files(t))
+    assert files_before > 2                     # generations accumulated
+    t.compact(max_files_per_bucket=1)
+    assert len(_all_files(t)) <= 2
+    assert {r.k for r in t.read().collect()} == {
+        f"g{g}k{i:02d}" for g in range(5) for i in range(8)
+    }
