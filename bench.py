@@ -45,6 +45,9 @@ _BENCH_QUERIES = [
     "first_and_max_orders",
     "window_top3_orders",
     "dedup_exact_docs",
+    "incremental_dedup_docs",
+    "incremental_lsh_pairs",
+    "lake_pruned_range_read",
     "token_count_docs",
     "lang_id_docs",
     "quality_score_docs",

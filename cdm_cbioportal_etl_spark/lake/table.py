@@ -1184,6 +1184,26 @@ class LakeTable:
             return sum(snap["bucket_rows"].values())
         return self._count_rows(snap["buckets"])
 
+    def changes_since(self, lsn: int) -> DataFrame:
+        """Rows whose current version was applied after ``lsn`` — the
+        incremental-consumption read a downstream CDC stage polls with
+        its own watermark (pair with ``applied_lsn()`` to bound the other
+        end).  Stats pruning skips every data file whose max LSN is at or
+        below the watermark, so a mostly-cold table answers from the few
+        recently written files; the row filter then exacts the bound
+        (rewritten COW files mix old and new LSNs, so the pruned scan is
+        a superset by design).
+
+        Semantics note (honest contract): this is an UPSERT-ONLY feed.
+        Copy-on-write keeps no tombstones, so a key deleted after ``lsn``
+        simply stops appearing; consumers needing delete events should
+        read MOR delta files before ``compact()`` folds them, or diff
+        snapshots via ``read(version=...)``.
+        """
+        return self.read(with_lsn=True, prune={LSN_COL: (lsn + 1, None)}).filter(
+            F.col(LSN_COL) > lsn
+        )
+
     def applied_lsn(self) -> int:
         """Ledger read (the MergeBackend seam, lake/backend.py): the max
         LSN whose effects are committed in the current snapshot."""

@@ -1002,6 +1002,56 @@ def cdc_repos_replay(spark, sf_dir):
     )
 
 
+# incremental consumption: after the full replay, a downstream consumer
+# polls changes_since(mid-watermark) — file-skipped via per-file LSN
+# stats, exact via the row filter.  Oracle = final state restricted to
+# rows whose surviving version landed after the watermark.
+@_register(
+    "cdc_changes_since",
+    f"""
+    WITH wal AS (
+      SELECT event_id AS lsn,
+             CASE WHEN event_type = 'error' THEN 'delete' ELSE 'update' END AS op,
+             'org/repo-' || lpad((user_id % 12)::VARCHAR, 4, '0') AS repo,
+             'src/f' || lpad(user_id::VARCHAR, 5, '0') || '.py' AS path,
+             md5(event_id::VARCHAR || ':' || event_type) AS commit,
+             (['{"','".join(_LANGS_SQL)}'])[(user_id % 6 + 1)::INT] AS lang,
+             concat_ws('|', event_type, coalesce(props, '')) AS content
+      FROM events
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+      FROM wal
+    )
+    SELECT repo, path, commit, lang, content
+    FROM ranked
+    WHERE rn = 1 AND op <> 'delete'
+      AND lsn > (SELECT max(event_id) // 2 FROM events)
+    """,
+)
+def cdc_changes_since(spark, sf_dir):
+    from cdm_cbioportal_etl_spark.cdc import CdcReplayer
+    from cdm_cbioportal_etl_spark.cdc.generator import REPOS_SCHEMA
+
+    wal = _repos_wal(spark, sf_dir)
+    max_lsn = int(wal.agg(F.max("lsn")).collect()[0][0])
+    root = os.path.join(
+        CDC_WORK_DIR,
+        spark.sparkContext.applicationId,
+        "repos-cs-" + os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    table = LakeTable.create(
+        spark, root, T.StructType(list(REPOS_SCHEMA.fields)),
+        key_cols=["repo", "path"], n_buckets=16,
+    )
+    CdcReplayer(table).replay_range_batches(
+        wal, 0, max_lsn + 1, batch_size=(max_lsn + 4) // 4
+    )
+    return table.changes_since(max_lsn // 2).select(
+        "repo", "path", "commit", "lang", "content"
+    )
+
+
 # --------------------------------------------------------------------- #
 # SimHash fingerprints (dedup family) — 32-bit, engine-portable
 # --------------------------------------------------------------------- #

@@ -327,3 +327,39 @@ def test_cow_skip_many_generations_compact_folds(spark, tmp_path):
     assert {r.k for r in t.read().collect()} == {
         f"g{g}k{i:02d}" for g in range(5) for i in range(8)
     }
+
+
+def test_changes_since_incremental_feed(spark, tmp_path):
+    """Downstream watermark consumption: each poll sees exactly the rows
+    whose current version landed after its watermark, in both modes."""
+    for mode in ("cow", "mor"):
+        t = LakeTable.create(
+            spark,
+            str(tmp_path / f"cs_{mode}"),
+            SCHEMA,
+            ["k"],
+            n_buckets=2,
+            properties={"merge_mode": mode},
+        )
+        t.merge(_rows(spark, 1, 10, grp="g1"))
+        w1 = t.applied_lsn()
+        schema = T.StructType(
+            [
+                T.StructField("lsn", T.LongType()),
+                T.StructField("op", T.StringType()),
+                *SCHEMA.fields,
+            ]
+        )
+        t.merge(
+            spark.createDataFrame(
+                [
+                    (101, "upsert", "k003", "g2", 999),   # update
+                    (102, "upsert", "new1", "g2", 1),     # insert
+                ],
+                schema,
+            )
+        )
+        got = {(r.k, r.grp) for r in t.changes_since(w1).collect()}
+        assert got == {("k003", "g2"), ("new1", "g2")}, mode
+        # nothing new after the latest watermark
+        assert t.changes_since(t.applied_lsn()).count() == 0
