@@ -790,7 +790,7 @@ class LakeTable:
         reduced = self.prepare_batch(
             batch, lsn_col, op_col, strategy=strategy, salt_partitions=salt_partitions
         )
-        return self.apply_prepared(
+        stats = self.apply_prepared(
             reduced,
             batch_id=batch_id,
             source_watermarks=source_watermarks,
@@ -799,6 +799,17 @@ class LakeTable:
             applied_segments=applied_segments,
             mode=mode,
         )
+        # inline maintenance policy: MOR delta appends and COW file
+        # skipping both accumulate files per bucket; with the
+        # ``auto_compact_files`` property set, fold any bucket past the
+        # threshold right after the merge commit (its own snapshot —
+        # exactly-once semantics of the merge are already durable).
+        # Default off: maintenance scheduling is an operator decision and
+        # keeps benchmark runs comparable.
+        auto = int(self.snapshot.get("properties", {}).get("auto_compact_files", 0))
+        if auto > 0:
+            self.compact(max_files_per_bucket=auto, fold_all_deltas=False)
+        return stats
 
     def apply_prepared(
         self,
@@ -1209,19 +1220,25 @@ class LakeTable:
         LSN whose effects are committed in the current snapshot."""
         return int(self.snapshot["ledger"]["applied_lsn"])
 
-    def compact(self, max_files_per_bucket: int = 2) -> int:
+    def compact(
+        self, max_files_per_bucket: int = 2, fold_all_deltas: bool = True
+    ) -> int:
         """Rewrite buckets holding more than ``max_files_per_bucket`` files
         into one file each (the no-shuffle write mode trades small files
         for zero exchanges; compaction pays that debt off-path, like
-        Iceberg's rewrite_data_files).  Returns # buckets compacted."""
+        Iceberg's rewrite_data_files).  Returns # buckets compacted.
+
+        ``fold_all_deltas=False`` compacts strictly by file count — the
+        inline ``auto_compact_files`` policy uses it so MOR tables don't
+        fold their deltas after every merge (which would undo MOR)."""
         snap = json.loads(json.dumps(self.snapshot))
         todo = {
             int(b) for b, files in snap["buckets"].items()
             if len(files) > max_files_per_bucket
-            # MOR delta files always qualify: compaction resolves
-            # latest-per-key, drops tombstones, and rewrites the bucket
-            # as plain base files — repaying the read tax
-            or any(f.get("delta", False) for f in files)
+            # MOR delta files always qualify (default): compaction
+            # resolves latest-per-key, drops tombstones, and rewrites the
+            # bucket as plain base files — repaying the read tax
+            or (fold_all_deltas and any(f.get("delta", False) for f in files))
         }
         if not todo:
             return 0

@@ -363,3 +363,57 @@ def test_changes_since_incremental_feed(spark, tmp_path):
         assert got == {("k003", "g2"), ("new1", "g2")}, mode
         # nothing new after the latest watermark
         assert t.changes_since(t.applied_lsn()).count() == 0
+
+
+def test_auto_compact_policy_bounds_file_count(spark, tmp_path):
+    """auto_compact_files folds any bucket past the threshold right after
+    a merge; state is preserved and file counts stay bounded."""
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "ac"),
+        SCHEMA,
+        ["k"],
+        n_buckets=2,
+        properties={"auto_compact_files": 3},
+    )
+    schema = T.StructType(
+        [
+            T.StructField("lsn", T.LongType()),
+            T.StructField("op", T.StringType()),
+            *SCHEMA.fields,
+        ]
+    )
+    for g in range(6):                       # disjoint generations accumulate
+        t.merge(
+            spark.createDataFrame(
+                [
+                    (g * 100 + i + 1, "upsert", f"g{g}k{i:02d}", "x", i)
+                    for i in range(6)
+                ],
+                schema,
+            )
+        )
+    for files in t.snapshot["buckets"].values():
+        assert len(files) <= 3
+    assert t.row_count() == 36
+    assert {r.k for r in t.read().collect()} == {
+        f"g{g}k{i:02d}" for g in range(6) for i in range(6)
+    }
+
+
+def test_auto_compact_does_not_fold_mor_deltas_below_threshold(spark, tmp_path):
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "ac2"),
+        SCHEMA,
+        ["k"],
+        n_buckets=2,
+        properties={"auto_compact_files": 8, "merge_mode": "mor"},
+    )
+    t.merge(_rows(spark, 1, 10))
+    t.merge(_rows(spark, 101, 10, grp="new"))
+    # below threshold: delta files must SURVIVE (MOR stays MOR)
+    assert any(f.get("delta") for f in _all_files(t))
+    assert {(r.k, r.grp) for r in t.read().collect()} == {
+        (f"k{i:03d}", "new") for i in range(10)
+    }
