@@ -46,6 +46,9 @@ AUDIT = {
     "grouped_timeline_compact_sql": dict(
         pushed=False, broadcast=False, forbid=["ArrowEvalPython", "FlatMapGroupsInPandas"]
     ),
+    # late round-3: incremental LSH probes the corpus band index with a
+    # plain shuffle join on uniform band keys — never a nested loop
+    "incremental_lsh_pairs": dict(pushed=False, broadcast=False, forbid=["NestedLoop"]),
 }
 
 
@@ -98,6 +101,10 @@ SKIP_EXEC = {
     "cdc_repos_replay",
     "cdc_repos_replay_mor",
     "cdc_replay_final_state",
+    # full replay at construction, like the rows above; its read-side
+    # plan is the plain pruned scan the guard sees via
+    # lake_pruned_range_read
+    "cdc_changes_since",
     # iterative CC loop localCheckpoints eagerly during construction;
     # its per-round plan is the audited join+agg shape
     "neardup_clusters_docs",
