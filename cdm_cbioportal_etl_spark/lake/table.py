@@ -1157,6 +1157,13 @@ class LakeTable:
         if extra_lineage:
             lineage.update(extra_lineage)
         snap["lineage"].append(lineage)
+        # lineage retention: the manifest must not grow O(total merges
+        # ever) on a long-lived stream — keep the newest `max_lineage`
+        # records (resume needs only the ledger watermark, which is
+        # separate; older lineage belongs in an external metrics sink)
+        max_lineage = int(snap.get("properties", {}).get("max_lineage", 5000))
+        if len(snap["lineage"]) > max_lineage:
+            snap["lineage"] = snap["lineage"][-max_lineage:]
         self._commit(snap)
         return stats
 

@@ -417,3 +417,30 @@ def test_auto_compact_does_not_fold_mor_deltas_below_threshold(spark, tmp_path):
     assert {(r.k, r.grp) for r in t.read().collect()} == {
         (f"k{i:03d}", "new") for i in range(10)
     }
+
+
+def test_lineage_retention_cap(spark, tmp_path):
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "lin"),
+        SCHEMA,
+        ["k"],
+        n_buckets=2,
+        properties={"max_lineage": 3},
+    )
+    schema = T.StructType(
+        [
+            T.StructField("lsn", T.LongType()),
+            T.StructField("op", T.StringType()),
+            *SCHEMA.fields,
+        ]
+    )
+    for i in range(6):
+        t.merge(
+            spark.createDataFrame([(i + 1, "upsert", f"k{i}", "a", i)], schema)
+        )
+    lin = t.snapshot["lineage"]
+    assert len(lin) == 3
+    assert lin[-1]["lsn_max"] == 6          # newest records survive
+    assert t.applied_lsn() == 6             # ledger watermark untouched
+    assert t.row_count() == 6
