@@ -58,6 +58,7 @@ _BENCH_QUERIES = [
     "embedding_neardup_pairs",
     "split_train_val_test",
     "repetition_ratio_docs",
+    "dup_shingle_fraction_docs",
     "semantic_dedup_prune",
     "semantic_dedup_kmeans",
     "contamination_ngram_docs",

@@ -785,6 +785,29 @@ def incremental_lsh_pairs(spark, sf_dir):
 
 
 @_register(
+    "dup_shingle_fraction_docs",
+    _SQL_SHINGLES
+    + """
+    , ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh)
+    , dup AS (SELECT s FROM ex GROUP BY s HAVING count(DISTINCT doc_id) > 1)
+    SELECT e.doc_id,
+           count(*) AS n_shingles,
+           sum(CASE WHEN d.s IS NOT NULL THEN 1 ELSE 0 END) AS n_dup,
+           round(sum(CASE WHEN d.s IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*), 6) AS dup_frac
+    FROM ex e LEFT JOIN dup d USING (s)
+    GROUP BY e.doc_id
+    """,
+)
+def dup_shingle_fraction_docs(spark, sf_dir):
+    """Cross-doc duplicate-span fraction (boilerplate/shared-substring
+    signal) — complements repetition_ratio_docs (within-doc repeats)."""
+    from cdm_cbioportal_etl_spark.text.dedup import dup_shingle_fraction
+
+    return dup_shingle_fraction(_t(spark, sf_dir, "documents"))
+
+
+@_register(
     "quality_score_docs",
     """
     WITH b AS (

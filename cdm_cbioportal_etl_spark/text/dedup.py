@@ -495,3 +495,47 @@ def incremental_lsh_candidates(
         .select("id_new", "id_other", F.lit("batch").alias("origin"))
     )
     return cross.unionByName(within).distinct()
+
+
+def dup_shingle_fraction(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Cross-document duplicate-span signal: per doc, the fraction of its
+    word k-shingles that also occur in at least one OTHER document — the
+    "duplicated substring" filter of training-data pipelines (flag or
+    trim docs dominated by boilerplate shared across the corpus).
+    Distinct from ``curation.repetition_signals``, which measures repeats
+    WITHIN a doc.
+
+    Shape: one shingle explode, one count-distinct-docs aggregate over
+    shingle keys (partial aggs absorb hot stopword shingles), one join
+    back on the same keys, one per-doc aggregate.  No pair join — cost is
+    O(total shingles), never O(docs²)."""
+    ex = docs.select(
+        F.col(id_col), F.explode(shingles(text_col, shingle_k)).alias("_s")
+    )
+    dup = (
+        ex.groupBy("_s")
+        .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
+        .filter(F.col("_nd") > 1)
+        .select("_s", F.lit(1).alias("_dup"))
+    )
+    return (
+        ex.join(dup, "_s", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("_dup").isNotNull(), 1).otherwise(0)).alias(
+                "n_dup"
+            ),
+        )
+        .select(
+            F.col(id_col),
+            "n_shingles",
+            "n_dup",
+            F.round(F.col("n_dup") / F.col("n_shingles"), 6).alias("dup_frac"),
+        )
+    )

@@ -349,3 +349,23 @@ def test_incremental_lsh_matches_full_restriction(spark, docs):
             assert r.id_new in new_ids and r.id_other not in new_ids
         else:
             assert r.id_new in new_ids and r.id_other in new_ids
+
+
+def test_dup_shingle_fraction_cross_doc(spark):
+    from cdm_cbioportal_etl_spark.text.dedup import dup_shingle_fraction
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),        # shares all with 2
+            (2, "alpha beta gamma delta epsilon"),
+            (3, "alpha beta gamma zeta eta theta iota"),  # shares 1 shingle
+            (4, "completely unrelated words here now"),   # shares none
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dup_shingle_fraction(docs).collect()}
+    assert out[1].dup_frac == 1.0 and out[2].dup_frac == 1.0
+    assert out[4].dup_frac == 0.0 and out[4].n_dup == 0
+    # doc 3: shingles = 5 windows, exactly 'alpha beta gamma' shared
+    assert out[3].n_shingles == 5 and out[3].n_dup == 1
+    assert abs(out[3].dup_frac - 0.2) < 1e-9
