@@ -75,6 +75,7 @@ _BENCH_QUERIES = [
     "cdc_replay_final_state",
     "cdc_repos_replay",
     "cdc_repos_replay_mor",
+    "cdc_table_changes",
 ]
 
 

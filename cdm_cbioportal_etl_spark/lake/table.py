@@ -309,6 +309,7 @@ class LakeTable:
         with_lsn: bool = False,
         version: int | None = None,
         prune: dict | None = None,
+        _only_paths: set[str] | None = None,
     ) -> DataFrame:
         """Scan the current snapshot, optionally pruned to a bucket subset.
 
@@ -354,6 +355,11 @@ class LakeTable:
             if buckets is not None and int(b) not in buckets:
                 continue
             for fobj in files:
+                if _only_paths is not None and fobj["path"] not in _only_paths:
+                    # internal file-set restriction (table_changes): the
+                    # caller has proven by manifest comparison that the
+                    # excluded files cannot contribute to its result
+                    continue
                 if eff_prune and not self._stats_admit(fobj, eff_prune):
                     continue
                 by_schema.setdefault(fobj["schema_id"], []).append(
@@ -1220,6 +1226,148 @@ class LakeTable:
         """
         return self.read(with_lsn=True, prune={LSN_COL: (lsn + 1, None)}).filter(
             F.col(LSN_COL) > lsn
+        )
+
+    @staticmethod
+    def _diff_plan(
+        snap_a: dict[str, Any], snap_b: dict[str, Any]
+    ) -> tuple[set[int], set[str]]:
+        """Metadata-only scan plan for a snapshot diff: the buckets whose
+        file sets differ between two snapshots, plus the file paths worth
+        reading inside them.
+
+        A bucket with an identical (path, delta-flag) file list holds
+        byte-identical data in both snapshots (files are immutable) — it
+        is skipped without touching storage.  Inside a changed bucket:
+
+        - if either side holds MOR delta files, every file on both sides
+          is read (latest-per-key resolution needs all row versions);
+        - otherwise (pure COW: exactly one live row per key per snapshot)
+          only the symmetric-difference files are read — a file carried
+          across the diff contributes the same rows to both sides, and
+          copy-on-write guarantees a carried file holds NO key that was
+          rewritten, so excluding it can never misclassify a row.
+
+        With file-level COW carry, the steady-state plan is O(changed
+        data), not O(table) — the property that makes a CDC feed over a
+        100 TB table answerable from the last few batches' files.
+        """
+        changed: set[int] = set()
+        paths: set[str] = set()
+        for b in set(snap_a["buckets"]) | set(snap_b["buckets"]):
+            fa = snap_a["buckets"].get(b, [])
+            fb = snap_b["buckets"].get(b, [])
+            sig = lambda fs: sorted((f["path"], bool(f.get("delta"))) for f in fs)
+            if sig(fa) == sig(fb):
+                continue
+            changed.add(int(b))
+            pa = {f["path"] for f in fa}
+            pb = {f["path"] for f in fb}
+            if any(f.get("delta") for f in list(fa) + list(fb)):
+                paths |= pa | pb
+            else:
+                paths |= pa ^ pb
+        return changed, paths
+
+    def table_changes(
+        self, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Snapshot-diff change data feed (Delta CDF / Iceberg changelog):
+        every row inserted, updated, or deleted between two retained
+        snapshots, as the TO-side schema plus ``_lsn`` (the LSN that wrote
+        the emitted image) and ``_change_type`` in
+        ``{'insert','update','delete'}``.  Inserts/updates carry the
+        post-image; deletes carry the pre-image (copy-on-write keeps no
+        tombstone payload, so the pre-image is the only faithful delete
+        record — this is what ``changes_since`` cannot provide).
+
+        Classification is per key via one full-outer join of the two
+        resolved states, restricted by ``_diff_plan`` to the buckets (and,
+        for delta-free buckets, the files) that actually differ — an
+        untouched bucket costs one manifest comparison, zero I/O.  Rows
+        present on both sides with equal ``_lsn`` are unchanged by
+        construction (LSNs are strictly monotonic and rewrites carry loser
+        rows with their original LSN) and are dropped, so a
+        compaction-only interval diffs to empty.
+
+        The FROM side is aligned (null-fill / widen-cast) to the TO-side
+        schema, so evolution between the versions is visible as non-null
+        new columns on post-images.  Null join keys match null-safely —
+        a null-key row updates rather than split into delete+insert.
+        ``from_version`` must still be retained (``expire_snapshots``
+        governs the feed's lookback horizon, exactly as in Iceberg).
+        """
+        snap_a = self.snapshot_at(from_version)
+        snap_b = (
+            self.snapshot if to_version is None else self.snapshot_at(to_version)
+        )
+        if snap_b["version"] < snap_a["version"]:
+            raise ValueError(
+                f"to_version {snap_b['version']} precedes from_version "
+                f"{snap_a['version']}"
+            )
+        target = schema_from_json(snap_b["schemas"][str(snap_b["schema_id"])])
+        keys = list(snap_b["key_cols"])
+        changed, paths = self._diff_plan(snap_a, snap_b)
+        if not changed:
+            empty = self._empty(with_lsn=True, target=target)
+            return empty.withColumn("_change_type", F.lit(None).cast("string"))
+        old = self._align(
+            self.read(
+                version=snap_a["version"],
+                buckets=changed,
+                with_lsn=True,
+                _only_paths=paths,
+            ),
+            target,
+            with_lsn=True,
+        )
+        new = self.read(
+            version=snap_b["version"],
+            buckets=changed,
+            with_lsn=True,
+            _only_paths=paths,
+        )
+        nonkey = [c for c in [f.name for f in target.fields] if c not in keys]
+        a = old.select(
+            *[F.col(k).alias(f"_ka_{i}") for i, k in enumerate(keys)],
+            F.struct(*nonkey, LSN_COL).alias("_a"),
+        )
+        b = new.select(
+            *[F.col(k).alias(f"_kb_{i}") for i, k in enumerate(keys)],
+            F.struct(*nonkey, LSN_COL).alias("_b"),
+        )
+        cond = None
+        for i in range(len(keys)):
+            c = F.col(f"_ka_{i}").eqNullSafe(F.col(f"_kb_{i}"))
+            cond = c if cond is None else (cond & c)
+        j = a.join(b, cond, "full_outer").withColumn(
+            "_change_type",
+            F.when(F.col("_a").isNull(), F.lit("insert"))
+            .when(F.col("_b").isNull(), F.lit("delete"))
+            .when(
+                F.col("_a")[LSN_COL] != F.col("_b")[LSN_COL], F.lit("update")
+            ),
+        )
+        img = F.when(
+            F.col("_change_type") == "delete", F.col("_a")
+        ).otherwise(F.col("_b"))
+        out = []
+        for f in target.fields:
+            if f.name in keys:
+                i = keys.index(f.name)
+                out.append(
+                    F.coalesce(F.col(f"_kb_{i}"), F.col(f"_ka_{i}")).alias(f.name)
+                )
+            else:
+                out.append(img[f.name].alias(f.name))
+        return (
+            j.filter(F.col("_change_type").isNotNull())
+            .select(
+                *out,
+                img[LSN_COL].alias(LSN_COL),
+                F.col("_change_type"),
+            )
         )
 
     def applied_lsn(self) -> int:

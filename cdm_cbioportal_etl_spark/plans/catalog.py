@@ -1075,6 +1075,77 @@ def cdc_changes_since(spark, sf_dir):
     )
 
 
+# full CDC feed with deletes: replay the first half of the WAL, snapshot,
+# replay the rest, then table_changes(mid-version) — the snapshot-diff
+# changelog (insert/update/delete, post-image / delete pre-image).
+# Oracle = full-outer diff of the two ranked states in SQL.
+@_register(
+    "cdc_table_changes",
+    f"""
+    WITH wal AS (
+      SELECT event_id AS lsn,
+             CASE WHEN event_type = 'error' THEN 'delete' ELSE 'update' END AS op,
+             'org/repo-' || lpad((user_id % 12)::VARCHAR, 4, '0') AS repo,
+             'src/f' || lpad(user_id::VARCHAR, 5, '0') || '.py' AS path,
+             md5(event_id::VARCHAR || ':' || event_type) AS commit,
+             (['{"','".join(_LANGS_SQL)}'])[(user_id % 6 + 1)::INT] AS lang,
+             concat_ws('|', event_type, coalesce(props, '')) AS content
+      FROM events
+    ), bs AS (
+      SELECT (max(event_id) + 4) // 4 AS v FROM events
+    ), ra AS (
+      SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+      FROM wal WHERE lsn < 2 * (SELECT v FROM bs)
+    ), sa AS (
+      SELECT repo, path, commit, lang, content, lsn
+      FROM ra WHERE rn = 1 AND op <> 'delete'
+    ), rb AS (
+      SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+      FROM wal
+    ), sb AS (
+      SELECT repo, path, commit, lang, content, lsn
+      FROM rb WHERE rn = 1 AND op <> 'delete'
+    )
+    SELECT coalesce(b.repo, a.repo) AS repo,
+           coalesce(b.path, a.path) AS path,
+           CASE WHEN b.lsn IS NULL THEN a.commit ELSE b.commit END AS commit,
+           CASE WHEN b.lsn IS NULL THEN a.lang ELSE b.lang END AS lang,
+           CASE WHEN b.lsn IS NULL THEN a.content ELSE b.content END AS content,
+           CASE WHEN b.lsn IS NULL THEN a.lsn ELSE b.lsn END AS _lsn,
+           CASE WHEN a.lsn IS NULL THEN 'insert'
+                WHEN b.lsn IS NULL THEN 'delete'
+                ELSE 'update' END AS _change_type
+    FROM sa a FULL JOIN sb b ON a.repo = b.repo AND a.path = b.path
+    WHERE a.lsn IS NULL OR b.lsn IS NULL OR a.lsn <> b.lsn
+    """,
+)
+def cdc_table_changes(spark, sf_dir):
+    """Snapshot-diff change data feed (LakeTable.table_changes): the
+    delete-capable changelog ``changes_since`` cannot express — replay
+    half the WAL, snapshot, replay the rest, emit the per-key diff."""
+    from cdm_cbioportal_etl_spark.cdc import CdcReplayer
+    from cdm_cbioportal_etl_spark.cdc.generator import REPOS_SCHEMA
+
+    wal = _repos_wal(spark, sf_dir)
+    max_lsn = int(wal.agg(F.max("lsn")).collect()[0][0])
+    bs = (max_lsn + 4) // 4
+    root = os.path.join(
+        CDC_WORK_DIR,
+        spark.sparkContext.applicationId,
+        "repos-tc-" + os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    table = LakeTable.create(
+        spark, root, T.StructType(list(REPOS_SCHEMA.fields)),
+        key_cols=["repo", "path"], n_buckets=16,
+    )
+    rep = CdcReplayer(table)
+    rep.replay_range_batches(wal, 0, 2 * bs, batch_size=bs)
+    v_mid = table.snapshot["version"]
+    rep.replay_range_batches(wal, 2 * bs, max_lsn + 1, batch_size=bs)
+    return table.table_changes(v_mid)
+
+
 # --------------------------------------------------------------------- #
 # SimHash fingerprints (dedup family) — 32-bit, engine-portable
 # --------------------------------------------------------------------- #
