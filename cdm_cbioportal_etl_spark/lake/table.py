@@ -1419,6 +1419,84 @@ class LakeTable:
         self._commit(snap)
         return len(todo)
 
+    def rollback_to(self, version: int) -> int:
+        """Roll the table back to a retained snapshot (Iceberg
+        ``rollback_to_snapshot``): commits a NEW version whose content —
+        buckets, schema registry, AND the LSN ledger — is the old
+        snapshot's.  Reverting the ledger is the point: events applied by
+        the rolled-back batches drop back above the high-water mark, so a
+        corrected WAL can re-apply them under the same exactly-once rule.
+
+        History stays linear and fully retained: the bad head is still
+        time-travelable (and diffable via ``table_changes``) until
+        ``expire_snapshots`` ages it out; no data file is touched, so the
+        operation is metadata-only and O(1) at any table size.  Returns
+        the new version number.
+        """
+        cur = self.snapshot
+        if version == cur["version"]:
+            return cur["version"]
+        old = self.snapshot_at(version)  # raises if expired
+        snap = json.loads(json.dumps(old))
+        snap["version"] = cur["version"] + 1
+        snap["lineage"] = list(old.get("lineage", [])) + [
+            {
+                "batch_id": f"rollback-{uuid.uuid4().hex[:8]}",
+                "rolled_back_from": cur["version"],
+                "restored_version": version,
+            }
+        ]
+        self._commit(snap)
+        return snap["version"]
+
+    def rebucket(self, n_buckets: int) -> int:
+        """Bucket-layout evolution (Iceberg partition-spec evolution for
+        the bucket transform): rewrite the resolved table state into a new
+        bucket count in ONE key-shuffle and commit it as a new snapshot.
+
+        The operation a growing table needs exactly once per scale decade:
+        bucket count is fixed at create time, and a table that was right
+        at 16 buckets is wrong at 100× the data (each bucket's rewrite
+        unit becomes too large for a COW merge).  MOR deltas fold into the
+        rewrite (the read resolves latest-per-key first), old snapshots
+        keep their own layout (each manifest records its ``n_buckets``,
+        so time travel and ``table_changes`` across the boundary stay
+        correct — the diff plan sees every file set changed and falls back
+        to the full key-diff).  Returns the new version number.
+        """
+        snap = json.loads(json.dumps(self.snapshot))
+        if n_buckets == snap["n_buckets"]:
+            return snap["version"]
+        if n_buckets < 1:
+            raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+        df = (
+            self.read(with_lsn=True)
+            .withColumn(
+                "_bucket",
+                F.pmod(
+                    F.xxhash64(*self.key_cols), F.lit(n_buckets)
+                ).cast("int"),
+            )
+            .repartition(min(n_buckets, 64), "_bucket")
+        )
+        mapping = self._write_bucket_files(
+            df, snap["schema_id"], pre_bucketed=True
+        )
+        snap["n_buckets"] = n_buckets
+        snap["buckets"] = mapping
+        snap["bucket_rows"] = {
+            b: self._files_rows(f) for b, f in mapping.items()
+        }
+        snap["version"] += 1
+        snap["lineage"].append(
+            {
+                "batch_id": f"rebucket-{uuid.uuid4().hex[:8]}",
+                "n_buckets": n_buckets,
+            }
+        )
+        self._commit(snap)
+        return snap["version"]
+
     def expire_snapshots(self, keep_last: int = 5) -> int:
         """Delete old snapshot manifests, keeping the most recent
         ``keep_last`` (Iceberg's expire_snapshots).  Time travel to
