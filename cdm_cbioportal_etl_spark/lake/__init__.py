@@ -4,10 +4,12 @@ from cdm_cbioportal_etl_spark.lake.backend import (
     iceberg_available,
     reduce_winners,
 )
+from cdm_cbioportal_etl_spark.lake.incremental import IncrementalAggView
 from cdm_cbioportal_etl_spark.lake.table import LakeTable, SchemaEvolutionError
 
 __all__ = [
     "IcebergBackend",
+    "IncrementalAggView",
     "LakeTable",
     "MergeBackend",
     "SchemaEvolutionError",

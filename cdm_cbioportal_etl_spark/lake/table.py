@@ -1270,7 +1270,10 @@ class LakeTable:
         return changed, paths
 
     def table_changes(
-        self, from_version: int, to_version: int | None = None
+        self,
+        from_version: int,
+        to_version: int | None = None,
+        include_preimages: bool = False,
     ) -> DataFrame:
         """Snapshot-diff change data feed (Delta CDF / Iceberg changelog):
         every row inserted, updated, or deleted between two retained
@@ -1296,6 +1299,12 @@ class LakeTable:
         a null-key row updates rather than split into delete+insert.
         ``from_version`` must still be retained (``expire_snapshots``
         governs the feed's lookback horizon, exactly as in Iceberg).
+
+        ``include_preimages=True`` switches to Delta-CDF update encoding:
+        each update emits TWO rows, ``update_preimage`` (the replaced
+        image, its LSN) and ``update_postimage`` — what a consumer
+        maintaining a downstream aggregate needs to SUBTRACT the old
+        contribution before adding the new one.
         """
         snap_a = self.snapshot_at(from_version)
         snap_b = (
@@ -1341,33 +1350,52 @@ class LakeTable:
         for i in range(len(keys)):
             c = F.col(f"_ka_{i}").eqNullSafe(F.col(f"_kb_{i}"))
             cond = c if cond is None else (cond & c)
-        j = a.join(b, cond, "full_outer").withColumn(
-            "_change_type",
-            F.when(F.col("_a").isNull(), F.lit("insert"))
-            .when(F.col("_b").isNull(), F.lit("delete"))
-            .when(
-                F.col("_a")[LSN_COL] != F.col("_b")[LSN_COL], F.lit("update")
-            ),
+        def _ev(kind: str, img: F.Column) -> F.Column:
+            return F.struct(F.lit(kind).alias("_t"), img.alias("_img"))
+
+        upd = (
+            F.array(
+                _ev("update_preimage", F.col("_a")),
+                _ev("update_postimage", F.col("_b")),
+            )
+            if include_preimages
+            else F.array(_ev("update", F.col("_b")))
         )
-        img = F.when(
-            F.col("_change_type") == "delete", F.col("_a")
-        ).otherwise(F.col("_b"))
+        # unchanged rows (both sides, equal LSN) resolve to an EMPTY event
+        # array — typed by filtering a one-element array to nothing, since
+        # a bare F.array() would carry the wrong element type
+        events = (
+            F.when(F.col("_a").isNull(), F.array(_ev("insert", F.col("_b"))))
+            .when(F.col("_b").isNull(), F.array(_ev("delete", F.col("_a"))))
+            .when(F.col("_a")[LSN_COL] != F.col("_b")[LSN_COL], upd)
+            .otherwise(
+                F.filter(
+                    F.array(_ev("update", F.col("_b"))), lambda _: F.lit(False)
+                )
+            )
+        )
+        j = (
+            a.join(b, cond, "full_outer")
+            .select(
+                *[
+                    F.coalesce(F.col(f"_kb_{i}"), F.col(f"_ka_{i}")).alias(
+                        f"_k_{i}"
+                    )
+                    for i in range(len(keys))
+                ],
+                F.explode(events).alias("_e"),
+            )
+        )
         out = []
         for f in target.fields:
             if f.name in keys:
-                i = keys.index(f.name)
-                out.append(
-                    F.coalesce(F.col(f"_kb_{i}"), F.col(f"_ka_{i}")).alias(f.name)
-                )
+                out.append(F.col(f"_k_{keys.index(f.name)}").alias(f.name))
             else:
-                out.append(img[f.name].alias(f.name))
-        return (
-            j.filter(F.col("_change_type").isNotNull())
-            .select(
-                *out,
-                img[LSN_COL].alias(LSN_COL),
-                F.col("_change_type"),
-            )
+                out.append(F.col("_e")["_img"][f.name].alias(f.name))
+        return j.select(
+            *out,
+            F.col("_e")["_img"][LSN_COL].alias(LSN_COL),
+            F.col("_e")["_t"].alias("_change_type"),
         )
 
     def applied_lsn(self) -> int:

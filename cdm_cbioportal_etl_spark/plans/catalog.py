@@ -1146,6 +1146,71 @@ def cdc_table_changes(spark, sf_dir):
     return table.table_changes(v_mid)
 
 
+# incremental materialized view: a grouped COUNT/SUM aggregate maintained
+# from the change feed (update pre-images subtract, post-images add) —
+# never recomputed over the source.  Oracle = plain GROUP BY over the
+# replayed final state.
+@_register(
+    "cdc_incremental_view",
+    """
+    WITH ranked AS (
+      SELECT user_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      FROM events)
+    SELECT event_type, count(*) AS cnt, sum(value) AS sum_value
+    FROM ranked WHERE rn = 1 AND event_type <> 'error'
+    GROUP BY event_type
+    """,
+)
+def cdc_incremental_view(spark, sf_dir):
+    """Replay half the WAL, materialize the view once, replay the rest,
+    then REFRESH (delta-only) — returned state must equal the full
+    GROUP BY over the final source state."""
+    from cdm_cbioportal_etl_spark.cdc import CdcReplayer
+    from cdm_cbioportal_etl_spark.lake import IncrementalAggView
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_id").alias("lsn"),
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("update"))
+        .alias("op"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    max_lsn = int(ev.agg(F.max("lsn")).collect()[0][0])
+    bs = (max_lsn + 4) // 4
+    root = os.path.join(
+        CDC_WORK_DIR,
+        spark.sparkContext.applicationId,
+        "iv-" + os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    table = LakeTable.create(
+        spark,
+        os.path.join(root, "src"),
+        T.StructType(
+            [
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+            ]
+        ),
+        key_cols=["user_id"],
+        n_buckets=16,
+    )
+    rep = CdcReplayer(table)
+    rep.replay_range_batches(ev, 0, 2 * bs, batch_size=bs)
+    view = IncrementalAggView.create(
+        spark, os.path.join(root, "view"), table, ["event_type"], ["value"]
+    )
+    rep.replay_range_batches(ev, 2 * bs, max_lsn + 1, batch_size=bs)
+    view.refresh(table)
+    return view.read().select(
+        "event_type", "cnt", F.col("sum_value")
+    )
+
+
 # --------------------------------------------------------------------- #
 # SimHash fingerprints (dedup family) — 32-bit, engine-portable
 # --------------------------------------------------------------------- #

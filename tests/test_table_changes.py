@@ -162,3 +162,26 @@ def test_multi_hop_diff_collapses_intermediate_versions(spark, tmp_path):
     got = {r.k: r for r in t.table_changes(v1).collect()}
     assert set(got) == {"k1"}
     assert got["k1"]._change_type == "update" and got["k1"].v == 9
+
+
+def test_update_preimages_cdf_encoding(spark, tmp_path):
+    """include_preimages=True emits Delta-CDF update pairs: the replaced
+    image (update_preimage, old lsn) and the new one (update_postimage)."""
+    t = _mk(spark, tmp_path, "cdf_pre")
+    _merge(t, [(1, "upsert", "k1", "a", 10), (2, "upsert", "k2", "a", 20)])
+    v1 = t.snapshot["version"]
+    _merge(t, [(3, "upsert", "k1", "b", 11), (4, "delete", "k2", None, None),
+               (5, "upsert", "k3", "b", 30)])
+    rows = t.table_changes(v1, include_preimages=True).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r._change_type, []).append(r)
+    assert set(by_type) == {"update_preimage", "update_postimage",
+                            "delete", "insert"}
+    (pre,), (post,) = by_type["update_preimage"], by_type["update_postimage"]
+    assert (pre.k, pre.grp, pre.v, pre._lsn) == ("k1", "a", 10, 1)
+    assert (post.k, post.grp, post.v, post._lsn) == ("k1", "b", 11, 3)
+    # default encoding unchanged: single 'update' row
+    assert {r._change_type for r in t.table_changes(v1).collect()} == {
+        "update", "delete", "insert"
+    }
