@@ -126,6 +126,11 @@ class IncrementalAggView:
             F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
         ).otherwise(F.lit(-1))
         delta = ch.groupBy(*self.group_cols).agg(*self._agg_exprs(sign))
+        # the delta is small (O(changed groups)) but its lineage — two
+        # snapshot reads + a full-outer diff — is not: checkpoint it so
+        # the bucket probe, the join, and the merge's internal passes all
+        # reuse ONE evaluation instead of re-running the diff each time
+        delta = delta.localCheckpoint()
         # the delta's groups pin which view buckets can change — collect
         # their bucket ids (bounded by n_buckets, metadata-scale) and read
         # only those
@@ -181,6 +186,9 @@ class IncrementalAggView:
             new_cnt.cast("long").alias("cnt"),
             *sums,
         )
+        # same reasoning: the merge evaluates its batch more than once
+        # (reduction, gate aggregate, write) — pay the join exactly once
+        batch = batch.localCheckpoint()
         stats = self.table.merge(
             batch, source_watermarks={"source_version": to_v}
         )

@@ -1,0 +1,192 @@
+#!/usr/bin/env python
+"""Benchmark incremental view maintenance vs full recompute.
+
+Builds a large source table, materializes a grouped COUNT/SUM view, then
+applies a stream of SMALL change batches in the realistic CDC regime:
+new keys append monotonically and updates hit RECENT keys (a bounded
+winner key range), so file-level COW carries every cold file and the
+snapshot diff reads only the few files each batch actually rewrote.
+After each batch it measures (a) the incremental
+``IncrementalAggView.refresh`` (snapshot diff → signed-delta agg →
+bucket-restricted join → merge) and (b) the honest alternative a batch
+pipeline runs: full ``groupBy`` recompute over the source + overwrite.
+Recompute is O(table) per refresh at any change size; the incremental
+path is O(changed data) — the gap this script prints is the one that
+becomes fatal at 100 TB.  (When updates scatter uniformly over the WHOLE
+key space every file holds a winner, the diff degrades to O(table), and
+recompute is the right plan — that regime is a recompute, not a CDC
+stream.)
+
+Usage:
+    python scripts/bench_incremental_view.py [--base-rows 4000000]
+        [--batches 6] [--batch-rows 20000] [--hot-window 100000]
+        [--groups 1000] [--dir /dev/shm]
+
+Prints one JSON line: per-batch walls for both modes plus the ratio.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F, types as T  # noqa: E402
+
+from cdm_cbioportal_etl_spark.session import get_spark  # noqa: E402
+from cdm_cbioportal_etl_spark.lake import IncrementalAggView, LakeTable  # noqa: E402
+from cdm_cbioportal_etl_spark.metrics import byte_delta, stage_byte_totals  # noqa: E402
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.LongType()),
+        T.StructField("grp", T.LongType()),
+        T.StructField("v", T.LongType()),
+    ]
+)
+
+
+def _batch_df(spark, lsn0: int, rows: int, key_hi: int, hot: int, groups: int):
+    # 3/4 updates to keys in the hot window [key_hi - hot, key_hi) —
+    # group reassignments force pre-image subtraction — plus 1/4 fresh
+    # monotonic inserts [key_hi, key_hi + rows/4)
+    upd = (
+        F.lit(key_hi - hot)
+        + F.abs(F.xxhash64(F.col("id") + F.lit(lsn0))) % hot
+    )
+    ins = F.lit(key_hi) + F.col("id") / 4
+    return spark.range(rows).select(
+        (F.lit(lsn0) + F.col("id")).alias("lsn"),
+        F.lit("upsert").alias("op"),
+        F.when(F.col("id") % 4 == 0, ins).otherwise(upd).cast("long").alias("k"),
+        (F.abs(F.xxhash64(F.col("id") + F.lit(lsn0 * 7))) % groups).alias("grp"),
+        (F.col("id") % 1000).alias("v"),
+    )
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--base-rows", type=int, default=4_000_000)
+    ap.add_argument("--batches", type=int, default=6)
+    ap.add_argument("--batch-rows", type=int, default=20_000)
+    ap.add_argument("--hot-window", type=int, default=100_000)
+    ap.add_argument("--groups", type=int, default=1000)
+    ap.add_argument("--dir", default="/dev/shm")
+    a = ap.parse_args()
+
+    spark = get_spark(
+        "bench-incremental-view", extra_conf={"spark.ui.enabled": "true"}
+    )
+    root = os.path.join(a.dir, "iv_bench")
+    shutil.rmtree(root, ignore_errors=True)
+    src = LakeTable.create(
+        spark, os.path.join(root, "src"), SCHEMA, ["k"], n_buckets=32
+    )
+    # build the base the way a CDC table actually accretes: successive
+    # batches of monotonic keys, so every bucket holds files with
+    # DISJOINT key ranges — the layout that lets file-level COW carry
+    # cold files and the snapshot diff skip them.  One giant merge would
+    # leave one full-range file per bucket and nothing could ever prune.
+    chunk = max(a.base_rows // 8, 1)
+    for lo in range(0, a.base_rows, chunk):
+        hi = min(lo + chunk, a.base_rows)
+        src.merge(
+            spark.range(lo, hi).select(
+                F.col("id").alias("lsn"),
+                F.lit("upsert").alias("op"),
+                F.col("id").alias("k"),
+                (F.abs(F.xxhash64("id")) % a.groups).alias("grp"),
+                (F.col("id") % 1000).alias("v"),
+            )
+        )
+    view = IncrementalAggView.create(
+        spark, os.path.join(root, "view"), src, ["grp"], ["v"], n_buckets=16
+    )
+    # the recompute competitor writes into its own table
+    full_tbl = LakeTable.create(
+        spark,
+        os.path.join(root, "full"),
+        view.table.schema,
+        ["grp"],
+        n_buckets=16,
+    )
+
+    inc_walls, full_walls = [], []
+    inc_rows, full_rows = [], []
+    lsn0 = a.base_rows
+    key_hi = a.base_rows
+    for b in range(a.batches):
+        src.merge(
+            _batch_df(
+                spark, lsn0, a.batch_rows, key_hi, a.hot_window, a.groups
+            )
+        )
+        lsn0 += a.batch_rows
+        key_hi += a.batch_rows // 4
+
+        m0 = stage_byte_totals(spark)
+        t0 = time.perf_counter()
+        view.refresh(src)
+        inc_walls.append(round(time.perf_counter() - t0, 3))
+        d = byte_delta(m0, stage_byte_totals(spark))
+        inc_rows.append(d["inputRecords"] if d else -1)
+
+        m0 = stage_byte_totals(spark)
+        t0 = time.perf_counter()
+        full = src.read().groupBy("grp").agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.sum("v").cast("long").alias("sum_v"),
+        )
+        full_tbl.overwrite(full, lsn=src.snapshot["version"])
+        full_walls.append(round(time.perf_counter() - t0, 3))
+        d = byte_delta(m0, stage_byte_totals(spark))
+        full_rows.append(d["inputRecords"] if d else -1)
+
+    # cross-check: the incremental view equals the recompute
+    iv = {(r.grp, r.cnt, r.sum_v) for r in view.read().collect()}
+    fv = {(r.grp, r.cnt, r.sum_v) for r in full_tbl.read().collect()}
+    assert iv == fv, "incremental view diverged from recompute"
+
+    med = lambda xs: sorted(xs)[len(xs) // 2]
+    print(
+        json.dumps(
+            {
+                "base_rows": a.base_rows,
+                "batch_rows": a.batch_rows,
+                "batches": a.batches,
+                "incremental_walls_sec": inc_walls,
+                "recompute_walls_sec": full_walls,
+                "median_incremental_sec": med(inc_walls),
+                "median_recompute_sec": med(full_walls),
+                "speedup_median": round(med(full_walls) / med(inc_walls), 2),
+                # the metric that scales: rows each mode must SCAN per
+                # refresh (inputRecords from the stage ledger — inputBytes
+                # undercounts on local-fs vectorized parquet reads).
+                # Recompute scans the whole source every time (O(table));
+                # the incremental path scans only the files the interval
+                # rewrote (O(changed data)).  At local scale the wall
+                # clock is fixed-cost-bound (~10 driver-side jobs/refresh)
+                # so the scan ratio — not the wall ratio — is the 100 TB
+                # story.
+                "incremental_input_rows": inc_rows,
+                "recompute_input_rows": full_rows,
+                "scan_ratio_recompute_over_incremental": (
+                    round(med(full_rows) / med(inc_rows), 2)
+                    if med(inc_rows) > 0
+                    else None
+                ),
+                "states_equal": True,
+            }
+        )
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
