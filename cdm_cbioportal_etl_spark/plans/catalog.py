@@ -703,6 +703,57 @@ def neardup_clusters_docs(spark, sf_dir):
     return connected_components(pairs)
 
 
+# the capstone of the dedup family: near-dup REMOVAL.  Cluster the LSH
+# candidate pairs, keep the min-id canonical doc per cluster, pass every
+# un-paired doc through untouched.  Oracle = the clusters oracle + an
+# anti-join of the loser set.
+@_register(
+    "neardup_dedup_survivors",
+    _SQL_SHINGLES.replace("WITH toks", "WITH RECURSIVE toks", 1)
+    + f"""
+    , sb AS (SELECT doc_id, {_SQL_BASE} AS base FROM sh)
+    , sig AS (
+      SELECT doc_id,
+             {', '.join(f"{_sql_mh(i)} AS mh_{i}" for i in range(16))}
+      FROM sb
+    ), bands AS (
+      SELECT doc_id, unnest([
+        {', '.join(f"md5('{b}' || '|' || mh_{2*b}::VARCHAR || '|' || mh_{2*b+1}::VARCHAR)"
+                   for b in range(8))}
+      ]) AS band_key
+      FROM sig
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b USING (band_key)
+      WHERE a.doc_id < b.doc_id
+    ), e AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ), reach(id, r) AS (
+      SELECT a, a FROM e
+      UNION
+      SELECT e.a, reach.r FROM e JOIN reach ON reach.id = e.b
+    ), cc AS (
+      SELECT id AS doc_id, min(r)::BIGINT AS cluster_id FROM reach GROUP BY id
+    ), losers AS (
+      SELECT doc_id FROM cc WHERE doc_id <> cluster_id
+    )
+    SELECT d.doc_id, length(d.text)::BIGINT AS n_chars
+    FROM documents d LEFT JOIN losers l USING (doc_id)
+    WHERE l.doc_id IS NULL
+    """,
+)
+def neardup_dedup_survivors(spark, sf_dir):
+    from cdm_cbioportal_etl_spark.text.dedup import dedup_survivors
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidates(docs, num_hashes=16, bands=8)
+    return dedup_survivors(docs, pairs).select(
+        "doc_id", F.length("text").cast("long").alias("n_chars")
+    )
+
+
 # incremental dedup: docs with doc_id % 3 == 0 play the already-ingested
 # corpus (reduced to its compact fingerprint ledger / band index); the
 # rest arrive as the new change-batch.  Corpus text is never rescanned —

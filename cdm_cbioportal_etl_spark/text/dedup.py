@@ -539,3 +539,28 @@ def dup_shingle_fraction(
             F.round(F.col("n_dup") / F.col("n_shingles"), 6).alias("dup_frac"),
         )
     )
+
+
+def dedup_survivors(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """End-to-end near-duplicate REMOVAL: given candidate pairs, cluster
+    them (connected components) and keep exactly one canonical doc per
+    cluster — the minimum id, the usual deterministic tie-break — while
+    every un-paired doc passes through untouched.
+
+    Shape: the CC loop runs only over docs that appear in a pair (near
+    -dup graphs at corpus scale are a small fraction of the corpus); the
+    corpus itself is touched by ONE left-anti join against the loser id
+    set.  Composes with any pair source: LSH candidates, LSH-then-verify
+    confirmed pairs, or embedding near-dup pairs."""
+    cc = connected_components(pairs, id_a=id_a, id_b=id_b)
+    losers = (
+        cc.filter(F.col("doc_id") != F.col("cluster_id"))
+        .select(F.col("doc_id").alias(id_col))
+    )
+    return docs.join(losers, id_col, "left_anti")

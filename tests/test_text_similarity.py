@@ -369,3 +369,17 @@ def test_dup_shingle_fraction_cross_doc(spark):
     # doc 3: shingles = 5 windows, exactly 'alpha beta gamma' shared
     assert out[3].n_shingles == 5 and out[3].n_dup == 1
     assert abs(out[3].dup_frac - 0.2) < 1e-9
+
+
+def test_dedup_survivors_keep_canonical(spark):
+    from cdm_cbioportal_etl_spark.text.dedup import dedup_survivors
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1, 8)], "doc_id long, text string"
+    )
+    # components: {1,2,3} (chain), {5,6}; 4 and 7 unpaired
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+    )
+    got = {r.doc_id for r in dedup_survivors(docs, pairs).collect()}
+    assert got == {1, 4, 5, 7}
