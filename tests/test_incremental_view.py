@@ -154,3 +154,48 @@ def test_view_reopen_from_disk(spark, tmp_path):
     view2.refresh(src)
     got = {r.grp: (r.cnt, r.sum_v) for r in view2.read().collect()}
     assert got == {"a": (1, 1), "b": (1, 2)}
+
+
+def test_streaming_wal_to_view_chain(spark, tmp_path):
+    """Full CDC chain: WAL segments → streaming exactly-once merge →
+    incremental view refresh per drain — the view ends equal to the
+    full recompute over the final table state."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cdm_cbioportal_etl_spark.cdc import gen_change_events
+    from cdm_cbioportal_etl_spark.cdc.generator import REPOS_SCHEMA
+    from cdm_cbioportal_etl_spark.streaming import WalTailReader
+
+    events = gen_change_events(spark, 4000, n_repos=15, paths_per_repo=25, seed=7)
+    wal_dir = str(tmp_path / "wal")
+    table = LakeTable.create(
+        spark, str(tmp_path / "tbl"),
+        T.StructType(list(REPOS_SCHEMA.fields)), ["repo", "path"], n_buckets=8,
+    )
+    view = IncrementalAggView.create(
+        spark, str(tmp_path / "v"), table, ["lang"], n_buckets=4
+    )
+
+    def _seg(lo, hi, i):
+        (events.filter((F.col("lsn") >= lo) & (F.col("lsn") < hi))
+         .coalesce(1).write.mode("overwrite")
+         .parquet(os.path.join(wal_dir, f"seg-{i:04d}")))
+
+    for i, (lo, hi) in enumerate([(0, 1500), (1500, 3000), (3000, 4000)]):
+        _seg(lo, hi, i)
+        WalTailReader(
+            spark, os.path.join(wal_dir, "seg-*"), table,
+            str(tmp_path / "ckpt"),
+        ).run_available_now()
+        view.refresh(table)
+        # invariant at every step, not just the end
+        want = {
+            (r.lang, r.cnt)
+            for r in table.read().groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("cnt")).collect()
+        }
+        got = {(r.lang, r.cnt) for r in view.read().collect()}
+        assert got == want, f"segment {i}"
+    assert view.consumed_version() == table.snapshot["version"]
