@@ -469,6 +469,11 @@ class LakeTable:
                     files.append(fobj)
             if files:
                 mapping[b] = files
+        bloom_bits = int(
+            self.snapshot.get("properties", {}).get("file_blooms", 0)
+        )
+        if bloom_bits > 0 and mapping:
+            self._attach_blooms(out_abs, mapping, bloom_bits)
         return mapping
 
     # ------------------------------------------------------------------ #
@@ -525,6 +530,140 @@ class LakeTable:
                 else:
                     agg[name] = [lo, hi]
         return agg, md.num_rows
+
+    # ------------------------------------------------------------------ #
+    # per-file key Bloom filters (point-lookup / point-update skipping)
+    # ------------------------------------------------------------------ #
+    # Min/max key stats skip files only when the probe key set is RANGE-
+    # local; hash-scattered point updates and point lookups span every
+    # file's range and defeat them.  A per-file Bloom filter over the key
+    # tuple closes that gap: a file whose bloom rejects every probe key
+    # provably holds no row (or row version) for any of them.  Opt-in via
+    # table property ``file_blooms = <bits per file>`` (0/absent = off);
+    # k = 4 independently seeded probes: hash_i = xxhash64(keys…, i),
+    # pos_i = pmod(hash_i, m) — no arithmetic that can overflow under
+    # ANSI mode, and the raw hashes are m-agnostic so one probe collect
+    # serves files with different bloom sizes.  False positives only cost
+    # an unnecessary read; false negatives cannot occur; a saturated
+    # bloom admits everything (degraded = safe).
+    BLOOM_K = 4
+
+    def _bloom_hash_exprs(self, k: int = BLOOM_K) -> list[F.Column]:
+        return [
+            F.xxhash64(*self.key_cols, F.lit(i)).alias(f"_bh_{i}")
+            for i in range(k)
+        ]
+
+    def _bloom_pos_expr(self, m: int, k: int = BLOOM_K) -> F.Column:
+        return F.array(
+            *[
+                F.pmod(h, F.lit(m)).cast("int")
+                for h in self._bloom_hash_exprs(k)
+            ]
+        )
+
+    def _attach_blooms(
+        self, out_abs: str, mapping: dict[str, list[dict]], m: int
+    ) -> None:
+        """One column-pruned pass over the just-written files builds every
+        file's bloom (explode k positions → per-(file, word) bit_or) —
+        O(written rows), never O(table).
+
+        The bitset lives in a ``<file>.bloom`` SIDECAR next to the
+        parquet, not in the manifest: a right-sized bloom is ~10 bits/key
+        (tens of KB per file), and manifests are deep-copied + fsynced on
+        every commit — inlining the bits made commits O(table-bloom-bytes)
+        per merge (measured 2-4× merge slowdown at m=256Ki).  A missing
+        sidecar (crash between write and commit never happens — sidecars
+        land before the manifest — but a manually deleted one might)
+        degrades to admit-the-file: sound."""
+        import struct as _struct
+
+        n_words = (m + 63) // 64
+        rows = (
+            self.spark.read.parquet(out_abs)
+            .select(
+                F.input_file_name().alias("_f"),
+                F.explode(self._bloom_pos_expr(m)).alias("_p"),
+            )
+            .groupBy(
+                "_f", (F.col("_p") / 64).cast("int").alias("_w")
+            )
+            .agg(
+                F.bit_or(
+                    F.expr("shiftleft(CAST(1 AS BIGINT), pmod(_p, 64))")
+                ).alias("_bits")
+            )
+            # second-level fold to ONE row per file: collecting (file,
+            # word) rows was the measured build bottleneck (4096 words ×
+            # files rows to the driver per merge)
+            .groupBy("_f")
+            .agg(F.collect_list(F.struct("_w", "_bits")).alias("_ws"))
+            .collect()
+        )
+        by_file: dict[str, dict[int, int]] = {}
+        for r in rows:
+            p = r["_f"]
+            if p.startswith("file:"):
+                p = p[5:]
+                while p.startswith("//"):
+                    p = p[1:]
+            rel = os.path.relpath(p, self.root)
+            by_file[rel] = {int(x["_w"]): int(x["_bits"]) for x in r["_ws"]}
+        for files in mapping.values():
+            for fobj in files:
+                words = by_file.get(fobj["path"], {})
+                packed = _struct.pack(
+                    f"<{n_words}q", *[words.get(i, 0) for i in range(n_words)]
+                )
+                with open(
+                    os.path.join(self.root, fobj["path"] + ".bloom"), "wb"
+                ) as fh:
+                    fh.write(packed)
+                fobj["bloom"] = {"m": m, "k": self.BLOOM_K}
+
+    def _bloom_words(self, fobj: dict) -> list[int] | None:
+        import struct as _struct
+
+        try:
+            with open(
+                os.path.join(self.root, fobj["path"] + ".bloom"), "rb"
+            ) as fh:
+                raw = fh.read()
+        except OSError:
+            return None
+        return list(_struct.unpack(f"<{len(raw) // 8}q", raw))
+
+    @staticmethod
+    def _bloom_contains(
+        bloom: dict, words: list[int], hashes: tuple[int, ...]
+    ) -> bool:
+        """Driver-side membership test; ``pmod`` of a signed 64-bit hash
+        by a positive m matches Python's ``%`` exactly."""
+        m, k = int(bloom["m"]), int(bloom["k"])
+        for i in range(k):
+            p = hashes[i] % m
+            w = words[p // 64] & 0xFFFFFFFFFFFFFFFF
+            if not (w >> (p % 64)) & 1:
+                return False
+        return True
+
+    def _bloom_reject(
+        self, fobj: dict, probes: list[tuple[int, ...]] | None
+    ) -> bool:
+        """True when the file's bloom proves NO probe key is present.
+        Missing bloom or missing probes never reject (sound default)."""
+        if not probes:
+            return False
+        bloom = fobj.get("bloom")
+        if not bloom:
+            return False
+        words = self._bloom_words(fobj)
+        if words is None:
+            return False
+        return not any(
+            self._bloom_contains(bloom, words, hs) for hs in probes
+        )
 
     @staticmethod
     def _stats_admit(fobj: dict, prune: dict) -> bool:
@@ -952,24 +1091,53 @@ class LakeTable:
             ).lower() != "false"
         )
         carried: dict[str, list[dict]] = {}
+        admitted_paths: set[str] = set()
         delta_buckets = {
             b
             for b in touched
             if any(f.get("delta") for f in snap["buckets"].get(str(b), []))
         }
         if file_skip:
-            for b in touched - delta_buckets:
-                keep = [
-                    f
-                    for f in snap["buckets"].get(str(b), [])
-                    if not self._stats_admit(f, {k0: (wmin, wmax)})
+            # bloom probes close the range gap: a point-update batch whose
+            # keys hash-scatter across the whole keyspace admits EVERY
+            # file by range, but each file's bloom rejects keys it
+            # provably lacks.  Probing costs one small job collecting the
+            # winner (h1, h2) hash pairs, so it is gated to small batches
+            # (property bloom_probe_keys, default 1024) on tables that
+            # carry blooms at all.
+            probes: list[tuple[int, int]] | None = None
+            probe_cap = int(
+                snap.get("properties", {}).get("bloom_probe_keys", 1024)
+            )
+            has_blooms = any(
+                f.get("bloom")
+                for b in touched - delta_buckets
+                for f in snap["buckets"].get(str(b), [])
+            )
+            if has_blooms and int(agg["keys"]) <= probe_cap:
+                probes = [
+                    tuple(int(v) for v in r)
+                    for r in reduced.select(*self._bloom_hash_exprs())
+                    .distinct()
+                    .collect()
                 ]
+            for b in touched - delta_buckets:
+                keep, admit = [], []
+                for f in snap["buckets"].get(str(b), []):
+                    if not self._stats_admit(
+                        f, {k0: (wmin, wmax)}
+                    ) or self._bloom_reject(f, probes):
+                        keep.append(f)
+                    else:
+                        admit.append(f["path"])
                 if keep:
                     carried[str(b)] = keep
+                admitted_paths.update(admit)
 
         def _scan_existing() -> DataFrame:
-            # the pruned read admits EXACTLY the complement of `carried`
-            # (same _stats_admit predicate); delta buckets scan in full
+            # the explicit path set is the EXACT complement of `carried`
+            # (one decision site — range stats + bloom — drives both the
+            # carry and the scan); delta buckets scan in full
             if not file_skip:
                 return self.read(buckets=touched, with_lsn=True)
             parts = []
@@ -979,7 +1147,7 @@ class LakeTable:
                     self.read(
                         buckets=cow_buckets,
                         with_lsn=True,
-                        prune={k0: (wmin, wmax)},
+                        _only_paths=admitted_paths,
                     )
                 )
             if delta_buckets:
@@ -1227,6 +1395,52 @@ class LakeTable:
         return self.read(with_lsn=True, prune={LSN_COL: (lsn + 1, None)}).filter(
             F.col(LSN_COL) > lsn
         )
+
+    def point_lookup(self, key_values: dict[str, Any]) -> DataFrame:
+        """Metadata-pruned point read of one key tuple: bucket pruning →
+        per-file range stats → per-file blooms (when the table carries
+        them), then the row filter.  On a bloom-carrying table the scan
+        touches only the files that can hold a version of the key —
+        O(key's files), not O(bucket) — in both merge modes (every
+        version of a key, tombstones included, lives in one bucket and
+        is bloom-admitted, so MOR resolution stays exact).
+        """
+        missing = [k for k in self.key_cols if k not in key_values]
+        if missing:
+            raise ValueError(f"point_lookup needs every key column: {missing}")
+        snap = self.snapshot
+        target = self.schema
+        dtypes = {f.name: f.dataType for f in target.fields}
+        # one 1-row job yields the bucket id and the bloom hash pair with
+        # EXACTLY the engine's hash semantics (never re-implement xxhash64
+        # driver-side)
+        probe_row = self.spark.range(1).select(
+            *[
+                F.lit(key_values[k]).cast(dtypes[k]).alias(k)
+                for k in self.key_cols
+            ]
+        )
+        r = probe_row.select(
+            F.pmod(F.xxhash64(*self.key_cols), F.lit(snap["n_buckets"]))
+            .cast("int")
+            .alias("b"),
+            *self._bloom_hash_exprs(),
+        ).collect()[0]
+        bucket = int(r["b"])
+        probes = [tuple(int(r[f"_bh_{i}"]) for i in range(self.BLOOM_K))]
+        prune = {k: key_values[k] for k in self.key_cols}
+        paths = {
+            f["path"]
+            for f in snap["buckets"].get(str(bucket), [])
+            if self._stats_admit(f, prune)
+            and not self._bloom_reject(f, probes)
+        }
+        df = self.read(buckets={bucket}, _only_paths=paths)
+        cond = None
+        for k in self.key_cols:
+            c = F.col(k).eqNullSafe(F.lit(key_values[k]).cast(dtypes[k]))
+            cond = c if cond is None else (cond & c)
+        return df.filter(cond)
 
     @staticmethod
     def _diff_plan(
@@ -1577,6 +1791,9 @@ class LakeTable:
                 if rel not in live and fn.endswith(".parquet"):
                     os.remove(full)
                     removed += 1
+                # bloom sidecars ride their parquet's liveness
+                if fn.endswith(".parquet.bloom") and rel[:-6] not in live:
+                    os.remove(full)
         # prune now-empty write dirs
         for dirpath, dirnames, filenames in list(os.walk(self._data_dir, topdown=False)):
             if not dirnames and not filenames and dirpath != self._data_dir:
