@@ -52,6 +52,11 @@ def main() -> None:
                     help="continue from the table's LSN ledger watermark")
     ap.add_argument("--synthetic", type=int, default=0,
                     help="generate N events instead of reading --wal")
+    ap.add_argument("--view", default=None,
+                    help="maintain an incremental per-lang COUNT view at "
+                         "this path: created (one full compute) if absent, "
+                         "then refreshed from the change feed after the "
+                         "replay — the downstream half of the CDC chain")
     args = ap.parse_args()
 
     spark = SparkSession.builder.appName("cdc-replay").getOrCreate()
@@ -86,7 +91,7 @@ def main() -> None:
             strategy=args.strategy, salt_partitions=args.salt,
         )
     wall = time.perf_counter() - t0
-    print(json.dumps({
+    out = {
         "events": lsn_hi,
         "wall_sec": round(wall, 2),
         "events_per_sec": round(lsn_hi / wall, 1),
@@ -94,7 +99,23 @@ def main() -> None:
         "batches_skipped": report.batches_skipped,
         "rows_after": table.row_count(),
         "applied_lsn": table.snapshot["ledger"]["applied_lsn"],
-    }))
+    }
+    if args.view:
+        from cdm_cbioportal_etl_spark.lake import IncrementalAggView
+
+        if LakeTable.exists(args.view):
+            view = IncrementalAggView(spark, args.view)
+        else:
+            view = IncrementalAggView.create(
+                spark, args.view, table, ["lang"]
+            )
+        rep = view.refresh(table)
+        out["view"] = {
+            "groups_touched": rep["groups"],
+            "consumed_version": view.consumed_version(),
+            "rows": view.read().count(),
+        }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
