@@ -1197,6 +1197,120 @@ def cdc_table_changes(spark, sf_dir):
     return table.table_changes(v_mid)
 
 
+# bloom-pruned point lookup + bucket-layout evolution, both through the
+# driver gate.  cdc_point_lookup: replay onto a bloom-carrying table,
+# look up one key (the min surviving user_id) via the bucket → range →
+# bloom pruning stack.  cdc_rebucket_replay: replay at 8 buckets, evolve
+# to 32, return the full state — must equal the plain replay oracle.
+@_register(
+    "cdc_point_lookup",
+    """
+    WITH ranked AS (
+      SELECT user_id, event_type, value, props,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      FROM events),
+    fin AS (
+      SELECT user_id, event_type, value, props
+      FROM ranked WHERE rn = 1 AND event_type <> 'error')
+    SELECT user_id, event_type, value, props FROM fin
+    WHERE user_id = (SELECT min(user_id) FROM fin)
+    """,
+)
+def cdc_point_lookup(spark, sf_dir):
+    from cdm_cbioportal_etl_spark.cdc import CdcReplayer
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_id").alias("lsn"),
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("update"))
+        .alias("op"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    max_lsn = int(ev.agg(F.max("lsn")).collect()[0][0])
+    root = os.path.join(
+        CDC_WORK_DIR,
+        spark.sparkContext.applicationId,
+        "pl-" + os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    table = LakeTable.create(
+        spark,
+        root,
+        T.StructType(
+            [
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+                T.StructField("props", T.StringType()),
+            ]
+        ),
+        key_cols=["user_id"],
+        n_buckets=16,
+        properties={"file_blooms": 65536},
+    )
+    CdcReplayer(table).replay_range_batches(
+        ev, 0, max_lsn + 1, batch_size=(max_lsn + 4) // 4
+    )
+    key = table.read().agg(F.min("user_id")).collect()[0][0]
+    return table.point_lookup({"user_id": int(key)}).select(
+        "user_id", "event_type", "value", "props"
+    )
+
+
+@_register(
+    "cdc_rebucket_replay",
+    f"""
+    WITH wal AS (
+      SELECT event_id AS lsn,
+             CASE WHEN event_type = 'error' THEN 'delete' ELSE 'update' END AS op,
+             'org/repo-' || lpad((user_id % 12)::VARCHAR, 4, '0') AS repo,
+             'src/f' || lpad(user_id::VARCHAR, 5, '0') || '.py' AS path,
+             md5(event_id::VARCHAR || ':' || event_type) AS commit,
+             (['{"','".join(_LANGS_SQL)}'])[(user_id % 6 + 1)::INT] AS lang,
+             concat_ws('|', event_type, coalesce(props, '')) AS content
+      FROM events
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+      FROM wal
+    )
+    SELECT repo, path, commit, lang, content,
+           sha256(content) AS content_sha
+    FROM ranked WHERE rn = 1 AND op <> 'delete'
+    """,
+)
+def cdc_rebucket_replay(spark, sf_dir):
+    """Replay into an 8-bucket table, evolve the layout to 32 buckets
+    mid-stream (after half the batches), finish the replay — the final
+    state must be byte-identical to the straight replay."""
+    from cdm_cbioportal_etl_spark.cdc import CdcReplayer
+    from cdm_cbioportal_etl_spark.cdc.generator import REPOS_SCHEMA
+
+    wal = _repos_wal(spark, sf_dir)
+    max_lsn = int(wal.agg(F.max("lsn")).collect()[0][0])
+    bs = (max_lsn + 4) // 4
+    root = os.path.join(
+        CDC_WORK_DIR,
+        spark.sparkContext.applicationId,
+        "rbk-" + os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    table = LakeTable.create(
+        spark, root, T.StructType(list(REPOS_SCHEMA.fields)),
+        key_cols=["repo", "path"], n_buckets=8,
+    )
+    rep = CdcReplayer(table)
+    rep.replay_range_batches(wal, 0, 2 * bs, batch_size=bs)
+    table.rebucket(32)
+    rep.replay_range_batches(wal, 2 * bs, max_lsn + 1, batch_size=bs)
+    return table.read().select(
+        "repo", "path", "commit", "lang", "content",
+        F.sha2("content", 256).alias("content_sha"),
+    )
+
+
 # incremental materialized view: a grouped COUNT/SUM aggregate maintained
 # from the change feed (update pre-images subtract, post-images add) —
 # never recomputed over the source.  Oracle = plain GROUP BY over the
