@@ -199,3 +199,42 @@ def test_streaming_wal_to_view_chain(spark, tmp_path):
         got = {(r.lang, r.cnt) for r in view.read().collect()}
         assert got == want, f"segment {i}"
     assert view.consumed_version() == table.snapshot["version"]
+
+
+def test_view_survives_source_schema_evolution(spark, tmp_path):
+    """A source column added AFTER view creation must not break refresh:
+    the change feed aligns old pre-images to the new schema and the view
+    only touches its configured columns."""
+    src = _mk_source(spark, tmp_path, "src_evo")
+    _merge(src, [(1, "upsert", "k1", "a", 1, 1.0)])
+    view = IncrementalAggView.create(
+        spark, str(tmp_path / "view_evo"), src, ["grp"], ["v"],
+    )
+    wide = T.StructType(list(SCHEMA.fields) + [T.StructField("w", T.StringType())])
+    src.evolve_schema(wide)
+    batch = T.StructType(
+        [T.StructField("lsn", T.LongType()), T.StructField("op", T.StringType()),
+         *wide.fields]
+    )
+    src.merge(spark.createDataFrame(
+        [(2, "upsert", "k1", "b", 5, 2.0, "x"),
+         (3, "upsert", "k2", "b", 7, 3.0, "y")], batch,
+    ))
+    view.refresh(src)
+    got = {r.grp: (r.cnt, r.sum_v) for r in view.read().collect()}
+    assert got == {"b": (2, 12)}
+
+
+def test_view_refresh_after_source_rebucket_is_noop(spark, tmp_path):
+    src = _mk_source(spark, tmp_path, "src_rbk")
+    _merge(src, [(1, "upsert", "k1", "a", 1, 1.0),
+                 (2, "upsert", "k2", "b", 2, 2.0)])
+    view = IncrementalAggView.create(
+        spark, str(tmp_path / "view_rbk"), src, ["grp"], ["v"],
+    )
+    src.rebucket(8)  # all buckets change structurally, zero logical delta
+    rep = view.refresh(src)
+    assert rep["groups"] == 0
+    assert view.consumed_version() == src.snapshot["version"]
+    got = {r.grp: (r.cnt, r.sum_v) for r in view.read().collect()}
+    assert got == {"a": (1, 1), "b": (1, 2)}

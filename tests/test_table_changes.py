@@ -185,3 +185,14 @@ def test_update_preimages_cdf_encoding(spark, tmp_path):
     assert {r._change_type for r in t.table_changes(v1).collect()} == {
         "update", "delete", "insert"
     }
+
+
+def test_diff_from_expired_version_raises(spark, tmp_path):
+    t = _mk(spark, tmp_path, "cdf_expire")
+    _merge(t, [(1, "upsert", "k1", "a", 1)])
+    v1 = t.snapshot["version"]
+    _merge(t, [(2, "upsert", "k2", "a", 2)])
+    _merge(t, [(3, "upsert", "k3", "a", 3)])
+    t.expire_snapshots(keep_last=1)
+    with pytest.raises(ValueError, match="no snapshot"):
+        t.table_changes(v1)
