@@ -48,12 +48,20 @@ class WalTailReader:
         max_files_per_trigger: int = 8,
         registry=None,
         on_stale_segment: str = "fail",
+        views=None,
     ):
         self.spark = spark
         self.wal_dir = wal_dir
         self.table = table
         self.checkpoint_dir = checkpoint_dir
         self.max_files_per_trigger = max_files_per_trigger
+        # optional downstream IncrementalAggViews refreshed after each
+        # micro-batch commit: the full CDC chain (WAL → table → maintained
+        # aggregates) as ONE declarative object.  Each refresh is itself
+        # idempotent (the view's ledger is its consumption watermark), so
+        # a replayed epoch refreshes to the same state — the chain stays
+        # exactly-once end to end.
+        self.views = list(views or [])
         # optional SchemaRegistry: evolution DDL is issued BEFORE the batch
         # merge, so events referencing a newer schema never apply first
         self.registry = registry
@@ -144,6 +152,8 @@ class WalTailReader:
             count_batch=False,
             applied_segments=segments,
         )
+        for view in self.views:
+            view.refresh(self.table)
 
     def run_available_now(self, await_termination_sec: int | None = 300):
         """Drain everything currently in the WAL dir, then stop."""

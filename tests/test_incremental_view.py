@@ -238,3 +238,38 @@ def test_view_refresh_after_source_rebucket_is_noop(spark, tmp_path):
     assert view.consumed_version() == src.snapshot["version"]
     got = {r.grp: (r.cnt, r.sum_v) for r in view.read().collect()}
     assert got == {"a": (1, 1), "b": (1, 2)}
+
+
+def test_wal_reader_maintains_views_inline(spark, tmp_path):
+    """views=[...] on the WAL reader: every micro-batch commit refreshes
+    the downstream aggregates — one declarative object for the chain."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cdm_cbioportal_etl_spark.cdc import gen_change_events
+    from cdm_cbioportal_etl_spark.cdc.generator import REPOS_SCHEMA
+    from cdm_cbioportal_etl_spark.streaming import WalTailReader
+
+    events = gen_change_events(spark, 3000, n_repos=10, paths_per_repo=20, seed=3)
+    wal_dir = str(tmp_path / "wal")
+    (events.coalesce(1).write.mode("overwrite")
+     .parquet(os.path.join(wal_dir, "seg-0000")))
+    table = LakeTable.create(
+        spark, str(tmp_path / "tbl"),
+        T.StructType(list(REPOS_SCHEMA.fields)), ["repo", "path"], n_buckets=4,
+    )
+    view = IncrementalAggView.create(
+        spark, str(tmp_path / "v"), table, ["lang"], n_buckets=2
+    )
+    WalTailReader(
+        spark, os.path.join(wal_dir, "seg-*"), table,
+        str(tmp_path / "ckpt"), max_files_per_trigger=1, views=[view],
+    ).run_available_now()
+    want = {
+        (r.lang, r.cnt)
+        for r in table.read().groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    assert {(r.lang, r.cnt) for r in view.read().collect()} == want
+    assert view.consumed_version() == table.snapshot["version"]
