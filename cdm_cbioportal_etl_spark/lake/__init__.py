@@ -5,9 +5,14 @@ from cdm_cbioportal_etl_spark.lake.backend import (
     reduce_winners,
 )
 from cdm_cbioportal_etl_spark.lake.incremental import IncrementalAggView
-from cdm_cbioportal_etl_spark.lake.table import LakeTable, SchemaEvolutionError
+from cdm_cbioportal_etl_spark.lake.table import (
+    ConcurrentCommitError,
+    LakeTable,
+    SchemaEvolutionError,
+)
 
 __all__ = [
+    "ConcurrentCommitError",
     "IcebergBackend",
     "IncrementalAggView",
     "LakeTable",

@@ -79,6 +79,12 @@ class SchemaEvolutionError(ValueError):
     pass
 
 
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed this version first (optimistic
+    concurrency).  Refresh the snapshot and retry — merge() does this
+    automatically; the LSN ledger makes the retried batch exactly-once."""
+
+
 def _type_name(dt: T.DataType) -> str:
     return dt.simpleString()
 
@@ -150,11 +156,31 @@ class LakeTable:
         swing, pointer contents fsync'd before the rename, directory
         entry fsync'd after — a power loss at any point leaves either
         the old committed state or the new one, never a pointer at a
-        truncated/missing manifest."""
+        truncated/missing manifest.
+
+        Concurrency: the manifest is created with O_EXCL, so version
+        allocation is ATOMIC — of two writers racing to commit the same
+        version, exactly one wins; the loser gets ConcurrentCommitError
+        without having moved the pointer (optimistic concurrency, the
+        Iceberg/Delta commit protocol on a posix filesystem).  The loser
+        refreshes and retries at the next version — ``merge`` does this
+        automatically, and the LSN ledger keeps the retried batch
+        exactly-once.  A manifest that exists while VERSION never reaches
+        it is a crashed writer's remnant; the error message carries the
+        repair hint (delete the orphan manifest)."""
         os.makedirs(self._meta_dir, exist_ok=True)
         version = snap["version"]
         path = os.path.join(self._meta_dir, f"snap-{version:08d}.json")
-        with open(path, "w") as fh:
+        try:
+            fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
+        except FileExistsError:
+            raise ConcurrentCommitError(
+                f"version {version} at {self.root} was committed by another "
+                "writer (or is a crashed writer's orphan manifest if VERSION "
+                f"never reaches {version} — repair by deleting "
+                f"{path}).  Refresh and retry."
+            ) from None
+        with os.fdopen(fd, "w") as fh:
             json.dump(snap, fh)
             fh.flush()
             os.fsync(fh.fileno())
@@ -935,15 +961,47 @@ class LakeTable:
         reduced = self.prepare_batch(
             batch, lsn_col, op_col, strategy=strategy, salt_partitions=salt_partitions
         )
-        stats = self.apply_prepared(
-            reduced,
-            batch_id=batch_id,
-            source_watermarks=source_watermarks,
-            extra_lineage=extra_lineage,
-            batch_total=batch_total,
-            applied_segments=applied_segments,
-            mode=mode,
+        # optimistic-concurrency retry: if another writer wins our commit
+        # version, refresh and redo prepare+apply against the new snapshot
+        # (prepare again, not just apply — the racer may have evolved the
+        # schema or rebucketed).  The LSN ledger keeps the retried batch
+        # exactly-once: rows the racer already applied filter out.
+        retries = int(
+            self.snapshot.get("properties", {}).get("commit_retries", 3)
         )
+        for attempt in range(retries + 1):
+            try:
+                stats = self.apply_prepared(
+                    reduced,
+                    batch_id=batch_id,
+                    source_watermarks=source_watermarks,
+                    extra_lineage=extra_lineage,
+                    batch_total=batch_total,
+                    applied_segments=applied_segments,
+                    mode=mode,
+                )
+                break
+            except ConcurrentCommitError:
+                if attempt == retries:
+                    raise
+                import time as _t
+
+                old_v = self.snapshot["version"]
+                advanced = False
+                for _ in range(3):  # grace for a racer mid-pointer-swing
+                    self.refresh()
+                    if self.snapshot["version"] > old_v:
+                        advanced = True
+                        break
+                    _t.sleep(0.05)
+                if not advanced:
+                    # manifest exists but no one ever published it: a
+                    # crashed writer's orphan — retrying would spin
+                    raise
+                reduced = self.prepare_batch(
+                    batch, lsn_col, op_col,
+                    strategy=strategy, salt_partitions=salt_partitions,
+                )
         # inline maintenance policy: MOR delta appends and COW file
         # skipping both accumulate files per bucket; with the
         # ``auto_compact_files`` property set, fold any bucket past the
