@@ -48,6 +48,8 @@ _BENCH_QUERIES = [
     "incremental_dedup_docs",
     "incremental_lsh_pairs",
     "lake_pruned_range_read",
+    "lake_zorder_clustered_read",
+    "ann_pq_topk",
     "token_count_docs",
     "lang_id_docs",
     "quality_score_docs",

@@ -449,7 +449,13 @@ class LakeTable:
         return F.pmod(F.xxhash64(*self.key_cols), F.lit(self.snapshot["n_buckets"])).cast("int")
 
     def _write_bucket_files(
-        self, df: DataFrame, schema_id: int, pre_bucketed: bool = False
+        self,
+        df: DataFrame,
+        schema_id: int,
+        pre_bucketed: bool = False,
+        sort_cols: list[str] | None = None,
+        drop_after_sort: list[str] | None = None,
+        stats_cols: list[str] | None = None,
     ) -> dict[str, list[dict]]:
         """Write df (must carry ``_bucket``) partitioned by bucket; return
         the bucket→files mapping for the manifest.
@@ -458,18 +464,30 @@ class LakeTable:
         guarantees partitions are already bucket-clustered well enough
         (e.g. rows read straight from bucket files); the dynamic-partition
         writer splits by ``_bucket`` value regardless, so correctness never
-        depends on the layout, only file counts do."""
+        depends on the layout, only file counts do.
+
+        ``sort_cols`` overrides the within-file ordering (default: the key
+        columns — what makes key-range stats skipping effective).  The
+        z-order rewrite passes its interleaved curve value instead; the
+        sort always LEADS with ``_bucket`` so the dynamic-partition writer
+        sees data grouped by partition value and never inserts its own
+        re-sort (which would scramble the requested order)."""
         out_rel = os.path.join("data", f"w-{uuid.uuid4().hex}")
         out_abs = os.path.join(self.root, out_rel)
         n = self.snapshot["n_buckets"]
         if not pre_bucketed:
             df = df.repartition(min(n, 64), "_bucket")
-        (
-            df.sortWithinPartitions("_bucket", *self.key_cols)
-            .write.partitionBy("_bucket")
-            .parquet(out_abs)
-        )
-        stats_cols = self._stats_cols()
+        order = self.key_cols if sort_cols is None else sort_cols
+        out = df.sortWithinPartitions("_bucket", *order)
+        if drop_after_sort:
+            # ephemeral sort keys (the z-order curve value) are dropped
+            # after the sort — a Project above a Sort preserves the
+            # partition-local row order, and the dynamic-partition writer
+            # sees the plan still ordered by ``_bucket`` so it adds no
+            # re-sort of its own
+            out = out.drop(*drop_after_sort)
+        out.write.partitionBy("_bucket").parquet(out_abs)
+        stats_cols = self._stats_cols() if stats_cols is None else stats_cols
         mapping: dict[str, list[dict]] = {}
         for entry in sorted(os.listdir(out_abs)):
             if not entry.startswith("_bucket="):
@@ -1676,7 +1694,10 @@ class LakeTable:
         return int(self.snapshot["ledger"]["applied_lsn"])
 
     def compact(
-        self, max_files_per_bucket: int = 2, fold_all_deltas: bool = True
+        self,
+        max_files_per_bucket: int = 2,
+        fold_all_deltas: bool = True,
+        target_file_rows: int | None = None,
     ) -> int:
         """Rewrite buckets holding more than ``max_files_per_bucket`` files
         into one file each (the no-shuffle write mode trades small files
@@ -1685,7 +1706,17 @@ class LakeTable:
 
         ``fold_all_deltas=False`` compacts strictly by file count — the
         inline ``auto_compact_files`` policy uses it so MOR tables don't
-        fold their deltas after every merge (which would undo MOR)."""
+        fold their deltas after every merge (which would undo MOR).
+
+        ``target_file_rows`` switches to BIN-PACKING mode (Iceberg's
+        binpack strategy): instead of one file per bucket, the rewrite
+        range-partitions on (bucket, key) into ~rows/target partitions, so
+        each compacted file holds about ``target_file_rows`` key-contiguous
+        rows — the knob for buckets that have outgrown the
+        one-file-per-rewrite sweet spot (a single giant file serializes
+        the next COW rewrite of its bucket AND defeats key-range file
+        skipping within the bucket).  The partition count comes from
+        manifest row counts — no extra counting job."""
         snap = json.loads(json.dumps(self.snapshot))
         todo = {
             int(b) for b, files in snap["buckets"].items()
@@ -1700,7 +1731,18 @@ class LakeTable:
         df = self.read(buckets=todo, with_lsn=True).withColumn(
             "_bucket", self._bucket_expr()
         )
-        mapping = self._write_bucket_files(df, snap["schema_id"])
+        if target_file_rows:
+            rows = sum(
+                int(snap.get("bucket_rows", {}).get(str(b), 0)) for b in todo
+            )
+            n_parts = max(1, -(-rows // int(target_file_rows)))
+            mapping = self._write_bucket_files(
+                df.repartitionByRange(n_parts, "_bucket", *self.key_cols),
+                snap["schema_id"],
+                pre_bucketed=True,
+            )
+        else:
+            mapping = self._write_bucket_files(df, snap["schema_id"])
         # a todo bucket absent from the write output resolved to ZERO live
         # rows (e.g. every key tombstoned in MOR deltas) — it must still
         # be compacted, to an empty file list, or its stale delta files
@@ -1796,6 +1838,183 @@ class LakeTable:
         )
         self._commit(snap)
         return snap["version"]
+
+    # ------------------------------------------------------------------ #
+    # z-order clustering (Iceberg rewrite_data_files sort/z-order strategy)
+    # ------------------------------------------------------------------ #
+    # Bucket pruning answers KEY predicates; per-file key-range stats answer
+    # key ranges INSIDE a bucket.  Neither helps a predicate on a secondary
+    # column: the write path sorts files by key, so every file's min/max on
+    # a non-key column spans nearly the full domain and admits everything.
+    # cluster_files() rewrites the table with rows ordered along a Z-curve
+    # over the requested columns, which makes every file a tight hyper-
+    # rectangle in that column space — per-file min/max stats then skip
+    # most files for a selective secondary-column predicate, the same
+    # motivation as Delta OPTIMIZE ZORDER BY / Iceberg's z-order rewrite.
+    ZORDER_STRING_SAMPLE_CAP = 10_000
+
+    def _zorder_bounds(
+        self, df: DataFrame, cluster_by: list[str], n_bins: int
+    ) -> dict[str, list]:
+        """Per-column bin boundaries for the Z-curve.
+
+        Numeric columns use ``approxQuantile`` (Greenwald-Khanna sketch —
+        one distributed pass, bounded driver memory); string columns take
+        evenly spaced cuts from a capped sorted-distinct sample (the same
+        bounded-sampling budget Spark's own RangePartitioner spends).
+        Quantile boundaries make bins equal-POPULATION, so the curve stays
+        balanced under arbitrarily skewed value distributions."""
+        numeric = (
+            T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+            T.FloatType, T.DoubleType,
+        )
+        types = {f.name: f.dataType for f in df.schema.fields}
+        bounds: dict[str, list] = {}
+        qs = [i / n_bins for i in range(1, n_bins)]
+        for col in cluster_by:
+            dt = types[col]
+            if isinstance(dt, numeric):
+                cuts = df.stat.approxQuantile(col, qs, 1.0 / (4 * n_bins))
+            elif isinstance(dt, T.StringType):
+                vals = [
+                    r[0]
+                    for r in df.select(col)
+                    .na.drop()
+                    .distinct()
+                    .sort(col)
+                    .limit(self.ZORDER_STRING_SAMPLE_CAP)
+                    .collect()
+                ]
+                step = max(1, len(vals) // n_bins)
+                cuts = vals[step::step]
+            else:
+                raise TypeError(
+                    f"cluster_files supports numeric/string columns; "
+                    f"{col} is {dt.simpleString()}"
+                )
+            bounds[col] = sorted(set(cuts))
+        return bounds
+
+    @staticmethod
+    def _zvalue_expr(cluster_by: list[str], bounds: dict[str, list]) -> F.Column:
+        """Interleaved-bit Z-curve value as a pure column expression.
+
+        bin_c = #boundaries <= value (a codegen'd O(n_bins) array filter —
+        no UDF); bit b of every column's bin lands at position
+        b*ncols + column_index.  Nulls take bin 0, clustering together at
+        the curve origin."""
+        ncols = len(cluster_by)
+        max_bins = max((len(bounds[c]) + 1 for c in cluster_by), default=1)
+        bits = max(1, (max_bins - 1).bit_length())
+        z = F.lit(0).cast("long")
+        for ci, col in enumerate(cluster_by):
+            cuts = bounds[col]
+            if not cuts:
+                continue
+            arr = F.array(*[F.lit(v) for v in cuts])
+            bin_c = F.when(
+                F.col(col).isNull(), F.lit(0)
+            ).otherwise(F.size(F.filter(arr, lambda b: b <= F.col(col)))).cast(
+                "long"
+            )
+            for bit in range(bits):
+                z = z + F.shiftleft(
+                    F.shiftright(bin_c, bit).bitwiseAND(F.lit(1)),
+                    bit * ncols + ci,
+                )
+        return z
+
+    def cluster_files(
+        self,
+        cluster_by: list[str],
+        target_files_per_bucket: int = 4,
+        n_bins: int = 64,
+    ) -> int:
+        """Rewrite the table Z-ordered on ``cluster_by`` and start tracking
+        those columns' per-file min/max stats (so ``read(prune=...)`` on
+        them skips files from now on).  MOR deltas fold into the rewrite;
+        a single column degenerates to plain sort clustering.  Returns the
+        new version number.
+
+        Scale shape: one distributed quantile/sample pass per cluster
+        column, then ONE range-shuffle of the resolved state on
+        ``(_bucket, zvalue)`` — rows of a bucket land in curve order
+        across ~``target_files_per_bucket`` contiguous files.  Like
+        ``rebucket``, this is the off-path table-maintenance rewrite
+        (Iceberg rewrite_data_files); merges afterwards still write
+        key-sorted files, whose cluster-column stats are merely looser —
+        pruning correctness never depends on layout.
+        """
+        if not cluster_by:
+            raise ValueError("cluster_by must name at least one column")
+        if not 2 <= n_bins <= 256:
+            raise ValueError(f"n_bins must be in [2, 256], got {n_bins}")
+        schema_names = {f.name for f in self.schema.fields}
+        missing = [c for c in cluster_by if c not in schema_names]
+        if missing:
+            raise ValueError(f"cluster_by columns not in schema: {missing}")
+        snap = json.loads(json.dumps(self.snapshot))
+        df = self.read(with_lsn=True).withColumn("_bucket", self._bucket_expr())
+        bounds = self._zorder_bounds(df, cluster_by, n_bins)
+        stats_cols = list(
+            dict.fromkeys([*snap["key_cols"], LSN_COL, *cluster_by])
+        )
+        n_parts = max(1, snap["n_buckets"] * max(1, target_files_per_bucket))
+        staged = df.withColumn("_zv", self._zvalue_expr(cluster_by, bounds))
+        if staged.isEmpty():
+            # repartitionByRange on an empty frame still samples; and an
+            # empty rewrite should still commit the stats property
+            mapping: dict[str, list[dict]] = {}
+        else:
+            mapping = self._write_bucket_files(
+                staged.repartitionByRange(n_parts, "_bucket", "_zv"),
+                snap["schema_id"],
+                pre_bucketed=True,
+                sort_cols=["_zv"],
+                drop_after_sort=["_zv"],
+                stats_cols=stats_cols,
+            )
+        full = {str(b): [] for b in range(snap["n_buckets"])}
+        full.update(mapping)
+        snap["buckets"] = full
+        snap["bucket_rows"] = {b: self._files_rows(f) for b, f in full.items()}
+        snap.setdefault("properties", {})["stats_cols"] = ",".join(stats_cols)
+        snap["version"] += 1
+        snap["lineage"].append(
+            {
+                "batch_id": f"zorder-{uuid.uuid4().hex[:8]}",
+                "cluster_by": list(cluster_by),
+                "n_bins": n_bins,
+                "n_files": sum(len(f) for f in full.values()),
+            }
+        )
+        self._commit(snap)
+        return snap["version"]
+
+    def files_admitted(
+        self, prune: dict, buckets: set[int] | None = None
+    ) -> tuple[int, int]:
+        """(admitted, total) data-file counts for a prune predicate —
+        the observability hook for measuring stats-skipping effectiveness,
+        under the SAME soundness rule ``read`` applies (with MOR deltas
+        present, only key columns participate)."""
+        snap = self.snapshot
+        sel = [
+            (int(b), files)
+            for b, files in snap["buckets"].items()
+            if buckets is None or int(b) in buckets
+        ]
+        has_deltas = any(f.get("delta", False) for _, fs in sel for f in fs)
+        eff = (
+            {c: p for c, p in prune.items() if c in snap["key_cols"]}
+            if has_deltas
+            else prune
+        )
+        total = sum(len(fs) for _, fs in sel)
+        admitted = sum(
+            1 for _, fs in sel for f in fs if self._stats_admit(f, eff)
+        )
+        return admitted, total
 
     def expire_snapshots(self, keep_last: int = 5) -> int:
         """Delete old snapshot manifests, keeping the most recent

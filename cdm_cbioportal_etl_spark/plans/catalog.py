@@ -2507,6 +2507,57 @@ def ann_ivf_recall(spark, sf_dir):
 
 
 # --------------------------------------------------------------------- #
+# PQ (product quantization) ANN — the memory-bound scale path (m byte
+# codes replace dim floats per vector; ADC scores via table lookups),
+# gated like LSH/IVF (deterministic recall threshold vs exact)
+# --------------------------------------------------------------------- #
+@_register("ann_pq_topk")  # approximate: rows-only; quality gated below
+def ann_pq_topk(spark, sf_dir):
+    from cdm_cbioportal_etl_spark.similarity.ann import pq_ann
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = pq_ann(emb, queries, k=5, dim=64, m=32, ksub=16, shortlist_mult=8)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@_register(
+    "ann_pq_recall",
+    # contract oracle (see ann_lsh_recall): constants emitted only when
+    # PQ-ADC-then-rerank recall@5 vs the exact baseline is >= 0.7.  The
+    # near-uniform synthetic embeddings are the WORST case for sample-
+    # trained codebooks (quantization error ~ signal), so the catalog
+    # point uses fine subspaces (m=32: dsub=2, still 8x compression) and
+    # an 8x ADC shortlist — measured recall 1.0 at sf0.001 AND sf0.01;
+    # clustered real embeddings tolerate far coarser settings
+    "SELECT 5 AS k, 5 AS n_queries, CAST(1 AS BOOLEAN) AS recall_ok",
+)
+def ann_pq_recall(spark, sf_dir):
+    from cdm_cbioportal_etl_spark.similarity.ann import pq_ann
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = cosine_topk_bruteforce(emb, queries, k=5)
+    approx = pq_ann(emb, queries, k=5, dim=64, m=32, ksub=16, shortlist_mult=8)
+    hits = exact.select("query_id", "neighbor_id").intersect(
+        approx.select("query_id", "neighbor_id")
+    )
+    return (
+        hits.agg(F.count(F.lit(1)).alias("_n_hits"))
+        .crossJoin(exact.agg(F.count(F.lit(1)).alias("_n_exact")))
+        .select(
+            F.lit(5).alias("k"),
+            F.lit(5).alias("n_queries"),
+            (F.col("_n_hits") >= F.ceil(F.col("_n_exact") * 0.7)).alias("recall_ok"),
+        )
+    )
+
+
+# --------------------------------------------------------------------- #
 # Merge-on-read replay: same WAL, same oracle as cdc_repos_replay, but
 # the engine applies batches as delta appends (Iceberg-v2 MOR) and the
 # read resolves — proving mode equivalence through the oracle gate
@@ -2582,6 +2633,58 @@ def lake_pruned_range_read(spark, sf_dir):
     table.overwrite(cust)
     return table.read(prune={"c_custkey": (100, 199)}).filter(
         F.col("c_custkey").between(100, 199)
+    )
+
+
+# --------------------------------------------------------------------- #
+# Z-order clustered read (Delta OPTIMIZE ZORDER BY / Iceberg z-order
+# rewrite): key-sorted files can't skip on a SECONDARY column — every
+# file spans the full domain.  cluster_files() rewrites the table along
+# a Z-curve over (c_acctbal, c_mktsegment) and starts tracking their
+# per-file min/max, after which a selective secondary-column predicate
+# skips most files (asserted in tests/test_zorder.py via files_admitted;
+# the oracle here proves skipping never loses a row).
+# --------------------------------------------------------------------- #
+@_register(
+    "lake_zorder_clustered_read",
+    """
+    SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+    FROM customer
+    WHERE c_acctbal BETWEEN 1000.0 AND 3000.0 AND c_mktsegment = 'BUILDING'
+    """,
+)
+def lake_zorder_clustered_read(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    root = os.path.join(
+        CDC_WORK_DIR,
+        spark.sparkContext.applicationId,
+        "zorder-" + os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    table = LakeTable.create(
+        spark,
+        root,
+        T.StructType(
+            [
+                T.StructField("c_custkey", T.LongType()),
+                T.StructField("c_name", T.StringType()),
+                T.StructField("c_acctbal", T.DoubleType()),
+                T.StructField("c_mktsegment", T.StringType()),
+            ]
+        ),
+        key_cols=["c_custkey"],
+        n_buckets=8,
+    )
+    table.overwrite(cust)
+    table.cluster_files(
+        ["c_acctbal", "c_mktsegment"], target_files_per_bucket=4, n_bins=32
+    )
+    prune = {"c_acctbal": (1000.0, 3000.0), "c_mktsegment": "BUILDING"}
+    return table.read(prune=prune).filter(
+        F.col("c_acctbal").between(1000.0, 3000.0)
+        & (F.col("c_mktsegment") == "BUILDING")
     )
 
 

@@ -1,6 +1,9 @@
 from cdm_cbioportal_etl_spark.similarity.ann import (
     cosine_topk_bruteforce,
     lsh_bucketed_ann,
+    pq_ann,
+    pq_codebooks,
+    pq_encode,
 )
 from cdm_cbioportal_etl_spark.similarity.quantize import (
     dequantize_expr,
@@ -11,6 +14,9 @@ from cdm_cbioportal_etl_spark.similarity.semdedup import semantic_dedup
 __all__ = [
     "cosine_topk_bruteforce",
     "lsh_bucketed_ann",
+    "pq_ann",
+    "pq_codebooks",
+    "pq_encode",
     "quantized_embeddings",
     "dequantize_expr",
     "semantic_dedup",

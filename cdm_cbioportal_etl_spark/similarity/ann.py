@@ -184,6 +184,207 @@ def lsh_bucketed_ann(
     )
 
 
+def pq_codebooks(
+    items: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = 8,
+    ksub: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Product-quantization codebooks as ONE broadcastable row
+    (``_books: array<array<array<double>>>``, shape m × ksub × dim/m).
+
+    Training is the same deterministic hash-ranked sample the IVF coarse
+    quantizer uses (stable under retries, no iterations): ksub sample
+    vectors are unit-normalized and sliced into m subvectors — book[mi][k]
+    is sample k's mi-th slice.  Like the IVF centroids, the books are
+    never collected to the driver nor inlined as literals (plan stays a
+    few KB at any m × ksub × dim)."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m} subspaces")
+    dsub = dim // m
+    return (
+        items.select(
+            F.xxhash64(F.col(id_col), F.lit(seed)).alias("_hk"),
+            F.col(vec_col).alias("_cv"),
+        )
+        .orderBy("_hk")
+        .limit(ksub)
+        .agg(
+            # aggregate first (collect_list can't live inside a lambda),
+            # normalize each sample once, then slice per subspace
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_hk", "_cv"))),
+                lambda s: unit_vector(s["_cv"]),
+            ).alias("_samples")
+        )
+        .select(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda mi: F.transform(
+                    F.col("_samples"),
+                    lambda s: F.slice(s, mi * dsub + 1, dsub),
+                ),
+            ).alias("_books")
+        )
+    )
+
+
+def _pq_code_expr(vec_unit, books, m: int, dsub: int) -> F.Column:
+    """codes[mi] = argmin_k ||sub_mi − book[mi][k]||² as an
+    array<int> column — pure HOFs, no UDF.  argmin-L2 is rewritten as
+    argmax(⟨sub,c⟩ − ½‖c‖²) so each candidate costs one dot; the
+    subvector is bound ONCE per (row, mi) as a lambda variable (the
+    interpreted-HOF CSE rule, see text.dedup.shingles).  The whole
+    encoder is ONE nested transform over sequence(0, m-1), so the plan
+    (and task binary) stays a few KB at any m — a per-subspace Python
+    loop built m expression trees and shipped MB-scale binaries."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda mi: F.transform(
+            F.array(F.slice(vec_unit, mi * dsub + 1, dsub)),
+            # max score; ties break to the HIGHER code (deterministic,
+            # same struct-sort tiebreak the IVF centroid pick uses)
+            lambda s: F.reverse(
+                F.array_sort(
+                    F.transform(
+                        F.element_at(books, mi + 1),
+                        lambda c, k: F.struct(
+                            (_dot(s, c) - 0.5 * _dot(c, c)).alias("s"),
+                            k.alias("k"),
+                        ),
+                    )
+                )
+            )[0]["k"],
+        )[0],
+    )
+
+
+def pq_encode(
+    items: DataFrame,
+    books: DataFrame,
+    dim: int,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The persistable compressed index: (id, _codes array<int> of length
+    m).  This is PQ's 100 TB story — m small ints (one byte each at
+    ksub ≤ 256) replace dim floats per vector, a 32× shrink at
+    dim=64/m=8, letting the candidate scan stay in memory at corpus
+    scale.  Encoding is one broadcast-join pass, no shuffle."""
+    dsub = dim // m
+    return items.crossJoin(F.broadcast(books)).select(
+        F.col(id_col).alias("neighbor_id"),
+        unit_vector(F.col(vec_col)).alias("_iv"),
+        _pq_code_expr(
+            unit_vector(F.col(vec_col)), F.col("_books"), m, dsub
+        ).alias("_codes"),
+    )
+
+
+def pq_ann(
+    items: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    dim: int = 64,
+    m: int = 8,
+    ksub: int = 16,
+    shortlist_mult: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Product-quantization approximate top-k (ADC shortlist → exact
+    re-rank) — the memory-bound scale path complementing LSH (hash
+    buckets) and IVF (coarse partition):
+
+    1. **Train**: deterministic codebooks (``pq_codebooks``).
+    2. **Encode**: every item compresses to m one-byte codes
+       (``pq_encode``) — at scale this index is what's scanned, not the
+       vectors.
+    3. **ADC**: each query precomputes a lookup table
+       ``_lut[mi][k] = ⟨q_mi, book[mi][k]⟩`` (m × ksub dots, once per
+       query); scoring an item is then m table lookups + adds —
+       O(m) per pair instead of O(dim), and the only per-item data
+       touched is the byte codes.
+    4. **Re-rank**: the ADC top ``k·shortlist_mult`` per query re-score
+       with the exact dot — recall recovers from quantization error
+       while exact work stays O(queries · shortlist).
+
+    Deterministic end to end; quality is gated by ``ann_pq_recall`` in
+    the catalog (the approximate-operator contract, like LSH/IVF).
+    """
+    dsub = dim // m
+    books = pq_codebooks(items, id_col, vec_col, dim, m, ksub, seed)
+    it = pq_encode(items, books, dim, m, id_col, vec_col)
+    def _lut_expr(vec_unit, books_col) -> F.Column:
+        # _lut[mi][k] = ⟨q_sub_mi, book[mi][k]⟩; the query subvector is
+        # bound once per (row, mi) as a lambda variable (HOF CSE rule),
+        # and the whole LUT is one nested transform (constant plan size)
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda mi: F.transform(
+                F.array(F.slice(vec_unit, mi * dsub + 1, dsub)),
+                lambda s: F.transform(
+                    F.element_at(books_col, mi + 1), lambda c: _dot(s, c)
+                ),
+            )[0],
+        )
+
+    q = queries.crossJoin(F.broadcast(books)).select(
+        F.col(query_id_col).alias("query_id"),
+        unit_vector(F.col(vec_col)).alias("_qv"),
+        _lut_expr(unit_vector(F.col(vec_col)), F.col("_books")).alias("_lut"),
+    )
+    # ADC scan touches ONLY the byte codes (the compressed index) — the
+    # vectors are fetched afterwards for the shortlist alone, which is
+    # what makes PQ memory-bound-scan-friendly at corpus scale
+    scored = (
+        it.select("neighbor_id", "_codes")
+        .crossJoin(F.broadcast(q.select("query_id", "_lut")))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.aggregate(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                F.lit(0.0),
+                lambda acc, mi: acc
+                + F.element_at(
+                    F.element_at(F.col("_lut"), mi + 1),
+                    F.element_at(F.col("_codes"), mi + 1) + 1,
+                ),
+            ).alias("_adc"),
+        )
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.desc("_adc"), F.asc("neighbor_id")
+    )
+    shortlist = (
+        scored.withColumn("_arank", F.row_number().over(w_adc))
+        .filter(F.col("_arank") <= k * shortlist_mult)
+        .select("query_id", "neighbor_id")
+    )
+    rescored = (
+        shortlist.join(it.select("neighbor_id", "_iv"), "neighbor_id")
+        .join(F.broadcast(q.select("query_id", "_qv")), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            _dot(F.col("_qv"), F.col("_iv")).alias("_cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("_cos"), F.asc("neighbor_id"))
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("_cos", 4).alias("cosine"), "rank")
+    )
+
+
 def ivf_ann(
     items: DataFrame,
     queries: DataFrame,

@@ -1,4 +1,13 @@
 from cdm_cbioportal_etl_spark.streaming.stateful import sessionize_stream
 from cdm_cbioportal_etl_spark.streaming.wal import WalTailReader
+from cdm_cbioportal_etl_spark.streaming.windows import (
+    stream_windowed_agg_to_lake,
+    windowed_agg_stream,
+)
 
-__all__ = ["WalTailReader", "sessionize_stream"]
+__all__ = [
+    "WalTailReader",
+    "sessionize_stream",
+    "stream_windowed_agg_to_lake",
+    "windowed_agg_stream",
+]

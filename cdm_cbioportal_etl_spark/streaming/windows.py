@@ -1,0 +1,119 @@
+"""Watermarked windowed aggregation for event streams.
+
+The Structured-Streaming-native form of the catalog's batch
+``tumbling_window_counts``: event-time tumbling (or sliding) windows with
+a watermark bounding how long state waits for stragglers.  Append output
+mode means a window row is emitted exactly once — when the watermark
+passes the window end — which is the contract a downstream exactly-once
+sink (e.g. a LakeTable merge keyed on (window_start, group)) wants.
+
+Late-data semantics (asserted in tests/test_streaming_windows.py):
+
+- an event later than in-order data but still inside the watermark
+  ("late but allowed") lands in its window before that window finalizes;
+- an event whose window end is already behind the watermark is DROPPED —
+  bounded state is the price of unbounded streams, and the watermark is
+  the explicit knob.
+
+Scale shape: windowed aggregation is a map-side-combinable hash aggregate
+whose state is O(open windows × groups), independent of event count; the
+only exchange is the grouping shuffle.  No Python in the hot path — the
+whole plan is JVM expressions, checkpoint-durable across restarts.
+
+Reference analog: none (the reference is batch-only); this is the
+streaming leg the task brief names ("watermarks + windowed aggs for late
+data").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from cdm_cbioportal_etl_spark.lake import LakeTable
+
+
+def windowed_agg_stream(
+    events: DataFrame,
+    time_col: str = "ts",
+    window: str = "10 minutes",
+    slide: str | None = None,
+    watermark: str = "5 minutes",
+    group_cols: tuple[str, ...] = ("etype",),
+    value_col: str | None = "value",
+) -> DataFrame:
+    """Per-window, per-group event counts (and value sums) with a
+    watermark.  Works on a streaming frame (append-mode emission when the
+    watermark passes each window's end) and, identically, on a batch
+    frame (watermark is a no-op there) — the twin-plan property the batch
+    oracle uses.
+    """
+    w = (
+        F.window(F.col(time_col), window, slide)
+        if slide
+        else F.window(F.col(time_col), window)
+    )
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    if value_col is not None:
+        aggs.append(F.sum(value_col).alias("total_value"))
+    return (
+        events.withWatermark(time_col, watermark)
+        .groupBy(w.alias("w"), *[F.col(c) for c in group_cols])
+        .agg(*aggs)
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            *group_cols,
+            "n_events",
+            *(["total_value"] if value_col is not None else []),
+        )
+    )
+
+
+def stream_windowed_agg_to_lake(
+    events: DataFrame,
+    table: LakeTable,
+    checkpoint_dir: str,
+    time_col: str = "ts",
+    window: str = "10 minutes",
+    slide: str | None = None,
+    watermark: str = "5 minutes",
+    group_cols: tuple[str, ...] = ("etype",),
+    value_col: str | None = "value",
+    available_now: bool = True,
+    await_termination_sec: int | None = 300,
+):
+    """The production composition: watermarked windowed aggregation →
+    exactly-once MERGE into a LakeTable keyed on (window_start, groups) —
+    the streaming-rollup-into-the-lake shape (hourly event counts a 100 TB
+    pipeline maintains continuously).
+
+    Exactly-once chain: append mode emits each finalized window ONCE; the
+    foreachBatch merge stamps every row of epoch e with ``lsn = e``
+    (epoch ids are checkpoint-monotonic across restarts), so a replayed
+    epoch after a crash re-delivers identical (key, lsn) rows that the
+    table's LSN ledger filters out — the lake lands each window exactly
+    once, end to end.  The table must be keyed on
+    ``("window_start", *group_cols)``.
+    """
+    agg = windowed_agg_stream(
+        events, time_col, window, slide, watermark, group_cols, value_col
+    )
+
+    def _apply(batch: DataFrame, epoch_id: int) -> None:
+        table.merge(
+            batch.withColumn("lsn", F.lit(epoch_id).cast("long")).withColumn(
+                "op", F.lit("upsert")
+            ),
+            batch_id=f"window-epoch-{epoch_id}",
+            count_batch=False,
+        )
+
+    writer = agg.writeStream.foreachBatch(_apply).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
+    if available_now and await_termination_sec is not None:
+        q.awaitTermination(await_termination_sec)
+    return q

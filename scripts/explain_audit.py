@@ -89,6 +89,13 @@ CARTESIAN_WHITELIST = {
     # same one-row centroid-pack broadcast attach (semdedup assignment)
     "semantic_dedup_prune",
     "semantic_dedup_kmeans",
+    # PQ: one-row codebook broadcast attach (encode) + the ADC scan —
+    # which scores every (item, query) pair like the exact baseline but
+    # at O(m) byte-code lookups per pair instead of O(dim); the scan IS
+    # the documented shortlist generator, with exact work bounded to
+    # shortlist_mult·k per query afterwards
+    "ann_pq_topk",
+    "ann_pq_recall",
     # three one-row invariant aggregates cross-joined into the single
     # contract row — O(1) each, not O(n^2)
     "pack_sequences_valid",
