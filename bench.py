@@ -77,6 +77,7 @@ _BENCH_QUERIES = [
     "cdc_replay_final_state",
     "cdc_repos_replay",
     "cdc_repos_replay_mor",
+    "cdc_partial_image_replay",
     "cdc_table_changes",
     "cdc_incremental_view",
 ]

@@ -949,6 +949,77 @@ class LakeTable:
             winners_slim.unpersist()
         return out
 
+    def prepare_batch_partial(
+        self,
+        batch: DataFrame,
+        lsn_col: str = "lsn",
+        op_col: str = "op",
+    ) -> DataFrame:
+        """Phase 1 of a PARTIAL-IMAGE merge: reduce a change batch where a
+        NULL non-key column on an upsert means "unchanged" — the Debezium/
+        Postgres-logical-replication shape (unchanged TOAST columns arrive
+        as null in the update image) — to one winner row per key.
+
+        Per-key, per-column semantics in ONE hash aggregate (no join,
+        map-side combinable):
+
+        - ``_dl``     = latest delete LSN (a delete logically re-creates
+          the row: earlier upserts must not leak through it);
+        - per column: the value of the latest NON-NULL occurrence among
+          upserts, kept only if that occurrence is AFTER ``_dl``;
+        - winner op  = delete iff no upsert survives the latest delete;
+        - ``_reset`` = a delete occurred, so apply must NOT inherit the
+          surviving nulls from the existing table row.
+
+        Nulls that remain after this fold are resolved against the
+        existing table row in ``apply_prepared(partial_update=True)``.
+        """
+        target = self.schema
+        keys = self.key_cols
+        applied = self.snapshot["ledger"]["applied_lsn"]
+        batch = batch.withColumn(lsn_col, F.col(lsn_col).cast("long"))
+        new_events = batch.filter(F.col(lsn_col) > F.lit(applied))
+        data_cols = [f.name for f in target.fields if f.name not in keys]
+        have = set(new_events.columns)
+        is_up = F.col(op_col) != "delete"
+
+        def _c(c: str) -> F.Column:
+            col = F.col(c) if c in have else F.lit(None)
+            return col.cast(target[c].dataType)
+
+        aggs = [F.max(F.when(~is_up, F.col(lsn_col))).alias("_dl")]
+        for c in data_cols:
+            nn = is_up & _c(c).isNotNull()
+            aggs.append(
+                F.max_by(_c(c), F.when(nn, F.col(lsn_col))).alias(f"_v_{c}")
+            )
+            aggs.append(F.max(F.when(nn, F.col(lsn_col))).alias(f"_l_{c}"))
+        aggs += [
+            F.max(F.when(is_up, F.col(lsn_col))).alias("_ul"),
+            F.max(F.col(lsn_col)).alias(LSN_COL),
+            F.count(F.lit(1)).alias("_n_events"),
+        ]
+        folded = new_events.groupBy(*keys).agg(*aggs)
+        dl = F.coalesce(F.col("_dl"), F.lit(-(2 ** 62)).cast("long"))
+        out = folded.select(
+            *keys,
+            F.when(
+                F.col("_ul").isNull() | (F.col("_ul") < dl), F.lit("delete")
+            )
+            .otherwise(F.lit("upsert"))
+            .alias("_op"),
+            F.col(LSN_COL),
+            *[
+                F.when(F.col(f"_l_{c}") > dl, F.col(f"_v_{c}"))
+                .otherwise(F.lit(None).cast(target[c].dataType))
+                .alias(c)
+                for c in data_cols
+            ],
+            "_n_events",
+            F.col("_dl").isNotNull().alias("_reset"),
+        ).withColumn("_bucket", self._bucket_expr())
+        return out.localCheckpoint(eager=True)
+
     def merge(
         self,
         batch: DataFrame,
@@ -962,8 +1033,13 @@ class LakeTable:
         salt_partitions: int = 0,
         applied_segments: list[str] | None = None,
         mode: str | None = None,
+        partial_update: bool = False,
     ) -> MergeStats:
         """Latest-LSN-wins upsert of a change batch (ops: upsert-ish/delete).
+
+        ``partial_update=True`` switches to partial-image semantics: a
+        NULL non-key column on an upsert means "unchanged" (Debezium /
+        Postgres TOAST shape) — see ``prepare_batch_partial``.  COW only.
 
         Exactly-once: rows with ``lsn <= ledger.applied_lsn`` are filtered
         out first, and the new ledger high-water-mark commits in the same
@@ -976,9 +1052,16 @@ class LakeTable:
         broadcast of an unbounded winner set).
         """
         batch_total = batch.count() if count_batch else -1
-        reduced = self.prepare_batch(
-            batch, lsn_col, op_col, strategy=strategy, salt_partitions=salt_partitions
-        )
+
+        def _prep() -> DataFrame:
+            if partial_update:
+                return self.prepare_batch_partial(batch, lsn_col, op_col)
+            return self.prepare_batch(
+                batch, lsn_col, op_col,
+                strategy=strategy, salt_partitions=salt_partitions,
+            )
+
+        reduced = _prep()
         # optimistic-concurrency retry: if another writer wins our commit
         # version, refresh and redo prepare+apply against the new snapshot
         # (prepare again, not just apply — the racer may have evolved the
@@ -997,6 +1080,7 @@ class LakeTable:
                     batch_total=batch_total,
                     applied_segments=applied_segments,
                     mode=mode,
+                    partial_update=partial_update,
                 )
                 break
             except ConcurrentCommitError:
@@ -1016,10 +1100,7 @@ class LakeTable:
                     # manifest exists but no one ever published it: a
                     # crashed writer's orphan — retrying would spin
                     raise
-                reduced = self.prepare_batch(
-                    batch, lsn_col, op_col,
-                    strategy=strategy, salt_partitions=salt_partitions,
-                )
+                reduced = _prep()
         # inline maintenance policy: MOR delta appends and COW file
         # skipping both accumulate files per bucket; with the
         # ``auto_compact_files`` property set, fold any bucket past the
@@ -1041,6 +1122,7 @@ class LakeTable:
         batch_total: int = -1,
         applied_segments: list[str] | None = None,
         mode: str | None = None,
+        partial_update: bool = False,
     ) -> MergeStats:
         """Phase 2 of MERGE: apply a prepared winner set and commit data +
         ledger atomically, in one of two physical modes (``mode`` param,
@@ -1108,6 +1190,12 @@ class LakeTable:
         mode = mode or snap.get("properties", {}).get("merge_mode", "cow")
         if mode not in ("cow", "mor"):
             raise ValueError(f"invalid merge mode: {mode}")
+        if partial_update and mode == "mor":
+            # a partial delta row is NOT a row version: the MOR read's
+            # latest-LSN-per-key resolution would emit its nulls as
+            # values.  Per-column MOR resolution is a different read plan
+            # (and read tax) — out of scope until needed.
+            raise ValueError("partial_update requires copy-on-write mode")
         if mode == "mor":
             # merge-on-read: append winner rows + tombstones as delta
             # files — no existing-bucket read, no rewrite
@@ -1233,7 +1321,60 @@ class LakeTable:
                 df = df.unionByName(p)
             return df
 
-        if int(agg["keys"]) <= self._winner_threshold():
+        if partial_update:
+            # partial-image resolve: winners may carry nulls meaning
+            # "unchanged", so matched existing rows ENRICH the winner
+            # (per-column coalesce) instead of being replaced outright —
+            # unless the batch contained a delete for the key (_reset:
+            # the row was logically re-created, nulls stay null).  One
+            # null-safe full-outer key join (sort-merge, both sides
+            # shuffle once) — the same exchange budget as the shuffle
+            # resolve; a broadcast variant mirroring the non-partial fast
+            # path is a straightforward specialization if partial batches
+            # are ever the hot path.
+            existing = _scan_existing().withColumn("_bucket", self._bucket_expr())
+            nk_cols = [c for c in data_cols if c not in keys]
+            e = existing.select(
+                *[F.col(k).alias(f"_ek_{i}") for i, k in enumerate(keys)],
+                *[F.col(c).alias(f"_e_{c}") for c in nk_cols],
+                F.col(LSN_COL).alias("_e_lsn"),
+                F.col("_bucket").alias("_e_bucket"),
+                F.lit(1).alias("_ep"),
+            )
+            w = reduced.withColumn("_wp", F.lit(1))
+            cond = None
+            for i, k in enumerate(keys):
+                c = w[k].eqNullSafe(F.col(f"_ek_{i}"))
+                cond = c if cond is None else (cond & c)
+            j = w.join(e, cond, "full_outer")
+            present = F.col("_wp").isNotNull()
+            resolved = (
+                j.filter(~present | (F.col("_op") != "delete"))
+                .select(
+                    *[
+                        F.when(present, w[k])
+                        .otherwise(F.col(f"_ek_{i}"))
+                        .alias(k)
+                        for i, k in enumerate(keys)
+                    ],
+                    *[
+                        F.when(~present, F.col(f"_e_{c}"))
+                        .when(F.col("_reset"), w[c])
+                        .otherwise(F.coalesce(w[c], F.col(f"_e_{c}")))
+                        .alias(c)
+                        for c in nk_cols
+                    ],
+                    F.when(present, w[LSN_COL])
+                    .otherwise(F.col("_e_lsn"))
+                    .alias(LSN_COL),
+                    F.when(present, w["_bucket"])
+                    .otherwise(F.col("_e_bucket"))
+                    .alias("_bucket"),
+                )
+                .select(*out_cols)
+                .repartition(n_part, "_bucket")
+            )
+        elif int(agg["keys"]) <= self._winner_threshold():
             # broadcast resolve — no key-shuffle of any payload: the slim
             # winner key set is broadcast against the existing scan.
             #

@@ -2558,6 +2558,91 @@ def ann_pq_recall(spark, sf_dir):
 
 
 # --------------------------------------------------------------------- #
+# Partial-image replay (Debezium / Postgres-TOAST shape): each upsert
+# carries ONLY the changed columns (nulls = "unchanged"), and the engine
+# folds latest-non-null-per-column after the key's last delete — within
+# batches and across them.  The oracle replays the identical semantics
+# in SQL via last_value(... IGNORE NULLS) over the post-delete suffix.
+# --------------------------------------------------------------------- #
+@_register(
+    "cdc_partial_image_replay",
+    """
+    WITH ev AS (
+      SELECT event_id AS lsn,
+             CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op,
+             user_id,
+             CASE WHEN event_id % 3 = 0 THEN event_type END AS etype,
+             CASE WHEN event_id % 3 = 1 THEN value END AS value,
+             CASE WHEN event_id % 3 = 2 THEN props END AS props
+      FROM events
+    ),
+    dl AS (
+      SELECT user_id, max(lsn) AS d FROM ev WHERE op = 'delete' GROUP BY 1
+    ),
+    surv AS (
+      SELECT e.* FROM ev e LEFT JOIN dl USING (user_id)
+      WHERE e.op = 'upsert' AND (dl.d IS NULL OR e.lsn > dl.d)
+    )
+    SELECT DISTINCT user_id,
+      last_value(etype IGNORE NULLS) OVER w AS etype,
+      last_value(value IGNORE NULLS) OVER w AS value,
+      last_value(props IGNORE NULLS) OVER w AS props
+    FROM surv
+    WINDOW w AS (PARTITION BY user_id ORDER BY lsn
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def cdc_partial_image_replay(spark, sf_dir):
+    """Replay a partial-image WAL (each event sets one column, the others
+    null = unchanged) in 3 batches with ``partial_update=True`` — the
+    final state must equal the SQL whole-history fold, proving the
+    within-batch aggregate, the cross-batch table inheritance, and the
+    delete reset compose correctly (lake/table.py prepare_batch_partial /
+    apply_prepared)."""
+    from cdm_cbioportal_etl_spark.cdc import CdcReplayer
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_id").alias("lsn"),
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+        "user_id",
+        F.when(F.col("event_id") % 3 == 0, F.col("event_type")).alias("etype"),
+        F.when(F.col("event_id") % 3 == 1, F.col("value")).alias("value"),
+        F.when(F.col("event_id") % 3 == 2, F.col("props")).alias("props"),
+    )
+    max_lsn = int(ev.agg(F.max("lsn")).collect()[0][0])
+    root = os.path.join(
+        CDC_WORK_DIR,
+        spark.sparkContext.applicationId,
+        "partial-" + os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    table = LakeTable.create(
+        spark,
+        root,
+        T.StructType(
+            [
+                T.StructField("user_id", T.LongType()),
+                T.StructField("etype", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+                T.StructField("props", T.StringType()),
+            ]
+        ),
+        key_cols=["user_id"],
+        n_buckets=16,
+    )
+    bs = (max_lsn + 3) // 3
+    for lo in range(0, max_lsn + 1, bs):
+        table.merge(
+            ev.filter((F.col("lsn") >= lo) & (F.col("lsn") < lo + bs)),
+            partial_update=True,
+            batch_id=f"partial-{lo}",
+        )
+    return table.read()
+
+
+# --------------------------------------------------------------------- #
 # Merge-on-read replay: same WAL, same oracle as cdc_repos_replay, but
 # the engine applies batches as delta appends (Iceberg-v2 MOR) and the
 # read resolves — proving mode equivalence through the oracle gate

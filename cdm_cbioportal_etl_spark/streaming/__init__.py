@@ -1,3 +1,4 @@
+from cdm_cbioportal_etl_spark.streaming.dedup import dedup_stream
 from cdm_cbioportal_etl_spark.streaming.stateful import sessionize_stream
 from cdm_cbioportal_etl_spark.streaming.wal import WalTailReader
 from cdm_cbioportal_etl_spark.streaming.windows import (
@@ -7,6 +8,7 @@ from cdm_cbioportal_etl_spark.streaming.windows import (
 
 __all__ = [
     "WalTailReader",
+    "dedup_stream",
     "sessionize_stream",
     "stream_windowed_agg_to_lake",
     "windowed_agg_stream",

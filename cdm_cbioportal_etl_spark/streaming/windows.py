@@ -37,7 +37,7 @@ def windowed_agg_stream(
     time_col: str = "ts",
     window: str = "10 minutes",
     slide: str | None = None,
-    watermark: str = "5 minutes",
+    watermark: str | None = "5 minutes",
     group_cols: tuple[str, ...] = ("etype",),
     value_col: str | None = "value",
 ) -> DataFrame:
@@ -46,6 +46,11 @@ def windowed_agg_stream(
     watermark passes each window's end) and, identically, on a batch
     frame (watermark is a no-op there) — the twin-plan property the batch
     oracle uses.
+
+    ``watermark=None`` means the stream is ALREADY watermarked upstream —
+    required when composing stateful operators (e.g. downstream of
+    ``dedup_stream``): Spark allows exactly one watermark definition per
+    event-time column across the chained stateful plan.
     """
     w = (
         F.window(F.col(time_col), window, slide)
@@ -56,7 +61,7 @@ def windowed_agg_stream(
     if value_col is not None:
         aggs.append(F.sum(value_col).alias("total_value"))
     return (
-        events.withWatermark(time_col, watermark)
+        (events.withWatermark(time_col, watermark) if watermark else events)
         .groupBy(w.alias("w"), *[F.col(c) for c in group_cols])
         .agg(*aggs)
         .select(

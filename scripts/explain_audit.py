@@ -108,6 +108,8 @@ SKIP_EXEC = {
     "cdc_repos_replay",
     "cdc_repos_replay_mor",
     "cdc_replay_final_state",
+    # full partial-image replay at construction (3 merge commits)
+    "cdc_partial_image_replay",
     # full replay at construction, like the rows above; its read-side
     # plan is the plain pruned scan the guard sees via
     # lake_pruned_range_read

@@ -1,0 +1,158 @@
+"""Partial-image merge (Debezium/Postgres-TOAST shape): NULL non-key
+columns on an upsert mean "unchanged" and inherit the previous value —
+within the batch (latest non-null per column) and from the existing
+table row — while a delete logically re-creates the row (no inheritance
+through it)."""
+
+import pytest
+from pyspark.sql import types as T
+
+from cdm_cbioportal_etl_spark.lake import LakeTable
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.LongType()),
+        T.StructField("a", T.StringType()),
+        T.StructField("b", T.LongType()),
+        T.StructField("c", T.StringType()),
+    ]
+)
+
+EV_SCHEMA = T.StructType(
+    [
+        T.StructField("lsn", T.LongType()),
+        T.StructField("op", T.StringType()),
+        *SCHEMA.fields,
+    ]
+)
+
+
+def _mk(spark, tmp_path):
+    return LakeTable.create(
+        spark, str(tmp_path / "pt"), SCHEMA, ["k"], n_buckets=4
+    )
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(rows, EV_SCHEMA)
+
+
+def _state(table):
+    return {r["k"]: (r["a"], r["b"], r["c"]) for r in table.read().collect()}
+
+
+def test_partial_update_inherits_from_table_and_batch(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.overwrite(
+        spark.createDataFrame([(1, "a1", 10, "c1"), (2, "a2", 20, "c2")], SCHEMA)
+    )
+    # k=1: two partial images — later b=11 (a,c unchanged), earlier a="A1"
+    # k=2: single partial image touching only c
+    # k=3: brand-new key inserted with a partial image (b unknown -> null)
+    t.merge(
+        _ev(
+            spark,
+            [
+                (101, "upsert", 1, "A1", None, None),
+                (102, "upsert", 1, None, 11, None),
+                (103, "upsert", 2, None, None, "C2"),
+                (104, "upsert", 3, "a3", None, "c3"),
+            ],
+        ),
+        partial_update=True,
+    )
+    assert _state(t) == {
+        1: ("A1", 11, "c1"),  # a from lsn 101, b from 102, c inherited
+        2: ("a2", 20, "C2"),
+        3: ("a3", None, "c3"),
+    }
+
+
+def test_partial_update_delete_blocks_inheritance(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.overwrite(spark.createDataFrame([(1, "old", 1, "keepme")], SCHEMA))
+    # upsert before the delete must NOT leak through it; upsert after the
+    # delete re-creates the row with ONLY its own columns
+    t.merge(
+        _ev(
+            spark,
+            [
+                (201, "upsert", 1, "leaky", 99, None),
+                (202, "delete", 1, None, None, None),
+                (203, "upsert", 1, None, 7, None),
+            ],
+        ),
+        partial_update=True,
+    )
+    assert _state(t) == {1: (None, 7, None)}
+
+
+def test_partial_update_trailing_delete_removes_row(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.overwrite(spark.createDataFrame([(1, "x", 1, "y"), (2, "p", 2, "q")], SCHEMA))
+    t.merge(
+        _ev(
+            spark,
+            [
+                (301, "upsert", 1, "z", None, None),
+                (302, "delete", 1, None, None, None),
+            ],
+        ),
+        partial_update=True,
+    )
+    assert _state(t) == {2: ("p", 2, "q")}
+
+
+def test_partial_update_idempotent_and_cross_batch(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    batch1 = _ev(spark, [(401, "upsert", 1, "a1", 10, "c1")])
+    batch2 = _ev(spark, [(402, "upsert", 1, None, 11, None)])
+    t.merge(batch1, partial_update=True)
+    t.merge(batch2, partial_update=True)
+    assert _state(t) == {1: ("a1", 11, "c1")}  # cross-batch inheritance
+    # redelivery of both batches is a ledger-filtered no-op
+    rows = t.row_count()
+    t.merge(batch1, partial_update=True)
+    t.merge(batch2, partial_update=True)
+    assert _state(t) == {1: ("a1", 11, "c1")}
+    assert t.row_count() == rows
+
+
+def test_partial_update_rejects_mor(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    with pytest.raises(ValueError, match="copy-on-write"):
+        t.merge(
+            _ev(spark, [(1, "upsert", 1, "a", 1, "c")]),
+            partial_update=True,
+            mode="mor",
+        )
+
+
+def test_partial_update_equals_full_history_fold(spark, tmp_path):
+    """Replaying the same partial-image WAL in 1 batch vs 3 batches gives
+    identical state — the composition property the catalog oracle relies
+    on (per-column latest non-null after the last delete, over the whole
+    history)."""
+    rows = []
+    for i in range(300):
+        k = i % 17
+        op = "delete" if i % 29 == 28 else "upsert"
+        rows.append(
+            (
+                1000 + i,
+                op,
+                k,
+                f"a{i}" if i % 3 == 0 else None,
+                i if i % 3 == 1 else None,
+                f"c{i}" if i % 3 == 2 else None,
+            )
+        )
+    ev = _ev(spark, rows)
+    t1 = LakeTable.create(spark, str(tmp_path / "one"), SCHEMA, ["k"], n_buckets=4)
+    t1.merge(ev, partial_update=True)
+    t3 = LakeTable.create(spark, str(tmp_path / "three"), SCHEMA, ["k"], n_buckets=4)
+    for lo, hi in [(1000, 1100), (1100, 1200), (1200, 1300)]:
+        t3.merge(
+            ev.filter((ev.lsn >= lo) & (ev.lsn < hi)), partial_update=True
+        )
+    assert _state(t1) == _state(t3)
