@@ -336,6 +336,7 @@ class LakeTable:
         version: int | None = None,
         prune: dict | None = None,
         _only_paths: set[str] | None = None,
+        columns: list[str] | None = None,
     ) -> DataFrame:
         """Scan the current snapshot, optionally pruned to a bucket subset.
 
@@ -360,6 +361,14 @@ class LakeTable:
         already does) is what makes key-range skipping effective —
         bucket-pruning picks the bucket, stats-pruning picks files inside
         it.
+
+        ``columns`` projects the result to a subset (column pruning): the
+        projection is applied UNDER the union/alignment, so Catalyst
+        prunes the parquet scan itself (ReadSchema carries only the
+        requested columns + whatever the MOR resolution internally needs
+        — keys, LSN, tombstone flag — which are dropped again at the
+        end).  On a wide table this is the difference between scanning 2
+        columns and scanning 50.
         """
         snap = self.snapshot if version is None else self.snapshot_at(version)
         target = (
@@ -376,6 +385,24 @@ class LakeTable:
         eff_prune = prune
         if prune and has_deltas:
             eff_prune = {c: p for c, p in prune.items() if c in snap["key_cols"]}
+        target_names = [f.name for f in target.fields]
+        if columns is not None:
+            missing = [c for c in columns if c not in target_names]
+            if missing:
+                raise ValueError(f"columns not in schema: {missing}")
+            # MOR resolution groups on the keys, so they ride internally
+            # even when not requested (dropped again at the end); a pure
+            # base-file scan needs only what was asked for
+            keep_set = set(columns) | (
+                set(snap["key_cols"]) if has_deltas else set()
+            )
+            keep = [c for c in target_names if c in keep_set]
+        else:
+            keep = target_names
+        internal = [*keep, LSN_COL] + ([DELETED_COL] if has_deltas else [])
+        final_cols = (list(columns) if columns is not None else target_names) + (
+            [LSN_COL] if with_lsn else []
+        )
         by_schema: dict[int, list[str]] = {}
         for b, files in snap["buckets"].items():
             if buckets is not None and int(b) not in buckets:
@@ -392,7 +419,7 @@ class LakeTable:
                     os.path.join(self.root, fobj["path"])
                 )
         if not by_schema:
-            return self._empty(with_lsn, target)
+            return self._empty(with_lsn, target).select(*final_cols)
         parts = []
         for sid, paths in sorted(by_schema.items()):
             # each file group's schema is KNOWN from the manifest — pass it
@@ -411,7 +438,9 @@ class LakeTable:
             )
             raw = self.spark.read.schema(file_schema).parquet(*paths)
             parts.append(
-                self._align(raw, target, with_lsn=True, with_deleted=has_deltas)
+                self._align(
+                    raw, target, with_lsn=True, with_deleted=has_deltas
+                ).select(*internal)
             )
         df = parts[0]
         for p in parts[1:]:
@@ -436,9 +465,7 @@ class LakeTable:
                 .filter(~F.col(DELETED_COL))
                 .drop(DELETED_COL)
             )
-        if not with_lsn:
-            df = df.drop(LSN_COL)
-        return df
+        return df.select(*final_cols)
 
     # ------------------------------------------------------------------ #
     # write path

@@ -49,6 +49,7 @@ class WalTailReader:
         registry=None,
         on_stale_segment: str = "fail",
         views=None,
+        merge_kwargs: dict | None = None,
     ):
         self.spark = spark
         self.wal_dir = wal_dir
@@ -62,6 +63,11 @@ class WalTailReader:
         # a replayed epoch refreshes to the same state — the chain stays
         # exactly-once end to end.
         self.views = list(views or [])
+        # extra kwargs forwarded to every per-epoch table.merge — e.g.
+        # ``{"partial_update": True}`` for a Debezium-shaped feed whose
+        # update images carry null for unchanged (TOAST) columns, or
+        # ``{"mode": "mor"}`` to force delta-append applies
+        self.merge_kwargs = dict(merge_kwargs or {})
         # optional SchemaRegistry: evolution DDL is issued BEFORE the batch
         # merge, so events referencing a newer schema never apply first
         self.registry = registry
@@ -151,6 +157,7 @@ class WalTailReader:
             source_watermarks={"stream": epoch_id},
             count_batch=False,
             applied_segments=segments,
+            **self.merge_kwargs,
         )
         for view in self.views:
             view.refresh(self.table)

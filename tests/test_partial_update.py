@@ -156,3 +156,34 @@ def test_partial_update_equals_full_history_fold(spark, tmp_path):
             ev.filter((ev.lsn >= lo) & (ev.lsn < hi)), partial_update=True
         )
     assert _state(t1) == _state(t3)
+
+
+def test_partial_update_through_streaming_wal(spark, tmp_path):
+    """A Debezium-shaped stream (partial update images) through the
+    WAL-tail reader with merge_kwargs={'partial_update': True}: per-epoch
+    merges inherit unchanged columns exactly like the batch path."""
+    import os
+
+    from cdm_cbioportal_etl_spark.streaming import WalTailReader
+
+    t = _mk(spark, tmp_path)
+    t.overwrite(spark.createDataFrame([(1, "a1", 10, "c1")], SCHEMA))
+    wal_dir = str(tmp_path / "wal")
+    os.makedirs(wal_dir, exist_ok=True)
+    _ev(spark, [(501, "upsert", 1, None, 11, None)]).coalesce(1).write.parquet(
+        os.path.join(wal_dir, "seg-0000")
+    )
+    _ev(
+        spark,
+        [(502, "upsert", 1, "A1", None, None), (503, "upsert", 2, "a2", None, None)],
+    ).coalesce(1).write.parquet(os.path.join(wal_dir, "seg-0001"))
+    reader = WalTailReader(
+        spark,
+        os.path.join(wal_dir, "seg-*"),
+        t,
+        str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+        merge_kwargs={"partial_update": True},
+    )
+    reader.run_available_now()
+    assert _state(t) == {1: ("A1", 11, "c1"), 2: ("a2", None, None)}
