@@ -49,6 +49,19 @@ AUDIT = {
     # late round-3: incremental LSH probes the corpus band index with a
     # plain shuffle join on uniform band keys — never a nested loop
     "incremental_lsh_pairs": dict(pushed=False, broadcast=False, forbid=["NestedLoop"]),
+    # final round-3: the z-order catalog read must stay a plain pruned
+    # scan + filter (file skipping is manifest-side, invisible to the
+    # plan — no exchange beyond the write, no python); the PQ ADC scan
+    # must keep the codebook/query attach as BROADCAST joins and never
+    # fall into a python eval
+    "lake_zorder_clustered_read": dict(
+        pushed=True, broadcast=False, forbid=["ArrowEvalPython", "BatchEvalPython"]
+    ),
+    "ann_pq_topk": dict(
+        pushed=False,
+        broadcast=True,
+        forbid=["ArrowEvalPython", "BatchEvalPython"],
+    ),
 }
 
 
