@@ -64,6 +64,7 @@ _BENCH_QUERIES = [
     "semantic_dedup_prune",
     "semantic_dedup_kmeans",
     "contamination_ngram_docs",
+    "lm_perplexity_docs",
     "vocab_top_terms",
     "pack_sequences_bins",
     "summary_wide_customer",

@@ -2990,6 +2990,39 @@ def vocab_top_terms_q(spark, sf_dir):
 
 
 @_register(
+    "lm_perplexity_docs",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(
+               trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), '\\s+')) AS term
+      FROM documents
+    ),
+    ref AS (
+      SELECT term, count(*)::DOUBLE AS c FROM toks WHERE doc_id < 100 GROUP BY 1
+    ),
+    st AS (SELECT sum(c) AS n, count(*) AS v FROM ref)
+    SELECT t.doc_id,
+           count(*)::BIGINT AS n_tokens,
+           sum(CASE WHEN r.term IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+           round(avg(-log2((coalesce(r.c, 0) + 0.5) / (st.n + 0.5 * (st.v + 1)))), 4)
+             AS avg_bits
+    FROM toks t LEFT JOIN ref r USING (term), st
+    GROUP BY t.doc_id
+    """,
+)
+def lm_perplexity_docs(spark, sf_dir):
+    """CCNet-style perplexity-proxy quality filter: unigram LM trained on
+    docs 0-99 (the held-in reference), every doc scored in bits/token —
+    high bits or high OOV marks out-of-distribution text
+    (text/curation.py::lm_perplexity_score)."""
+    from cdm_cbioportal_etl_spark.text.curation import lm_perplexity_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return lm_perplexity_score(docs, ref_docs=docs.filter(F.col("doc_id") < 100))
+
+
+@_register(
     "contamination_ngram_docs",
     _SQL_SHINGLES
     + """

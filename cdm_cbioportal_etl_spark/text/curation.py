@@ -185,6 +185,62 @@ _PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _PII_PHONE = r"\+?[0-9][0-9() .-]{6,}[0-9]"
 
 
+def lm_perplexity_score(
+    docs: DataFrame,
+    ref_docs: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """CCNet-style perplexity-proxy quality signal: per-doc average
+    surprisal (bits/token) under an add-α-smoothed UNIGRAM language
+    model trained on ``ref_docs`` (default: the corpus itself).  Low
+    bits = looks like the reference distribution (CCNet keeps the
+    head/middle perplexity buckets); high bits / high OOV = gibberish,
+    wrong language, or boilerplate the reference never saw.
+
+    P(w) = (C(w) + α) / (N + α·(V+1)) with one reserved OOV slot, so
+    unseen tokens score the same explicit floor instead of -inf.
+
+    Shape at 100 TB: one combinable term-count aggregate over the
+    reference, a scalar (N, V) row broadcast, one token-keyed join of
+    the scored corpus against the term table (uniform hash keys — the
+    LM table is orders of magnitude smaller than the corpus and
+    broadcastable when it fits), one per-doc average.  No UDFs, no
+    global sort.  Returns (doc_id, n_tokens, n_oov, avg_bits); docs
+    with zero tokens are absent (no surprisal is defined for them).
+    """
+    ref = ref_docs if ref_docs is not None else docs
+    counts = (
+        ref.select(F.explode(tokens(text_col)).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("double").alias("_c"))
+    )
+    stats = counts.agg(
+        F.sum("_c").alias("_n"), F.count(F.lit(1)).alias("_v")
+    )
+    ex = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    scored = (
+        ex.join(counts, "term", "left")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col(id_col),
+            (
+                -F.log2(
+                    (F.coalesce(F.col("_c"), F.lit(0.0)) + F.lit(alpha))
+                    / (F.col("_n") + F.lit(alpha) * (F.col("_v") + 1))
+                )
+            ).alias("_bits"),
+            F.col("_c").isNull().cast("int").alias("_oov"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("_oov").cast("long").alias("n_oov"),
+        F.round(F.avg("_bits"), 4).alias("avg_bits"),
+    )
+
+
 def pii_mask(col) -> Column:
     """Mask emails then phone-number-shaped digit runs — the cheap
     regex-only PII scrub pass (order matters: emails can contain digit

@@ -240,3 +240,26 @@ def test_semantic_dedup_kmeans_refine(spark):
     odd_clusters = {rows[i][1] for i in range(1, 12, 2)}
     assert len(even_clusters) == 1 and len(odd_clusters) == 1
     assert even_clusters != odd_clusters
+
+
+def test_lm_perplexity_known_values(spark):
+    from math import log2
+
+    from cdm_cbioportal_etl_spark.text.curation import lm_perplexity_score
+
+    ref = spark.createDataFrame([(0, "a a b")], "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(1, "a b z"), (2, "a a a")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["n_oov"], r["avg_bits"])
+        for r in lm_perplexity_score(docs, ref_docs=ref).collect()
+    }
+    # C(a)=2, C(b)=1, N=3, V=2 -> denom = 3 + 0.5*(2+1) = 4.5
+    pa, pb, poov = 2.5 / 4.5, 1.5 / 4.5, 0.5 / 4.5
+    want1 = round(-(log2(pa) + log2(pb) + log2(poov)) / 3, 4)
+    want2 = round(-log2(pa), 4)
+    assert out == {1: (3, 1, want1), 2: (3, 0, want2)}
+    # self-trained corpus has zero OOV by construction
+    self_scored = lm_perplexity_score(docs).collect()
+    assert all(r["n_oov"] == 0 for r in self_scored)
