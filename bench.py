@@ -50,6 +50,7 @@ _BENCH_QUERIES = [
     "lake_pruned_range_read",
     "lake_zorder_clustered_read",
     "ann_pq_topk",
+    "ann_ivfpq_topk",
     "token_count_docs",
     "lang_id_docs",
     "quality_score_docs",

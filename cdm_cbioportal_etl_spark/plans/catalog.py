@@ -2558,6 +2558,62 @@ def ann_pq_recall(spark, sf_dir):
 
 
 # --------------------------------------------------------------------- #
+# IVF-PQ (the FAISS composition): coarse lists bound WHICH items are
+# scored, residual PQ codes bound WHAT is read per item.  Gated like the
+# other approximate paths.  The near-uniform synthetic embeddings are the
+# adversarial case for BOTH stages at once (no cluster structure for the
+# coarse quantizer, residuals ~ signal for PQ), so the catalog point
+# probes wide (12/16 lists); clustered real embeddings probe narrow.
+# --------------------------------------------------------------------- #
+@_register("ann_ivfpq_topk")  # approximate: rows-only; quality gated below
+def ann_ivfpq_topk(spark, sf_dir):
+    from cdm_cbioportal_etl_spark.similarity.ann import ivfpq_ann
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivfpq_ann(
+        emb, queries, k=5, dim=64,
+        n_lists=16, n_probe=12, m=32, ksub=32, shortlist_mult=20,
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@_register(
+    "ann_ivfpq_recall",
+    # contract oracle (see ann_lsh_recall): constants emitted only when
+    # IVF-PQ recall@5 vs the exact baseline is >= 0.7 (0.80/0.84 measured
+    # at sf0.001/sf0.01 at the catalog point)
+    "SELECT 5 AS k, 5 AS n_queries, CAST(1 AS BOOLEAN) AS recall_ok",
+)
+def ann_ivfpq_recall(spark, sf_dir):
+    from cdm_cbioportal_etl_spark.similarity.ann import ivfpq_ann
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = cosine_topk_bruteforce(emb, queries, k=5)
+    approx = ivfpq_ann(
+        emb, queries, k=5, dim=64,
+        n_lists=16, n_probe=12, m=32, ksub=32, shortlist_mult=20,
+    )
+    hits = exact.select("query_id", "neighbor_id").intersect(
+        approx.select("query_id", "neighbor_id")
+    )
+    return (
+        hits.agg(F.count(F.lit(1)).alias("_n_hits"))
+        .crossJoin(exact.agg(F.count(F.lit(1)).alias("_n_exact")))
+        .select(
+            F.lit(5).alias("k"),
+            F.lit(5).alias("n_queries"),
+            (F.col("_n_hits") >= F.ceil(F.col("_n_exact") * 0.7)).alias("recall_ok"),
+        )
+    )
+
+
+# --------------------------------------------------------------------- #
 # Partial-image replay (Debezium / Postgres-TOAST shape): each upsert
 # carries ONLY the changed columns (nulls = "unchanged"), and the engine
 # folds latest-non-null-per-column after the key's last delete — within

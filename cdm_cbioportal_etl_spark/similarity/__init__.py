@@ -1,5 +1,6 @@
 from cdm_cbioportal_etl_spark.similarity.ann import (
     cosine_topk_bruteforce,
+    ivfpq_ann,
     lsh_bucketed_ann,
     pq_ann,
     pq_codebooks,
@@ -13,6 +14,7 @@ from cdm_cbioportal_etl_spark.similarity.semdedup import semantic_dedup
 
 __all__ = [
     "cosine_topk_bruteforce",
+    "ivfpq_ann",
     "lsh_bucketed_ann",
     "pq_ann",
     "pq_codebooks",

@@ -385,6 +385,261 @@ def pq_ann(
     )
 
 
+def ivfpq_ann(
+    items: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    dim: int = 64,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    ksub: int = 16,
+    shortlist_mult: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-PQ (the FAISS composition): coarse inverted lists bound WHICH
+    items are scored, PQ residual codes bound WHAT is read per item —
+    together the memory- and compute-bound scale paths in one index.
+
+    1. **Coarse**: n_lists deterministic centroids (same pick as
+       ``ivf_ann``); every item assigned to its nearest list.
+    2. **Residual PQ**: items encode ``unit(vec) − centroid[list]`` into
+       m byte codes (residuals are what PQ quantizes well — they live in
+       a ball around the origin instead of spanning the sphere).
+    3. **Probe + ADC**: each query probes its ``n_probe`` nearest lists;
+       PER PROBED LIST it builds the LUT over ``unit(q) − centroid`` and
+       ADC-scores only that list's codes — O(N·n_probe/n_lists) pairs ×
+       O(m) lookups each.
+    4. **Re-rank**: ADC top ``k·shortlist_mult`` per query re-score
+       exactly.
+
+    Scoring identity: ⟨q̂,x̂⟩ = ⟨q̂−c, x̂−c⟩ + ⟨x̂,c⟩ + ⟨q̂,c⟩ − ‖c‖² for
+    the shared list centroid c.  The ADC sum approximates the residual
+    dot; ⟨x̂,c⟩ rides as one double per item and (⟨q̂,c⟩ − ‖c‖²) as one
+    double per (query, probed list), so the reconstructed score is
+    cross-list comparable at the shortlist cut.  Deterministic end to
+    end; recall-gated in the catalog like the other approximate paths.
+    """
+    dsub = dim // m
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m} subspaces")
+    # coarse centroids: identical deterministic pick to ivf_ann
+    cent_row = (
+        items.select(
+            F.xxhash64(F.col(id_col), F.lit(seed)).alias("_hk"),
+            F.col(vec_col).alias("_cv"),
+        )
+        .orderBy("_hk")
+        .limit(n_lists)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_hk", "_cv"))),
+                lambda s: unit_vector(s["_cv"]),
+            ).alias("_cents")
+        )
+    )
+    # PQ books trained on the RESIDUALS of a second deterministic sample
+    # (offset seed): sample vectors are normalized, assigned to their
+    # list, residual sliced per subspace
+    def _nearest_list_id(vec):
+        scored = F.transform(
+            F.col("_cents"),
+            lambda c, i: F.struct(_dot(vec, c).alias("s"), i.alias("i")),
+        )
+        return F.reverse(F.array_sort(scored))[0]["i"]
+
+    def _residual(vec_unit):
+        cent = F.element_at(F.col("_cents"), _nearest_list_id(vec_unit) + 1)
+        return F.zip_with(vec_unit, cent, lambda a, b: a - b)
+
+    books = (
+        items.select(
+            F.xxhash64(F.col(id_col), F.lit(seed + 7)).alias("_hk"),
+            F.col(vec_col).alias("_cv"),
+        )
+        .orderBy("_hk")
+        .limit(ksub)
+        .agg(
+            F.array_sort(F.collect_list(F.struct("_hk", "_cv"))).alias("_s")
+        )
+        .crossJoin(F.broadcast(cent_row))
+        .select(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda mi: F.transform(
+                    F.col("_s"),
+                    lambda s: F.slice(
+                        F.transform(
+                            F.array(unit_vector(s["_cv"])),
+                            lambda u: F.zip_with(
+                                u,
+                                F.element_at(
+                                    F.col("_cents"), _nearest_list_id(u) + 1
+                                ),
+                                lambda a, b: a - b,
+                            ),
+                        )[0],
+                        mi * dsub + 1,
+                        dsub,
+                    ),
+                ),
+            ).alias("_books")
+        )
+    )
+    side = F.broadcast(books.crossJoin(F.broadcast(cent_row)))
+
+    # items: list id, residual codes, correction term <x̂, c>, and the
+    # unit vector for the exact re-rank
+    it = (
+        items.crossJoin(side)
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            unit_vector(F.col(vec_col)).alias("_iv"),
+            F.col("_cents"),
+            F.col("_books"),
+        )
+        .select(
+            "neighbor_id",
+            "_iv",
+            "_books",
+            "_cents",
+            _nearest_list_id(F.col("_iv")).alias("_list"),
+        )
+        .select(
+            "neighbor_id",
+            "_iv",
+            "_list",
+            F.element_at(F.col("_cents"), F.col("_list") + 1).alias("_c"),
+            "_books",
+        )
+        .select(
+            "neighbor_id",
+            "_iv",
+            "_list",
+            _dot(F.col("_iv"), F.col("_c")).alias("_xc"),
+            _pq_code_expr(
+                F.zip_with(F.col("_iv"), F.col("_c"), lambda a, b: a - b),
+                F.col("_books"),
+                m,
+                dsub,
+            ).alias("_codes"),
+        )
+    )
+
+    # queries: explode to n_probe (query, list) rows, each with the LUT
+    # over (q̂ − centroid_list) and the correction <q̂, c>
+    def _nearest_lists(vec, n):
+        scored = F.transform(
+            F.col("_cents"),
+            lambda c, i: F.struct(_dot(vec, c).alias("s"), i.alias("i")),
+        )
+        return F.slice(F.reverse(F.array_sort(scored)), 1, n)
+
+    q = (
+        queries.crossJoin(side)
+        .select(
+            F.col(query_id_col).alias("query_id"),
+            unit_vector(F.col(vec_col)).alias("_qv"),
+            F.col("_cents"),
+            F.col("_books"),
+        )
+        .select(
+            "query_id",
+            "_qv",
+            "_books",
+            "_cents",
+            F.explode(
+                F.transform(_nearest_lists(F.col("_qv"), n_probe), lambda s: s["i"])
+            ).alias("_list"),
+        )
+        .select(
+            "query_id",
+            "_qv",
+            "_list",
+            F.element_at(F.col("_cents"), F.col("_list") + 1).alias("_c"),
+            "_books",
+        )
+    )
+
+    def _lut(vec_resid, books_col):
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda mi: F.transform(
+                F.array(F.slice(vec_resid, mi * dsub + 1, dsub)),
+                lambda s: F.transform(
+                    F.element_at(books_col, mi + 1), lambda c: _dot(s, c)
+                ),
+            )[0],
+        )
+
+    q = q.select(
+        "query_id",
+        "_qv",
+        "_list",
+        _lut(
+            F.zip_with(F.col("_qv"), F.col("_c"), lambda a, b: a - b),
+            F.col("_books"),
+        ).alias("_lut"),
+        # per-(query, list) constant ⟨q̂,c⟩ − ‖c‖²: restores cross-LIST
+        # comparability of the reconstructed ⟨q̂,x̂⟩ when shortlisting
+        # across the probed lists
+        (_dot(F.col("_qv"), F.col("_c")) - _dot(F.col("_c"), F.col("_c"))).alias(
+            "_qc"
+        ),
+    )
+
+    scored = (
+        it.select("neighbor_id", "_list", "_codes", "_xc")
+        .join(F.broadcast(q.select("query_id", "_list", "_lut", "_qc")), "_list")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                F.aggregate(
+                    F.sequence(F.lit(0), F.lit(m - 1)),
+                    F.lit(0.0),
+                    lambda acc, mi: acc
+                    + F.element_at(
+                        F.element_at(F.col("_lut"), mi + 1),
+                        F.element_at(F.col("_codes"), mi + 1) + 1,
+                    ),
+                )
+                + F.col("_xc")
+                + F.col("_qc")
+            ).alias("_adc"),
+        )
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.desc("_adc"), F.asc("neighbor_id")
+    )
+    shortlist = (
+        scored.withColumn("_arank", F.row_number().over(w_adc))
+        .filter(F.col("_arank") <= k * shortlist_mult)
+        .select("query_id", "neighbor_id")
+    )
+    rescored = (
+        shortlist.join(it.select("neighbor_id", "_iv"), "neighbor_id")
+        .join(
+            F.broadcast(q.select("query_id", "_qv").dropDuplicates(["query_id"])),
+            "query_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            _dot(F.col("_qv"), F.col("_iv")).alias("_cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("_cos"), F.asc("neighbor_id"))
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("_cos", 4).alias("cosine"), "rank")
+    )
+
+
 def ivf_ann(
     items: DataFrame,
     queries: DataFrame,

@@ -94,6 +94,9 @@ CARTESIAN_WHITELIST = {
     # scalar-aggregate cross join: one row (global counts) joined
     # against per-source stats — O(n), not O(n^2)
     "timeline_audit_events",
+    # one-row LM denominator (N, V) broadcast onto the token stream —
+    # O(tokens) map-side attach
+    "lm_perplexity_docs",
     # one-row broadcast of packed centroid/hyperplane constants
     # (nested double arrays) cross-joined onto items/queries —
     # O(n) map-side attach, not O(n^2)
@@ -109,6 +112,10 @@ CARTESIAN_WHITELIST = {
     # shortlist_mult·k per query afterwards
     "ann_pq_topk",
     "ann_pq_recall",
+    # IVF-PQ: same one-row broadcast attaches (centroids + books) plus a
+    # broadcast list-id join for the probed-list ADC scan
+    "ann_ivfpq_topk",
+    "ann_ivfpq_recall",
     # three one-row invariant aggregates cross-joined into the single
     # contract row — O(1) each, not O(n^2)
     "pack_sequences_valid",

@@ -87,3 +87,34 @@ def test_pq_recall_reasonable_with_small_shortlist(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.6, f"recall {recall}"
+
+
+def test_ivfpq_exhaustive_probe_and_shortlist_equals_exact(spark):
+    """Probing every list with an all-covering shortlist makes IVF-PQ
+    return exactly the brute-force answer for ANY quantizer quality —
+    the same exhaustive-equivalence contract the IVF and PQ paths have."""
+    from cdm_cbioportal_etl_spark.similarity import cosine_topk_bruteforce, ivfpq_ann
+
+    emb = _vecs(spark, n=100)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = cosine_topk_bruteforce(emb, queries, k=5)
+    approx = ivfpq_ann(
+        emb, queries, k=5, dim=DIM,
+        n_lists=4, n_probe=4, m=4, ksub=8, shortlist_mult=1000,
+    )
+    assert sorted(map(tuple, exact.collect())) == sorted(map(tuple, approx.collect()))
+
+
+def test_ivfpq_deterministic(spark):
+    from cdm_cbioportal_etl_spark.similarity import ivfpq_ann
+
+    emb = _vecs(spark, n=80)
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    kw = dict(k=5, dim=DIM, n_lists=4, n_probe=2, m=4, ksub=8, shortlist_mult=4)
+    a = sorted(map(tuple, ivfpq_ann(emb, queries, **kw).collect()))
+    b = sorted(map(tuple, ivfpq_ann(emb, queries, **kw).collect()))
+    assert a == b and a
