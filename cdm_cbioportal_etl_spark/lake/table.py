@@ -1899,7 +1899,35 @@ class LakeTable:
         df = self.read(buckets=todo, with_lsn=True).withColumn(
             "_bucket", self._bucket_expr()
         )
-        if target_file_rows:
+        zorder_by = snap.get("properties", {}).get("zorder_by")
+        if zorder_by:
+            # the table is z-clustered (cluster_files): re-sort the
+            # rewritten buckets along the SAME curve (fresh equal-
+            # population bounds over the rewritten rows) so compaction —
+            # including MOR delta folding — preserves secondary-column
+            # file skipping instead of silently reverting to key order
+            cluster_by = [c for c in str(zorder_by).split(",") if c]
+            n_bins = int(snap["properties"].get("zorder_bins", 64))
+            fpb = int(snap["properties"].get("zorder_files_per_bucket", 4))
+            bounds = self._zorder_bounds(df, cluster_by, n_bins)
+            if target_file_rows:
+                rows = sum(
+                    int(snap.get("bucket_rows", {}).get(str(b), 0)) for b in todo
+                )
+                n_parts = max(1, -(-rows // int(target_file_rows)))
+            else:
+                n_parts = max(1, len(todo) * fpb)
+            staged = df.withColumn(
+                "_zv", self._zvalue_expr(cluster_by, bounds)
+            ).repartitionByRange(n_parts, "_bucket", "_zv")
+            mapping = self._write_bucket_files(
+                staged,
+                snap["schema_id"],
+                pre_bucketed=True,
+                sort_cols=["_zv"],
+                drop_after_sort=["_zv"],
+            )
+        elif target_file_rows:
             rows = sum(
                 int(snap.get("bucket_rows", {}).get(str(b), 0)) for b in todo
             )
@@ -2146,7 +2174,14 @@ class LakeTable:
         full.update(mapping)
         snap["buckets"] = full
         snap["bucket_rows"] = {b: self._files_rows(f) for b, f in full.items()}
-        snap.setdefault("properties", {})["stats_cols"] = ",".join(stats_cols)
+        props = snap.setdefault("properties", {})
+        props["stats_cols"] = ",".join(stats_cols)
+        # record the clustering so MAINTENANCE preserves it: compact()
+        # re-sorts rewritten buckets along the same curve instead of
+        # silently folding the layout back to key order
+        props["zorder_by"] = ",".join(cluster_by)
+        props["zorder_bins"] = n_bins
+        props["zorder_files_per_bucket"] = max(1, target_files_per_bucket)
         snap["version"] += 1
         snap["lineage"].append(
             {

@@ -197,3 +197,31 @@ def test_compact_binpack_target_file_rows(spark, tmp_path):
     # key range admits strictly fewer files than exist
     adm, tot = t.files_admitted({"k": (0, 99)})
     assert adm < tot
+
+
+def test_compact_preserves_zorder_clustering(spark, tmp_path):
+    """Maintenance must not undo the clustering: after cluster_files, a
+    compact() (here folding MOR deltas) re-sorts rewritten buckets along
+    the recorded curve — multiple files per bucket, secondary-column
+    skipping still effective."""
+    t = _mk(spark, tmp_path)
+    t.overwrite(_data(spark))
+    t.cluster_files(["x", "y"], target_files_per_bucket=8, n_bins=32)
+    ev = spark.createDataFrame(
+        [(100 + i, "upsert", i, 50, 50, "zz") for i in range(30)],
+        T.StructType(
+            [
+                T.StructField("lsn", T.LongType()),
+                T.StructField("op", T.StringType()),
+                *SCHEMA.fields,
+            ]
+        ),
+    )
+    t.merge(ev, mode="mor")
+    expect = _state(t)
+    t.compact()  # folds deltas; must re-apply the recorded z-order
+    assert _state(t) == expect
+    files = [f for fs in t.snapshot["buckets"].values() for f in fs]
+    assert len(files) > t.snapshot["n_buckets"]  # not folded to 1/bucket
+    adm, tot = t.files_admitted({"x": (10, 14)})
+    assert adm < tot, "secondary-column skipping must survive compaction"
