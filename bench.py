@@ -80,6 +80,7 @@ _BENCH_QUERIES = [
     "cdc_repos_replay",
     "cdc_repos_replay_mor",
     "cdc_partial_image_replay",
+    "cdc_partial_image_replay_mor",
     "cdc_table_changes",
     "cdc_incremental_view",
 ]

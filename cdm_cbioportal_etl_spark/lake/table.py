@@ -446,25 +446,69 @@ class LakeTable:
         for p in parts[1:]:
             df = df.unionByName(p)
         if has_deltas:
-            # merge-on-read resolution: delta files carry newer row
-            # versions + tombstones alongside the base files, so the scan
-            # resolves latest-LSN-per-key and drops tombstones — the same
-            # map-side-combinable max_by aggregate the write path uses.
-            # One shuffle on the key: the MOR read tax (compact() folds
-            # deltas back into base files to repay it; at scale the
-            # bucket layout bounds each key's rows to one bucket, so a
-            # bucket-local sort-merge resolution is the physical upgrade)
             keys = snap["key_cols"]
-            payload = F.struct(
-                *[F.col(c) for c in df.columns if c not in keys]
-            )
-            df = (
-                df.groupBy(*keys)
-                .agg(F.max_by(payload, F.col(LSN_COL)).alias("_p"))
-                .select(*keys, "_p.*")
-                .filter(~F.col(DELETED_COL))
-                .drop(DELETED_COL)
-            )
+            if snap.get("properties", {}).get("partial_updates"):
+                # PARTIAL-image MOR resolution: delta rows are partial
+                # (null = unchanged), so latest-LSN-whole-row would emit
+                # nulls as values.  Resolve per COLUMN instead — the same
+                # fold prepare_batch_partial applies to batches, here over
+                # (base row + delta versions): latest delete LSN is the
+                # inheritance barrier; each column takes its latest
+                # non-null live occurrence after it.  Still ONE map-side-
+                # combinable aggregate on the key.
+                live = ~F.col(DELETED_COL)
+                nk = [
+                    c
+                    for c in df.columns
+                    if c not in keys and c not in (LSN_COL, DELETED_COL)
+                ]
+                aggs = [
+                    F.max(F.when(~live, F.col(LSN_COL))).alias("_dl"),
+                    F.max(F.when(live, F.col(LSN_COL))).alias("_ul"),
+                    F.max(F.col(LSN_COL)).alias("_maxl"),
+                ]
+                for c in nk:
+                    nn = live & F.col(c).isNotNull()
+                    aggs.append(
+                        F.max_by(F.col(c), F.when(nn, F.col(LSN_COL))).alias(
+                            f"_v_{c}"
+                        )
+                    )
+                    aggs.append(
+                        F.max(F.when(nn, F.col(LSN_COL))).alias(f"_l_{c}")
+                    )
+                folded = df.groupBy(*keys).agg(*aggs)
+                dl = F.coalesce(F.col("_dl"), F.lit(-(2 ** 62)).cast("long"))
+                df = folded.filter(
+                    F.col("_ul").isNotNull() & (F.col("_ul") > dl)
+                ).select(
+                    *keys,
+                    *[
+                        F.when(F.col(f"_l_{c}") > dl, F.col(f"_v_{c}")).alias(c)
+                        for c in nk
+                    ],
+                    F.col("_maxl").alias(LSN_COL),
+                )
+            else:
+                # merge-on-read resolution: delta files carry newer row
+                # versions + tombstones alongside the base files, so the
+                # scan resolves latest-LSN-per-key and drops tombstones —
+                # the same map-side-combinable max_by aggregate the write
+                # path uses.  One shuffle on the key: the MOR read tax
+                # (compact() folds deltas back into base files to repay
+                # it; at scale the bucket layout bounds each key's rows to
+                # one bucket, so a bucket-local sort-merge resolution is
+                # the physical upgrade)
+                payload = F.struct(
+                    *[F.col(c) for c in df.columns if c not in keys]
+                )
+                df = (
+                    df.groupBy(*keys)
+                    .agg(F.max_by(payload, F.col(LSN_COL)).alias("_p"))
+                    .select(*keys, "_p.*")
+                    .filter(~F.col(DELETED_COL))
+                    .drop(DELETED_COL)
+                )
         return df.select(*final_cols)
 
     # ------------------------------------------------------------------ #
@@ -1044,6 +1088,10 @@ class LakeTable:
             ],
             "_n_events",
             F.col("_dl").isNotNull().alias("_reset"),
+            # the delete barrier LSN rides along: MOR mode materializes it
+            # as a tombstone delta row so the read-side per-column fold
+            # cannot inherit values from before the delete
+            F.col("_dl"),
         ).withColumn("_bucket", self._bucket_expr())
         return out.localCheckpoint(eager=True)
 
@@ -1217,12 +1265,26 @@ class LakeTable:
         mode = mode or snap.get("properties", {}).get("merge_mode", "cow")
         if mode not in ("cow", "mor"):
             raise ValueError(f"invalid merge mode: {mode}")
-        if partial_update and mode == "mor":
-            # a partial delta row is NOT a row version: the MOR read's
-            # latest-LSN-per-key resolution would emit its nulls as
-            # values.  Per-column MOR resolution is a different read plan
-            # (and read tax) — out of scope until needed.
-            raise ValueError("partial_update requires copy-on-write mode")
+        partial_table = bool(snap.get("properties", {}).get("partial_updates"))
+        if partial_update and mode == "mor" and not partial_table:
+            # a partial delta row is NOT a row version: the default MOR
+            # read's latest-LSN-per-key resolution would emit its nulls
+            # as values.  Tables declared ``partial_updates`` at create
+            # time get the per-column MOR resolution instead (read()),
+            # which makes partial deltas safe.
+            raise ValueError(
+                "partial_update with merge-on-read requires the table "
+                "property partial_updates=true (per-column resolution)"
+            )
+        if not partial_update and mode == "mor" and partial_table:
+            # a FULL-row delta on a partial_updates table is unsound the
+            # other way around: its genuine nulls would inherit older
+            # values through the per-column fold.  Full images go through
+            # COW (which materializes resolved rows) on such tables.
+            raise ValueError(
+                "partial_updates tables accept merge-on-read batches only "
+                "with partial_update=True (full images must use cow)"
+            )
         if mode == "mor":
             # merge-on-read: append winner rows + tombstones as delta
             # files — no existing-bucket read, no rewrite
@@ -1232,7 +1294,26 @@ class LakeTable:
                 F.col(LSN_COL),
                 (F.col("_op") == "delete").alias(DELETED_COL),
                 "_bucket",
-            ).repartition(n_part, "_bucket")
+            )
+            if partial_update:
+                # keys whose batch had a delete BELOW surviving upserts
+                # also append the tombstone at the delete's own LSN — the
+                # read-side inheritance barrier
+                tomb = reduced.filter(
+                    F.col("_reset") & (F.col("_op") != "delete")
+                ).select(
+                    *keys,
+                    *[
+                        F.lit(None).cast(target[c].dataType).alias(c)
+                        for c in data_cols
+                        if c not in keys
+                    ],
+                    F.col("_dl").alias(LSN_COL),
+                    F.lit(True).alias(DELETED_COL),
+                    "_bucket",
+                )
+                delta = delta.unionByName(tomb)
+            delta = delta.repartition(n_part, "_bucket")
             mapping = self._write_bucket_files(delta, snap["schema_id"], pre_bucketed=True)
             for files in mapping.values():
                 for fobj in files:

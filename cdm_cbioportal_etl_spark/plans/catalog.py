@@ -2698,6 +2698,55 @@ def cdc_partial_image_replay(spark, sf_dir):
     return table.read()
 
 
+@_register("cdc_partial_image_replay_mor", ORACLES["cdc_partial_image_replay"])
+def cdc_partial_image_replay_mor(spark, sf_dir):
+    """Same partial-image WAL and oracle, but through MERGE-ON-READ on a
+    ``partial_updates`` table: winners (+ delete-barrier tombstones)
+    append as delta files and the read resolves PER COLUMN — latest
+    non-null live occurrence after the key's last delete
+    (lake/table.py read partial fold)."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_id").alias("lsn"),
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+        "user_id",
+        F.when(F.col("event_id") % 3 == 0, F.col("event_type")).alias("etype"),
+        F.when(F.col("event_id") % 3 == 1, F.col("value")).alias("value"),
+        F.when(F.col("event_id") % 3 == 2, F.col("props")).alias("props"),
+    )
+    max_lsn = int(ev.agg(F.max("lsn")).collect()[0][0])
+    root = os.path.join(
+        CDC_WORK_DIR,
+        spark.sparkContext.applicationId,
+        "partial-mor-" + os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    table = LakeTable.create(
+        spark,
+        root,
+        T.StructType(
+            [
+                T.StructField("user_id", T.LongType()),
+                T.StructField("etype", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+                T.StructField("props", T.StringType()),
+            ]
+        ),
+        key_cols=["user_id"],
+        n_buckets=16,
+        properties={"partial_updates": True, "merge_mode": "mor"},
+    )
+    bs = (max_lsn + 3) // 3
+    for lo in range(0, max_lsn + 1, bs):
+        table.merge(
+            ev.filter((F.col("lsn") >= lo) & (F.col("lsn") < lo + bs)),
+            partial_update=True,
+            batch_id=f"partial-mor-{lo}",
+        )
+    return table.read()
+
+
 # --------------------------------------------------------------------- #
 # Merge-on-read replay: same WAL, same oracle as cdc_repos_replay, but
 # the engine applies batches as delta appends (Iceberg-v2 MOR) and the

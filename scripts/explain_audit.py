@@ -130,6 +130,7 @@ SKIP_EXEC = {
     "cdc_replay_final_state",
     # full partial-image replay at construction (3 merge commits)
     "cdc_partial_image_replay",
+    "cdc_partial_image_replay_mor",
     # full replay at construction, like the rows above; its read-side
     # plan is the plain pruned scan the guard sees via
     # lake_pruned_range_read

@@ -120,7 +120,7 @@ def test_partial_update_idempotent_and_cross_batch(spark, tmp_path):
 
 def test_partial_update_rejects_mor(spark, tmp_path):
     t = _mk(spark, tmp_path)
-    with pytest.raises(ValueError, match="copy-on-write"):
+    with pytest.raises(ValueError, match="partial_updates=true"):
         t.merge(
             _ev(spark, [(1, "upsert", 1, "a", 1, "c")]),
             partial_update=True,
@@ -187,3 +187,80 @@ def test_partial_update_through_streaming_wal(spark, tmp_path):
     )
     reader.run_available_now()
     assert _state(t) == {1: ("A1", 11, "c1"), 2: ("a2", None, None)}
+
+
+def _mk_mor(spark, tmp_path, name="mpt"):
+    return LakeTable.create(
+        spark,
+        str(tmp_path / name),
+        SCHEMA,
+        ["k"],
+        n_buckets=4,
+        properties={"partial_updates": True, "merge_mode": "mor"},
+    )
+
+
+def test_partial_mor_matches_cow(spark, tmp_path):
+    """partial_updates tables resolve partial MOR deltas per column at
+    read time — final state must equal the COW partial path on the same
+    batches."""
+    batches = [
+        _ev(spark, [(601, "upsert", 1, "a1", 10, "c1"), (602, "upsert", 2, "a2", None, None)]),
+        _ev(spark, [(603, "upsert", 1, None, 11, None), (604, "delete", 2, None, None, None)]),
+        _ev(spark, [(605, "upsert", 2, None, None, "C2"), (606, "upsert", 1, "A1", None, None)]),
+    ]
+    mor = _mk_mor(spark, tmp_path, "mor")
+    cow = _mk(spark, tmp_path)
+    for b in batches:
+        mor.merge(b, partial_update=True)  # mode from table property
+        cow.merge(b, partial_update=True, mode="cow")
+    assert any(
+        f.get("delta") for fs in mor.snapshot["buckets"].values() for f in fs
+    )
+    assert _state(mor) == _state(cow) == {
+        1: ("A1", 11, "c1"),
+        2: (None, None, "C2"),  # delete barred a2's inheritance
+    }
+
+
+def test_partial_mor_delete_barrier_across_batches(spark, tmp_path):
+    t = _mk_mor(spark, tmp_path)
+    t.merge(_ev(spark, [(701, "upsert", 1, "old", 5, "keep")]), partial_update=True)
+    t.merge(_ev(spark, [(702, "delete", 1, None, None, None)]), partial_update=True)
+    t.merge(_ev(spark, [(703, "upsert", 1, None, 7, None)]), partial_update=True)
+    assert _state(t) == {1: (None, 7, None)}
+
+
+def test_partial_mor_reset_tombstone_within_batch(spark, tmp_path):
+    """A delete BELOW surviving upserts in one batch materializes as an
+    extra tombstone delta row — the read fold must not inherit through
+    it, even though the winner row is an upsert."""
+    t = _mk_mor(spark, tmp_path)
+    t.merge(_ev(spark, [(801, "upsert", 1, "leaky", 99, "x")]), partial_update=True)
+    t.merge(
+        _ev(
+            spark,
+            [(802, "delete", 1, None, None, None), (803, "upsert", 1, None, 7, None)],
+        ),
+        partial_update=True,
+    )
+    assert _state(t) == {1: (None, 7, None)}
+
+
+def test_partial_mor_compact_materializes_and_mode_gates(spark, tmp_path):
+    t = _mk_mor(spark, tmp_path)
+    t.merge(_ev(spark, [(901, "upsert", 1, "a", None, None)]), partial_update=True)
+    t.merge(_ev(spark, [(902, "upsert", 1, None, 2, None)]), partial_update=True)
+    expect = _state(t)
+    t.compact()
+    assert not any(
+        f.get("delta") for fs in t.snapshot["buckets"].values() for f in fs
+    )
+    assert _state(t) == expect == {1: ("a", 2, None)}
+    # full-image MOR on a partial table is unsound -> raise
+    with pytest.raises(ValueError, match="full images"):
+        t.merge(_ev(spark, [(903, "upsert", 1, "z", None, None)]))
+    # redelivery is a no-op
+    rows = t.row_count()
+    t.merge(_ev(spark, [(902, "upsert", 1, None, 2, None)]), partial_update=True)
+    assert t.row_count() == rows and _state(t) == expect
