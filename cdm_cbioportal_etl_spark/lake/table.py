@@ -85,6 +85,15 @@ class ConcurrentCommitError(RuntimeError):
     automatically; the LSN ledger makes the retried batch exactly-once."""
 
 
+def _op_kind(batch_id: str) -> str:
+    """Classify a lineage batch_id into the operation kind shown by
+    ``history()`` (maintenance ops stamp a recognizable prefix)."""
+    for prefix in ("compact", "rebucket", "rollback", "zorder"):
+        if batch_id.startswith(f"{prefix}-"):
+            return prefix
+    return "merge"
+
+
 def _type_name(dt: T.DataType) -> str:
     return dt.simpleString()
 
@@ -2299,6 +2308,79 @@ class LakeTable:
             1 for _, fs in sel for f in fs if self._stats_admit(f, eff)
         )
         return admitted, total
+
+    # ------------------------------------------------------------------ #
+    # inspection surfaces (Delta DESCRIBE HISTORY / Iceberg metadata
+    # tables): the operational debugging API every lakehouse exposes —
+    # both are DataFrames over driver-held manifest metadata (no data
+    # file is touched), so they stay O(lineage)/O(files) at any table
+    # size and compose with ordinary DataFrame filters.
+    # ------------------------------------------------------------------ #
+    def history(self) -> DataFrame:
+        """Commit history as a DataFrame: one row per lineage record of
+        the CURRENT snapshot (batch merges, compactions, rebuckets,
+        rollbacks, z-order rewrites), most recent last.  Non-scalar
+        details (watermarks, per-phase timings) ride in a JSON column —
+        schema-stable regardless of which operations the table has seen.
+        """
+        import json as _json
+
+        scalar_keys = ("batch_id", "lsn_max", "batch_rows", "batch_keys", "deletes")
+        rows = []
+        for i, rec in enumerate(self.snapshot.get("lineage", [])):
+            rest = {k: v for k, v in rec.items() if k not in scalar_keys}
+
+            def _i(k):
+                return int(rec[k]) if rec.get(k) is not None else None
+
+            rows.append(
+                (
+                    i,
+                    str(rec["batch_id"]),
+                    _op_kind(str(rec["batch_id"])),
+                    _i("lsn_max"),
+                    _i("batch_rows"),
+                    _i("batch_keys"),
+                    _i("deletes"),
+                    _json.dumps(rest, sort_keys=True) if rest else None,
+                )
+            )
+        schema = (
+            "seq long, batch_id string, operation string, lsn_max long, "
+            "batch_rows long, batch_keys long, deletes long, details string"
+        )
+        return self.spark.createDataFrame(rows, schema)
+
+    def files(self) -> DataFrame:
+        """Data-file inventory of the current snapshot as a DataFrame:
+        (bucket, path, schema_id, rows, is_delta, has_bloom, per-column
+        min/max stats as a JSON string) — Iceberg's ``.files`` metadata
+        table.  One row per live data file, straight from the manifest."""
+        import json as _json
+
+        rows = []
+        for b, fobjs in sorted(
+            self.snapshot["buckets"].items(), key=lambda kv: int(kv[0])
+        ):
+            for f in fobjs:
+                rows.append(
+                    (
+                        int(b),
+                        f["path"],
+                        int(f.get("schema_id", 0)),
+                        int(f["rows"]) if f.get("rows") is not None else None,
+                        bool(f.get("delta", False)),
+                        bool(f.get("bloom")),
+                        _json.dumps(f.get("stats"), sort_keys=True)
+                        if f.get("stats")
+                        else None,
+                    )
+                )
+        schema = (
+            "bucket int, path string, schema_id int, rows long, "
+            "is_delta boolean, has_bloom boolean, stats string"
+        )
+        return self.spark.createDataFrame(rows, schema)
 
     def expire_snapshots(self, keep_last: int = 5) -> int:
         """Delete old snapshot manifests, keeping the most recent
