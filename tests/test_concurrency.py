@@ -102,3 +102,26 @@ def test_non_merge_committers_surface_conflicts(spark, tmp_path):
     b.refresh()
     b.rollback_to(1)  # after refresh it commits cleanly
     assert {(r.k, r.grp) for r in b.read().collect()} == {("k1", "a")}
+
+
+def test_stale_handle_partial_merge_retries_with_partial_semantics(spark, tmp_path):
+    """A partial-image merge that loses the commit race must RE-PREPARE
+    with partial semantics (not the whole-row fold): after the retry the
+    unchanged columns still inherit from the state the racer committed."""
+    root = str(tmp_path / "occ_partial")
+    a = LakeTable.create(spark, root, SCHEMA, ["k"], n_buckets=2)
+    b = LakeTable(spark, root)
+    _ = b.snapshot  # stale handle
+    # racer a lands the full row first
+    _merge(a, [(1, "upsert", "k1", "grp0", 7)])
+    # loser b carries a PARTIAL image for the same key (grp unchanged);
+    # its commit collides, refreshes, re-prepares partially, and the
+    # enrichment must see a's row
+    b.merge(
+        b.spark.createDataFrame([(2, "upsert", "k1", None, 9)], _BATCH),
+        partial_update=True,
+    )
+    b.refresh()
+    got = {(r.k, r.grp, r.v) for r in b.read().collect()}
+    assert got == {("k1", "grp0", 9)}  # grp inherited through the retry
+    assert b.snapshot["version"] == 2 and b.applied_lsn() == 2
