@@ -23,11 +23,58 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["cdc_repos_replay"](spark, "/root/testdata/sf0.001")
 
 
+# Driver-green rows recorded in CORRECTNESS_r03.json. The driver's
+# correctness file caps at 50 entries taken in queries()-dict order, so
+# round 4 rotates the window: queries NEVER driver-checked (plus round
+# 3's one hash-red row, oracle types now fixed) come first, then a
+# handful of §2 anchors, then the already-driver-green remainder.
+_R03_SEEN = frozenset({
+    "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
+    "q6_filter_agg", "anchor_min_dates", "integrity_gate_anchor",
+    "deid_day_intervals", "readable_intervals", "presence_pivot_events",
+    "first_and_max_orders", "anti_join_inactive_customers",
+    "semi_join_active_suppliers", "melt_part_attrs", "union_dedup_nations",
+    "clamp_ages", "backfill_remap_orders", "window_top3_orders",
+    "dedup_exact_docs", "token_count_docs", "lang_id_docs",
+    "fingerprint_docs", "minhash_docs", "lsh_candidate_pairs",
+    "ngram_jaccard_docs", "neardup_clusters_docs", "neardup_dedup_survivors",
+    "incremental_dedup_docs", "incremental_lsh_pairs",
+    "dup_shingle_fraction_docs", "quality_score_docs",
+    "cosine_topk_embeddings", "cdc_replay_final_state", "cdc_repos_replay",
+    "cdc_changes_since", "cdc_table_changes", "cdc_point_lookup",
+    "cdc_rebucket_replay", "cdc_incremental_view", "simhash_docs",
+    "embedding_neardup_pairs", "ann_lsh_topk", "ann_lsh_recall",
+    "summary_wide_customer", "os_survival_events", "header_combine_nation",
+    "grouped_timeline_compact", "grouped_timeline_compact_sql",
+    "timeline_deid_events", "completeness_audit_orders",
+    "q2_min_balance_supplier",
+})
+
+# Round-3's single hash-red row (DuckDB HUGEINT vs Spark BIGINT; oracle
+# now casts to BIGINT) — re-submit for a green driver row.
+_RECHECK = ("dup_shingle_fraction_docs",)
+
+# §2 anchors kept inside the window so every round's file still covers
+# the flagship replay + the relational/timeline core.
+_ANCHORS = (
+    "cdc_repos_replay", "cdc_replay_final_state", "q1_pricing_summary",
+    "timeline_deid_events", "grouped_timeline_compact_sql",
+    "summary_wide_customer", "minhash_docs",
+)
+
+
+def _window_order(names):
+    fresh = [n for n in names if n not in _R03_SEEN]
+    head = fresh + [n for n in _RECHECK if n not in fresh]
+    head += [n for n in _ANCHORS if n not in head]
+    return head + [n for n in names if n not in head]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return dict(QUERIES)
+    return {n: QUERIES[n] for n in _window_order(list(QUERIES))}
 
 
 def oracle_sql() -> dict[str, str]:
     """Equivalent DuckDB SQL per query (same column names/types)."""
-    return dict(ORACLES)
+    return {n: ORACLES[n] for n in _window_order(list(QUERIES)) if n in ORACLES}

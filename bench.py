@@ -280,7 +280,7 @@ def main() -> None:
             else bench_queries(spark, sf_dir)
         )
         cdc = bench_cdc_throughput(spark, n_events)
-        print(json.dumps({
+        full = {
             "metric": "cdc_replay_events_per_sec",
             "value": cdc["events_per_sec"],
             "unit": "events/sec",
@@ -289,6 +289,37 @@ def main() -> None:
             "cpus": int(cpus),
             "cdc": cdc,
             "queries_total_sec": round(sum(queries.values()), 3),
+        }
+        # Full artifact (all query walls + cdc phase breakdowns) goes to a
+        # committed file; the PRINTED line must stay small enough for the
+        # driver's tail capture (round 3's 92-entry line overflowed it and
+        # BENCH_r03.json came back `parsed: null`).
+        full_path = os.environ.get(
+            "SPARK_GRAFT_BENCH_FULL",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_FULL.json"),
+        )
+        with open(full_path, "w") as f:
+            json.dump(full, f, indent=1)
+        top10 = dict(sorted(queries.items(), key=lambda kv: -kv[1])[:10])
+        cdc_compact = {
+            k: cdc[k]
+            for k in ("events", "wall_sec", "events_per_sec", "rep_walls_sec",
+                      "median_wall_sec", "median_events_per_sec", "batches",
+                      "final_rows", "bytes_per_event")
+            if k in cdc
+        }
+        print(json.dumps({
+            "metric": "cdc_replay_events_per_sec",
+            "value": cdc["events_per_sec"],
+            "unit": "events/sec",
+            "queries": top10,
+            "sf": sf,
+            "cpus": int(cpus),
+            "cdc": cdc_compact,
+            "queries_total_sec": round(sum(queries.values()), 3),
+            "queries_n": len(queries),
+            "full": os.path.basename(full_path),
         }))
     finally:
         spark.stop()

@@ -842,8 +842,8 @@ def incremental_lsh_pairs(spark, sf_dir):
     , ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh)
     , dup AS (SELECT s FROM ex GROUP BY s HAVING count(DISTINCT doc_id) > 1)
     SELECT e.doc_id,
-           count(*) AS n_shingles,
-           sum(CASE WHEN d.s IS NOT NULL THEN 1 ELSE 0 END) AS n_dup,
+           count(*)::BIGINT AS n_shingles,
+           sum(CASE WHEN d.s IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_dup,
            round(sum(CASE WHEN d.s IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
                  / count(*), 6) AS dup_frac
     FROM ex e LEFT JOIN dup d USING (s)
@@ -1322,7 +1322,8 @@ def cdc_rebucket_replay(spark, sf_dir):
       SELECT user_id, event_type, value,
              row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
       FROM events)
-    SELECT event_type, count(*) AS cnt, sum(value) AS sum_value
+    SELECT event_type, count(*) AS cnt,
+           round(sum(value), 4) AS sum_value
     FROM ranked WHERE rn = 1 AND event_type <> 'error'
     GROUP BY event_type
     """,
@@ -1371,8 +1372,11 @@ def cdc_incremental_view(spark, sf_dir):
     )
     rep.replay_range_batches(ev, 2 * bs, max_lsn + 1, batch_size=bs)
     view.refresh(table)
+    # round(…, 4): incremental refresh accumulates the double sum in a
+    # different order than a full GROUP BY, so the last bit can drift —
+    # round in BOTH engines (values are 2-decimal inputs, 4 dp is exact)
     return view.read().select(
-        "event_type", "cnt", F.col("sum_value")
+        "event_type", "cnt", F.round(F.col("sum_value"), 4).alias("sum_value")
     )
 
 

@@ -1,6 +1,10 @@
 """Local replica of the driver's correctness gate: run every catalog query
 in Spark and its oracle in DuckDB at sf0.01, compare row count, column
-names, and order-insensitive stringified values."""
+names, and order-insensitive values at FULL precision (floats via repr —
+no %.6g masking; round in both engines' SQL instead if bit-level drift is
+expected). Type-level drift (e.g. DuckDB HUGEINT -> decimal128 vs Spark
+BIGINT, round-3's one red row) is caught by the companion gate
+scripts/audit_oracle_types.py which compares Arrow schemas — run both."""
 
 from __future__ import annotations
 
@@ -21,13 +25,22 @@ TABLES = [
 
 
 def canon_cell(v):
+    # Type-tagged exact canonicalization: int 7 and float 7.0 must NOT
+    # collide (the driver's hash is type-sensitive), and floats compare
+    # at full precision via repr.
     if v is None:
         return "\\N"
+    if isinstance(v, bool):
+        return f"b:{v}"
     if isinstance(v, float):
-        return f"{v:.6g}"
+        return f"f:{v!r}"
+    if isinstance(v, int):
+        return f"i:{v}"
     if isinstance(v, bytes):
-        return v.hex()
-    return str(v)
+        return f"x:{v.hex()}"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon_cell(x) for x in v) + "]"
+    return f"{type(v).__name__}:{v}"
 
 
 def canon_rows(cols, rows):
