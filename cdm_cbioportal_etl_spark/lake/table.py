@@ -1083,8 +1083,12 @@ class LakeTable:
         dl = F.coalesce(F.col("_dl"), F.lit(-(2 ** 62)).cast("long"))
         out = folded.select(
             *keys,
+            # delete wins LSN ties (<=): the MOR read fold at _read_fold
+            # keeps a key only when _ul > dl (strict), so the write-side
+            # classification must agree or COW and MOR diverge on a
+            # same-LSN upsert+delete pair
             F.when(
-                F.col("_ul").isNull() | (F.col("_ul") < dl), F.lit("delete")
+                F.col("_ul").isNull() | (F.col("_ul") <= dl), F.lit("delete")
             )
             .otherwise(F.lit("upsert"))
             .alias("_op"),
@@ -1653,6 +1657,9 @@ class LakeTable:
         )
         lineage = {
             "batch_id": batch_id or uuid.uuid4().hex,
+            # explicit operation kind: history() must not infer it from a
+            # USER-supplied batch_id (e.g. 'compact-2026-08' is a merge)
+            "operation": "merge",
             "lsn_max": int(agg["max_lsn"]),
             "batch_rows": stats.batch_rows,
             "batch_keys": stats.batch_keys,
@@ -2001,9 +2008,7 @@ class LakeTable:
             fpb = int(snap["properties"].get("zorder_files_per_bucket", 4))
             bounds = self._zorder_bounds(df, cluster_by, n_bins)
             if target_file_rows:
-                rows = sum(
-                    int(snap.get("bucket_rows", {}).get(str(b), 0)) for b in todo
-                )
+                rows = self._todo_rows(snap, todo)
                 n_parts = max(1, -(-rows // int(target_file_rows)))
             else:
                 n_parts = max(1, len(todo) * fpb)
@@ -2018,9 +2023,7 @@ class LakeTable:
                 drop_after_sort=["_zv"],
             )
         elif target_file_rows:
-            rows = sum(
-                int(snap.get("bucket_rows", {}).get(str(b), 0)) for b in todo
-            )
+            rows = self._todo_rows(snap, todo)
             n_parts = max(1, -(-rows // int(target_file_rows)))
             mapping = self._write_bucket_files(
                 df.repartitionByRange(n_parts, "_bucket", *self.key_cols),
@@ -2042,10 +2045,30 @@ class LakeTable:
         )
         snap["version"] += 1
         snap["lineage"].append(
-            {"batch_id": f"compact-{uuid.uuid4().hex[:8]}", "compacted_buckets": sorted(todo)}
+            {
+                "batch_id": f"compact-{uuid.uuid4().hex[:8]}",
+                "operation": "compact",
+                "compacted_buckets": sorted(todo),
+            }
         )
         self._commit(snap)
         return len(todo)
+
+    def _todo_rows(self, snap: dict, todo: set[int]) -> int:
+        """Row total for the buckets a compaction will rewrite.  Manifest
+        ``bucket_rows`` is the no-extra-job source; buckets absent from it
+        (manifests written before row tracking, or externally rebuilt)
+        fall back to per-file manifest row counts — a missing entry must
+        not count as 0 or the bin-packing partition count collapses to 1
+        (one giant single-task file)."""
+        bucket_rows = snap.get("bucket_rows", {})
+        total = 0
+        for b in todo:
+            if str(b) in bucket_rows:
+                total += int(bucket_rows[str(b)])
+            else:
+                total += self._files_rows(snap["buckets"].get(str(b), []))
+        return total
 
     def rollback_to(self, version: int) -> int:
         """Roll the table back to a retained snapshot (Iceberg
@@ -2070,6 +2093,7 @@ class LakeTable:
         snap["lineage"] = list(old.get("lineage", [])) + [
             {
                 "batch_id": f"rollback-{uuid.uuid4().hex[:8]}",
+                "operation": "rollback",
                 "rolled_back_from": cur["version"],
                 "restored_version": version,
             }
@@ -2119,6 +2143,7 @@ class LakeTable:
         snap["lineage"].append(
             {
                 "batch_id": f"rebucket-{uuid.uuid4().hex[:8]}",
+                "operation": "rebucket",
                 "n_buckets": n_buckets,
             }
         )
@@ -2242,8 +2267,11 @@ class LakeTable:
         snap = json.loads(json.dumps(self.snapshot))
         df = self.read(with_lsn=True).withColumn("_bucket", self._bucket_expr())
         bounds = self._zorder_bounds(df, cluster_by, n_bins)
+        # UNION the cluster columns into the existing stats set — a table
+        # created with extra stats_cols (other prune predicates) must not
+        # lose their per-file skipping because it was later z-ordered
         stats_cols = list(
-            dict.fromkeys([*snap["key_cols"], LSN_COL, *cluster_by])
+            dict.fromkeys([*self._stats_cols(), *cluster_by])
         )
         n_parts = max(1, snap["n_buckets"] * max(1, target_files_per_bucket))
         staged = df.withColumn("_zv", self._zvalue_expr(cluster_by, bounds))
@@ -2276,6 +2304,7 @@ class LakeTable:
         snap["lineage"].append(
             {
                 "batch_id": f"zorder-{uuid.uuid4().hex[:8]}",
+                "operation": "zorder",
                 "cluster_by": list(cluster_by),
                 "n_bins": n_bins,
                 "n_files": sum(len(f) for f in full.values()),
@@ -2325,7 +2354,10 @@ class LakeTable:
         """
         import json as _json
 
-        scalar_keys = ("batch_id", "lsn_max", "batch_rows", "batch_keys", "deletes")
+        scalar_keys = (
+            "batch_id", "operation", "lsn_max", "batch_rows", "batch_keys",
+            "deletes",
+        )
         rows = []
         for i, rec in enumerate(self.snapshot.get("lineage", [])):
             rest = {k: v for k, v in rec.items() if k not in scalar_keys}
@@ -2337,7 +2369,9 @@ class LakeTable:
                 (
                     i,
                     str(rec["batch_id"]),
-                    _op_kind(str(rec["batch_id"])),
+                    # write-time stamp is authoritative; prefix inference
+                    # only for legacy records predating the field
+                    str(rec.get("operation") or _op_kind(str(rec["batch_id"]))),
                     _i("lsn_max"),
                     _i("batch_rows"),
                     _i("batch_keys"),
