@@ -700,51 +700,73 @@ class LakeTable:
         per merge (measured 2-4× merge slowdown at m=256Ki).  A missing
         sidecar (crash between write and commit never happens — sidecars
         land before the manifest — but a manually deleted one might)
-        degrades to admit-the-file: sound."""
+        degrades to admit-the-file: sound.
+
+        The sidecars are WRITTEN EXECUTOR-SIDE: a grouped-map over the
+        per-(file, word) bitset rows — one group per data file — packs
+        and writes that file's sidecar to the table root (the same
+        shared filesystem/object store the parquet write itself already
+        targets), and only the written file PATHS return to the driver
+        (O(#files), the same order as the manifest it must update).  No
+        per-file bitset words ever cross to the driver."""
         import struct as _struct
 
         n_words = (m + 63) // 64
-        rows = (
-            self.spark.read.parquet(out_abs)
-            .select(
-                F.input_file_name().alias("_f"),
-                F.explode(self._bloom_pos_expr(m)).alias("_p"),
-            )
-            .groupBy(
-                "_f", (F.col("_p") / 64).cast("int").alias("_w")
-            )
-            .agg(
-                F.bit_or(
-                    F.expr("shiftleft(CAST(1 AS BIGINT), pmod(_p, 64))")
-                ).alias("_bits")
-            )
-            # second-level fold to ONE row per file: collecting (file,
-            # word) rows was the measured build bottleneck (4096 words ×
-            # files rows to the driver per merge)
-            .groupBy("_f")
-            .agg(F.collect_list(F.struct("_w", "_bits")).alias("_ws"))
-            .collect()
-        )
-        by_file: dict[str, dict[int, int]] = {}
-        for r in rows:
-            p = r["_f"]
+        root = self.root
+        bloom_k = self.BLOOM_K
+
+        def _write_sidecar(pdf):
+            import os as _os
+            import struct as _s
+
+            import pandas as _pd
+
+            p = str(pdf["_f"].iloc[0])
             if p.startswith("file:"):
                 p = p[5:]
                 while p.startswith("//"):
                     p = p[1:]
-            rel = os.path.relpath(p, self.root)
-            by_file[rel] = {int(x["_w"]): int(x["_bits"]) for x in r["_ws"]}
+            rel = _os.path.relpath(p, root)
+            words = dict(
+                zip(pdf["_w"].astype("int64"), pdf["_bits"].astype("int64"))
+            )
+            packed = _s.pack(
+                f"<{n_words}q", *[int(words.get(i, 0)) for i in range(n_words)]
+            )
+            with open(_os.path.join(root, rel + ".bloom"), "wb") as fh:
+                fh.write(packed)
+            return _pd.DataFrame({"path": [rel]})
+
+        written = {
+            r["path"]
+            for r in (
+                self.spark.read.parquet(out_abs)
+                .select(
+                    F.input_file_name().alias("_f"),
+                    F.explode(self._bloom_pos_expr(m)).alias("_p"),
+                )
+                .groupBy("_f", (F.col("_p") / 64).cast("int").alias("_w"))
+                .agg(
+                    F.bit_or(
+                        F.expr("shiftleft(CAST(1 AS BIGINT), pmod(_p, 64))")
+                    ).alias("_bits")
+                )
+                .groupBy("_f")
+                .applyInPandas(_write_sidecar, "path string")
+                .collect()
+            )
+        }
+        empty = _struct.pack(f"<{n_words}q", *([0] * n_words))
         for files in mapping.values():
             for fobj in files:
-                words = by_file.get(fobj["path"], {})
-                packed = _struct.pack(
-                    f"<{n_words}q", *[words.get(i, 0) for i in range(n_words)]
-                )
-                with open(
-                    os.path.join(self.root, fobj["path"] + ".bloom"), "wb"
-                ) as fh:
-                    fh.write(packed)
-                fobj["bloom"] = {"m": m, "k": self.BLOOM_K}
+                if fobj["path"] not in written:
+                    # zero-row file: an all-zero bloom rejects every probe
+                    # — correct, and written driver-side (rare + tiny)
+                    with open(
+                        os.path.join(self.root, fobj["path"] + ".bloom"), "wb"
+                    ) as fh:
+                        fh.write(empty)
+                fobj["bloom"] = {"m": m, "k": bloom_k}
 
     def _bloom_words(self, fobj: dict) -> list[int] | None:
         import struct as _struct

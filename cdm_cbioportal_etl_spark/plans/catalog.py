@@ -1657,11 +1657,14 @@ def header_combine_nation(spark, sf_dir):
 
 
 # --------------------------------------------------------------------- #
-# applyInPandas grouped-map surface (the sanctioned Arrow path) with a
-# full SQL oracle — verifies the grouped-map plumbing end to end
+# per-user timeline compaction — PRODUCTION path first: pure JVM
+# aggregates (two map-side-combinable hash aggs + one join, no Python);
+# the applyInPandas twin below is the grouped-map plumbing harness
+# (same semantics, same oracle, ~14x slower — kept as the sanctioned
+# Arrow-path exercise, not the path a user should reach first)
 # --------------------------------------------------------------------- #
 @_register(
-    "grouped_timeline_compact",
+    "grouped_timeline_compact_sql",
     """
     WITH ordered AS (
       SELECT user_id, ts, event_type,
@@ -1690,23 +1693,20 @@ def header_combine_nation(spark, sf_dir):
                   JOIN modal m USING (user_id)
     """,
 )
-def grouped_timeline_compact(spark, sf_dir):
-    from cdm_cbioportal_etl_spark.operators.grouped import compact_group_timeline
-
-    return compact_group_timeline(_t(spark, sf_dir, "events"))
-
-
-# production path: same summary as grouped_timeline_compact, same oracle,
-# but pure JVM aggregates (two map-side-combinable hash aggs + one join,
-# no Python) — the applyInPandas twin above stays as the grouped-map
-# plumbing harness
-@_register("grouped_timeline_compact_sql", ORACLES["grouped_timeline_compact"])
 def grouped_timeline_compact_sql(spark, sf_dir):
     from cdm_cbioportal_etl_spark.operators.grouped import (
         compact_group_timeline_sql,
     )
 
     return compact_group_timeline_sql(_t(spark, sf_dir, "events"))
+
+
+# grouped-map plumbing harness: applyInPandas twin of the JVM path above
+@_register("grouped_timeline_compact", ORACLES["grouped_timeline_compact_sql"])
+def grouped_timeline_compact(spark, sf_dir):
+    from cdm_cbioportal_etl_spark.operators.grouped import compact_group_timeline
+
+    return compact_group_timeline(_t(spark, sf_dir, "events"))
 
 
 # --------------------------------------------------------------------- #
@@ -2972,6 +2972,42 @@ def multimodal_decode_features(spark, sf_dir):
 
     ids = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("media_id"))
     return decode_features(synth_real_media(ids))
+
+
+@_register(
+    "multimodal_png_decode",
+    """
+    WITH ids AS (SELECT doc_id FROM documents),
+    img AS (
+      SELECT i.doc_id, c.c AS ch,
+             sum((i.doc_id*29 + x.x*7 + y.y*11 + c.c*13) % 256) AS s
+      FROM ids i,
+           generate_series(0, 15) x(x),
+           generate_series(0, 15) y(y),
+           generate_series(0, 2) c(c)
+      GROUP BY i.doc_id, c.c
+    )
+    SELECT doc_id AS media_id, 'image' AS kind, 16 AS dim_x, 16 AS dim_y,
+           max(CASE WHEN ch = 0 THEN s END) / 256.0 AS f1,
+           max(CASE WHEN ch = 1 THEN s END) / 256.0 AS f2,
+           max(CASE WHEN ch = 2 THEN s END) / 256.0 AS f3
+    FROM img GROUP BY doc_id
+    """,
+)
+def multimodal_png_decode(spark, sf_dir):
+    """Real PNG decode end-to-end: synthesize genuine zlib-compressed
+    8-bit RGB PNGs (closed-form pixels, CYCLING scanline filters so all
+    five PNG filter types are exercised), decode with the stdlib-zlib +
+    numpy-unfilter kernel (text/multimodal.py::decode_png) inside
+    mapInPandas, and emit per-channel means the SQL oracle recomputes
+    from the same closed form — byte-exact, like the PPM/WAV query."""
+    from cdm_cbioportal_etl_spark.text.multimodal import (
+        decode_features,
+        synth_png_media,
+    )
+
+    ids = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("media_id"))
+    return decode_features(synth_png_media(ids))
 
 
 # --------------------------------------------------------------------- #

@@ -5,10 +5,11 @@ Spark-side plumbing (schema, Arrow batch shape, ``mapInPandas`` signature,
 partition sizing) is real and tested.
 
 Decode kernels: formats decodable with numpy + the stdlib are REAL —
-``ppm`` (P6 binary RGB raster) and ``wav`` (PCM16 via the stdlib
-``wave`` module), both parsed in the Arrow batch with vectorized numpy.
-Codecs that need external libraries (JPEG/PNG/MP3/H.264 — PIL/ffmpeg are
-not in this container) stay STUBBED: ``decode_stub=True`` produces
+``ppm`` (P6 binary RGB raster), ``png`` (8-bit RGB: stdlib zlib inflate
++ numpy scanline unfiltering, all five PNG filter types), and ``wav``
+(PCM16 via the stdlib ``wave`` module), each parsed in the Arrow batch.
+Codecs that genuinely need external libraries (JPEG/MP3/H.264 —
+PIL/ffmpeg are not in this container) stay STUBBED: ``decode_stub=True`` produces
 deterministic fake features (so pipelines are testable end-to-end),
 ``decode_stub=False`` decodes the real formats and raises
 ``NotImplementedError`` at the exact point any other codec would plug
@@ -113,6 +114,139 @@ def encode_ppm(img) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + img.astype("uint8").tobytes()
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(img, cycle_filters: bool = True) -> bytes:
+    """8-bit RGB PNG encoder (stdlib zlib, single IDAT).  With
+    ``cycle_filters`` each scanline uses filter type ``row % 5`` so a
+    round-trip exercises every PNG filter (None/Sub/Up/Average/Paeth),
+    not just the trivial one."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    img = img.astype(np.uint8)
+    h, w, ch = img.shape
+    assert ch == 3, "RGB only"
+    bpp = 3
+    raw = bytearray()
+    prev = np.zeros(w * bpp, dtype=np.int16)
+    for r in range(h):
+        row = img[r].reshape(-1).astype(np.int16)
+        ft = (r % 5) if cycle_filters else 0
+        left = np.concatenate([np.zeros(bpp, np.int16), row[:-bpp]])
+        upleft = np.concatenate([np.zeros(bpp, np.int16), prev[:-bpp]])
+        if ft == 0:
+            filt = row
+        elif ft == 1:
+            filt = row - left
+        elif ft == 2:
+            filt = row - prev
+        elif ft == 3:
+            filt = row - (left + prev) // 2
+        else:  # Paeth
+            p = left + prev - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+            )
+            filt = row - pred
+        raw.append(ft)
+        raw.extend((filt % 256).astype(np.uint8).tobytes())
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes):
+    """8-bit RGB PNG → uint8 ndarray (h, w, 3).  Stdlib zlib inflate +
+    numpy per-scanline unfiltering (all five PNG filter types; Sub is a
+    strided cumsum, Up a vectorized add, Average/Paeth a short per-byte
+    loop over the 3·w row).  Non-interlaced, color type 2, bit depth 8 —
+    the subset the encoder above emits; anything else raises."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if not payload.startswith(_PNG_SIG):
+        raise ValueError("not a PNG payload")
+    i = len(_PNG_SIG)
+    w = h = None
+    idat = bytearray()
+    while i < len(payload):
+        (ln,) = struct.unpack(">I", payload[i : i + 4])
+        tag = payload[i + 4 : i + 8]
+        body = payload[i + 8 : i + 8 + ln]
+        i += 12 + ln
+        if tag == b"IHDR":
+            w, h, depth, ctype, comp, filt, inter = struct.unpack(">IIBBBBB", body)
+            if (depth, ctype, comp, filt, inter) != (8, 2, 0, 0, 0):
+                raise NotImplementedError(
+                    "only 8-bit non-interlaced RGB PNG decodes natively"
+                )
+        elif tag == b"IDAT":
+            idat.extend(body)
+        elif tag == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    bpp = 3
+    stride = w * bpp
+    data = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    if len(data) != h * (stride + 1):
+        raise ValueError("PNG raster length mismatch")
+    data = data.reshape(h, stride + 1)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for r in range(h):
+        ft = int(data[r, 0])
+        raw = data[r, 1:].astype(np.int32)
+        if ft == 0:
+            recon = raw
+        elif ft == 1:  # Sub: cumsum along each byte lane mod 256
+            recon = raw.copy()
+            for c in range(bpp):
+                recon[c::bpp] = np.cumsum(raw[c::bpp]) % 256
+        elif ft == 2:  # Up
+            recon = (raw + prev) % 256
+        else:  # Average (3) / Paeth (4): sequential left dependency
+            recon = np.zeros(stride, dtype=np.int32)
+            for j in range(stride):
+                left = recon[j - bpp] if j >= bpp else 0
+                up = prev[j]
+                ul = prev[j - bpp] if j >= bpp else 0
+                if ft == 3:
+                    pred = (left + up) // 2
+                else:
+                    p = left + up - ul
+                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                    pred = left if pa <= pb and pa <= pc else (up if pb <= pc else ul)
+                recon[j] = (raw[j] + pred) % 256
+        out[r] = recon.astype(np.uint8)
+        prev = recon
+    return out.reshape(h, w, bpp)
+
+
 def decode_wav_pcm16(payload: bytes):
     """PCM16 mono/stereo WAV → int16 sample ndarray (interleaved)."""
     import io
@@ -193,6 +327,46 @@ def synth_real_media(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
     )
 
 
+def synth_png_media(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """REAL PNG payloads from an id frame — every id becomes a 16x16
+    8-bit RGB PNG with closed-form content pixel(y,x,c) =
+    (id·29 + x·7 + y·11 + c·13) mod 256, encoded with CYCLING scanline
+    filters (row % 5) so decode exercises every PNG filter type.  Like
+    ``synth_real_media``, this is synthetic CONTENT through a real
+    CODEC: an engine-independent SQL oracle recomputes the decoded
+    features from the same closed form."""
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        y, x, c = np.ogrid[0:IMG_H, 0:IMG_W, 0:3]
+        for pdf in batches:
+            mids = [int(m) for m in pdf[id_col].astype("int64")]
+            yield pd.DataFrame(
+                {
+                    "media_id": mids,
+                    "kind": ["image"] * len(mids),
+                    "payload": [
+                        encode_png(
+                            ((mid * 29 + x * 7 + y * 11 + c * 13) % 256).astype(
+                                np.uint8
+                            )
+                        )
+                        for mid in mids
+                    ],
+                    "meta": [
+                        {"width": IMG_W, "height": IMG_H,
+                         "duration_ms": 0, "codec": "png"}
+                        for _ in mids
+                    ],
+                }
+            )
+
+    return ids.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        _gen, MEDIA_SCHEMA
+    )
+
+
 DECODE_FEATURES_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
@@ -209,7 +383,7 @@ DECODE_FEATURES_SCHEMA = T.StructType(
 def decode_features(media: DataFrame) -> DataFrame:
     """Decode REAL payloads and emit exact, oracle-checkable features:
 
-    - image/ppm: dims + per-channel means (integer pixel sum / area)
+    - image/ppm, image/png: dims + per-channel means (pixel sum / area)
     - audio/wav: sample count + mean / max / min sample value
 
     Unknown codecs raise — the honest plug point for PIL/ffmpeg-class
@@ -224,8 +398,9 @@ def decode_features(media: DataFrame) -> DataFrame:
                 pdf["media_id"], pdf["kind"], pdf["payload"], pdf["meta"]
             ):
                 codec = meta["codec"] if isinstance(meta, dict) else meta.codec
-                if codec == "ppm":
-                    img = decode_ppm(bytes(payload)).astype(np.int64)
+                if codec in ("ppm", "png"):
+                    dec = decode_ppm if codec == "ppm" else decode_png
+                    img = dec(bytes(payload)).astype(np.int64)
                     h, w, _ = img.shape
                     means = img.reshape(-1, 3).sum(axis=0) / float(h * w)
                     vals = (w, h, *(round(float(m), 6) for m in means))
@@ -241,7 +416,7 @@ def decode_features(media: DataFrame) -> DataFrame:
                 else:
                     raise NotImplementedError(
                         f"codec {codec!r}: plug a real decoder (PIL/ffmpeg) "
-                        "in here — only ppm/wav decode natively"
+                        "in here — ppm/png/wav decode natively"
                     )
                 out["media_id"].append(mid)
                 out["kind"].append(kind)
@@ -289,13 +464,15 @@ def extract_features(
                 codec = meta["codec"] if isinstance(meta, dict) else meta.codec
                 if codec == "ppm":
                     feats.append(_fold(decode_ppm(bytes(payload))))
+                elif codec == "png":
+                    feats.append(_fold(decode_png(bytes(payload))))
                 elif codec == "wav":
                     feats.append(_fold(decode_wav_pcm16(bytes(payload))))
                 else:
                     raise NotImplementedError(
                         f"codec {codec!r}: real decode requires codec libs "
                         "(PIL/ffmpeg) not present in this container; plug "
-                        "the decoder in here"
+                        "the decoder in here — ppm/png/wav decode natively"
                     )
             yield pd.DataFrame(
                 {

@@ -149,3 +149,54 @@ def test_compact_binpack_with_missing_bucket_rows(spark, tmp_path):
     assert len(files) >= 4
     assert max(f.get("rows", 0) for f in files) <= 200
     assert _state(t) == {i: (f"a{i}", i, "c") for i in range(1, 401)}
+
+
+# ------------------------------------------------------------------ #
+# 5. PNG codec: stdlib-zlib + numpy unfiltering, all five filter types
+# ------------------------------------------------------------------ #
+def test_png_roundtrip_all_filters():
+    import numpy as np
+
+    from cdm_cbioportal_etl_spark.text.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(11)
+    for shape in [(16, 16, 3), (7, 5, 3), (1, 1, 3), (33, 17, 3)]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        for cyc in (True, False):
+            assert np.array_equal(decode_png(encode_png(img, cycle_filters=cyc)), img)
+
+
+def test_png_rejects_unsupported():
+    import numpy as np
+    import pytest as _pt
+
+    from cdm_cbioportal_etl_spark.text.multimodal import decode_png, encode_png
+
+    with _pt.raises(ValueError):
+        decode_png(b"not a png")
+    # corrupt the IHDR color type -> NotImplementedError (honest plug point)
+    payload = bytearray(encode_png(np.zeros((2, 2, 3), np.uint8)))
+    payload[8 + 4 + 4 + 9] = 6  # color type RGBA
+    with _pt.raises(NotImplementedError):
+        decode_png(bytes(payload))
+
+
+def test_png_decode_features_end_to_end(spark):
+    import numpy as np
+
+    from cdm_cbioportal_etl_spark.text.multimodal import (
+        decode_features,
+        synth_png_media,
+    )
+
+    ids = spark.range(6).withColumnRenamed("id", "media_id")
+    rows = {r["media_id"]: r for r in decode_features(synth_png_media(ids)).collect()}
+    assert len(rows) == 6
+    y, x, c = np.ogrid[0:16, 0:16, 0:3]
+    for mid, r in rows.items():
+        img = (mid * 29 + x * 7 + y * 11 + c * 13) % 256
+        means = img.reshape(-1, 3).sum(axis=0) / 256.0
+        assert (r["dim_x"], r["dim_y"]) == (16, 16)
+        assert abs(r["f1"] - means[0]) < 1e-9
+        assert abs(r["f2"] - means[1]) < 1e-9
+        assert abs(r["f3"] - means[2]) < 1e-9
