@@ -1,6 +1,7 @@
 from cdm_cbioportal_etl_spark.lake.backend import (
     IcebergBackend,
     MergeBackend,
+    ParquetMergeBackend,
     iceberg_available,
     reduce_winners,
 )
@@ -17,6 +18,7 @@ __all__ = [
     "IncrementalAggView",
     "LakeTable",
     "MergeBackend",
+    "ParquetMergeBackend",
     "SchemaEvolutionError",
     "iceberg_available",
     "reduce_winners",

@@ -29,6 +29,18 @@ Semantics parity notes (documented, not hidden):
   reads it back from the current snapshot.  Re-applying an old batch is
   prevented the same way LakeTable does it: winners are filtered to
   ``_lsn > applied_lsn`` before the merge.
+
+Jar status (recorded so the claim is auditable): vendoring
+iceberg-spark-runtime was attempted and is impossible in this sandbox —
+there is no external DNS (``repo1.maven.org`` unresolvable, verified
+with curl), no ivy cache, and no Iceberg jar anywhere on disk.  In lieu
+of the live Iceberg leg, :class:`ParquetMergeBackend` below is a THIRD,
+structurally different implementation of the same protocol (versioned
+parquet snapshots + a pointer file; MERGE expressed as the
+full-outer-join plan Iceberg's MERGE INTO physically executes), and the
+conformance test drives the identical replay flow over LakeTable AND
+ParquetMergeBackend non-skipped — the protocol itself, not one
+implementation, is what the tests pin down.
 """
 
 from __future__ import annotations
@@ -91,6 +103,151 @@ def iceberg_available(spark: SparkSession, catalog: str = "local") -> bool:
         return True
     except Exception:
         return False
+
+
+class ParquetMergeBackend:
+    """Conformance reference: the MergeBackend protocol over plain
+    versioned parquet snapshots — NO bucket manifests, NO per-file
+    stats, none of LakeTable's machinery.  Each merge writes a new
+    ``v<N>/`` snapshot directory and atomically swings a pointer file
+    that also carries the applied-LSN ledger (data + ledger move
+    together, the same atomicity contract LakeTable and Iceberg's
+    snapshot-summary property give).
+
+    The merge itself is expressed as the FULL OUTER JOIN between target
+    and winner-reduced source that Iceberg's MERGE INTO physically
+    plans: matched+delete drops the row, matched+upsert takes the
+    source image, unmatched target rows pass through, unmatched
+    non-delete source rows insert.  Purpose: prove the replay flow is
+    pinned to the PROTOCOL, not to LakeTable's implementation — the
+    in-sandbox stand-in for the jar-gated Iceberg leg."""
+
+    def __init__(self, spark: SparkSession, root: str, key_cols: list[str],
+                 schema: T.StructType) -> None:
+        import os
+
+        self.spark = spark
+        self.root = root
+        self._key_cols = list(key_cols)
+        self._schema = schema
+        self._ptr = os.path.join(root, "POINTER")
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        root: str,
+        schema: T.StructType,
+        key_cols: list[str],
+        n_buckets: int = 4,  # accepted for signature parity; unused
+    ) -> "ParquetMergeBackend":
+        import json
+        import os
+
+        os.makedirs(root, exist_ok=True)
+        be = cls(spark, root, key_cols, schema)
+        with open(be._ptr, "w") as fh:
+            json.dump({"version": 0, "applied_lsn": -1, "data": None}, fh)
+        return be
+
+    def _pointer(self) -> dict:
+        import json
+
+        with open(self._ptr) as fh:
+            return json.load(fh)
+
+    def _swing(self, ptr: dict) -> None:
+        import json
+        import os
+
+        tmp = self._ptr + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(ptr, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, self._ptr)
+
+    # protocol surface ------------------------------------------------- #
+    @property
+    def schema(self) -> T.StructType:
+        return self._schema
+
+    @property
+    def key_cols(self) -> list[str]:
+        return list(self._key_cols)
+
+    def read(self) -> DataFrame:
+        import os
+
+        ptr = self._pointer()
+        if ptr["data"] is None:
+            return self.spark.createDataFrame([], self._schema)
+        return self.spark.read.parquet(os.path.join(self.root, ptr["data"])).select(
+            *[f.name for f in self._schema.fields]
+        )
+
+    def row_count(self) -> int:
+        return self.read().count()
+
+    def applied_lsn(self) -> int:
+        return int(self._pointer()["applied_lsn"])
+
+    def merge(self, batch: DataFrame, lsn_col: str = "lsn",
+              op_col: str = "op") -> dict:
+        import os
+
+        ptr = self._pointer()
+        applied = int(ptr["applied_lsn"])
+        winners = reduce_winners(batch, self._key_cols, lsn_col).filter(
+            F.col(lsn_col) > F.lit(applied)
+        )
+        stats = winners.agg(
+            F.count(F.lit(1)).alias("keys"),
+            F.coalesce(F.max(lsn_col), F.lit(applied)).alias("max_lsn"),
+        ).collect()[0]
+        if stats["keys"] == 0:
+            return {"keys": 0, "max_lsn": applied, "skipped": True}
+        data_cols = [f.name for f in self._schema.fields if f.name not in self._key_cols]
+        t = self.read().alias("t")
+        s = winners.alias("s")
+        on = [t[k].eqNullSafe(s[k]) for k in self._key_cols]
+        cond = on[0]
+        for c in on[1:]:
+            cond = cond & c
+        merged = (
+            t.join(s, cond, "full_outer")
+            # source-matched deletes vanish; everything else resolves to
+            # the source image when present, else the target image
+            .filter(~(s[op_col] == "delete").eqNullSafe(F.lit(True)))
+            .select(
+                *[F.coalesce(s[k], t[k]).alias(k) for k in self._key_cols],
+                *[
+                    F.when(s[lsn_col].isNotNull(), s[c]).otherwise(t[c]).alias(c)
+                    for c in data_cols
+                ],
+            )
+        )
+        new_version = int(ptr["version"]) + 1
+        rel = f"v{new_version:06d}"
+        merged.write.mode("overwrite").parquet(os.path.join(self.root, rel))
+        self._swing(
+            {"version": new_version, "applied_lsn": int(stats["max_lsn"]), "data": rel}
+        )
+        return {"keys": int(stats["keys"]), "max_lsn": int(stats["max_lsn"]),
+                "skipped": False}
+
+    def compact(self) -> int:
+        import os
+
+        ptr = self._pointer()
+        if ptr["data"] is None:
+            return 0
+        rel = f"v{int(ptr['version']) + 1:06d}"
+        self.read().coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(self.root, rel)
+        )
+        self._swing({**ptr, "version": int(ptr["version"]) + 1, "data": rel})
+        return 1
 
 
 class IcebergBackend:

@@ -13,6 +13,7 @@ from cdm_cbioportal_etl_spark.lake import (
     IcebergBackend,
     LakeTable,
     MergeBackend,
+    ParquetMergeBackend,
     iceberg_available,
     reduce_winners,
 )
@@ -71,11 +72,41 @@ def test_laketable_satisfies_backend_protocol(spark, tmp_path):
     _drive(spark, table)
 
 
+def test_parquet_backend_same_flow(spark, tmp_path):
+    """Conformance: a SECOND, structurally different protocol
+    implementation (versioned parquet + pointer file, full-outer-join
+    MERGE plan) passes the identical replay flow — the seam is pinned to
+    the protocol, not to LakeTable.  This is the in-sandbox stand-in for
+    the jar-gated Iceberg leg (vendoring attempted round 4: no DNS)."""
+    be = ParquetMergeBackend.create(
+        spark, str(tmp_path / "pq"), SCHEMA, key_cols=["k"], n_buckets=4
+    )
+    _drive(spark, be)
+
+
+def test_parquet_backend_resume_from_pointer(spark, tmp_path):
+    """Crash-resume through the pointer file: a fresh handle over the
+    same root sees the committed state and skips redelivered batches."""
+    root = str(tmp_path / "pqr")
+    be = ParquetMergeBackend.create(spark, root, SCHEMA, key_cols=["k"])
+    b1 = spark.createDataFrame(
+        [("a", "v1", "upsert", 1)], "k string, v string, op string, lsn long"
+    )
+    be.merge(b1)
+    fresh = ParquetMergeBackend(spark, root, ["k"], SCHEMA)
+    assert fresh.applied_lsn() == 1
+    assert fresh.merge(b1)["skipped"] is True
+    assert fresh.row_count() == 1
+
+
 def test_iceberg_backend_same_flow(spark, tmp_path):
     if not iceberg_available(spark):
         pytest.skip(
-            "iceberg-spark-runtime jars / catalog not configured in this "
-            "environment; seam exercised via the LakeTable leg"
+            "iceberg-spark-runtime jars / catalog not configured; vendoring "
+            "was attempted (round 4) and is impossible here — no external "
+            "DNS (repo1.maven.org unresolvable), no ivy cache, no jar on "
+            "disk.  Conformance is covered non-skipped by the LakeTable + "
+            "ParquetMergeBackend legs above."
         )
     be = IcebergBackend.create(
         spark, "local.db.seam_test", SCHEMA, key_cols=["k"], n_buckets=4

@@ -118,3 +118,73 @@ def test_ivfpq_deterministic(spark):
     a = sorted(map(tuple, ivfpq_ann(emb, queries, **kw).collect()))
     b = sorted(map(tuple, ivfpq_ann(emb, queries, **kw).collect()))
     assert a == b and a
+
+
+# ------------------------------------------------------------------ #
+# distributional recall gates: the catalog's per-seed recall checks
+# promoted to a property — recall@5 holds across re-seeded datasets
+# and dimensions, not just the one seeded draw the catalog pins
+# ------------------------------------------------------------------ #
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+def _seeded_vecs(spark, n, dim, seed):
+    rows = [
+        (
+            i,
+            [
+                ((i * 37 + d * 101 + seed * 13 + (i * d) % 29) % 97) / 97.0 - 0.5
+                for d in range(dim)
+            ],
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def _recall_at5(spark, dim, seed, approx_fn):
+    emb = _seeded_vecs(spark, 150, dim, seed)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk_bruteforce(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in approx_fn(emb, queries, dim).collect()
+    }
+    return len(exact & approx) / len(exact)
+
+
+@settings(
+    max_examples=20, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(seed=st.integers(0, 9999), dim=st.sampled_from([8, 16, 32]))
+def test_pq_recall_distributional(spark, seed, dim):
+    rec = _recall_at5(
+        spark, dim, seed,
+        lambda e, q, d: pq_ann(e, q, k=5, dim=d, m=4, ksub=16, shortlist_mult=8),
+    )
+    assert rec >= 0.6, f"pq recall {rec} at seed={seed} dim={dim}"
+
+
+@settings(
+    max_examples=8, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(seed=st.integers(0, 9999))
+def test_ivfpq_recall_distributional(spark, seed):
+    from cdm_cbioportal_etl_spark.similarity import ivfpq_ann
+
+    rec = _recall_at5(
+        spark, 16, seed,
+        lambda e, q, d: ivfpq_ann(
+            e, q, k=5, dim=d, n_lists=4, n_probe=3, m=4, ksub=8,
+            shortlist_mult=8,
+        ),
+    )
+    assert rec >= 0.6, f"ivfpq recall {rec} at seed={seed}"
