@@ -6,6 +6,7 @@ from cdm_cbioportal_etl_spark.lake.backend import (
     reduce_winners,
 )
 from cdm_cbioportal_etl_spark.lake.incremental import IncrementalAggView
+from cdm_cbioportal_etl_spark.lake.replicate import TableReplicator
 from cdm_cbioportal_etl_spark.lake.table import (
     ConcurrentCommitError,
     LakeTable,
@@ -20,6 +21,7 @@ __all__ = [
     "MergeBackend",
     "ParquetMergeBackend",
     "SchemaEvolutionError",
+    "TableReplicator",
     "iceberg_available",
     "reduce_winners",
 ]

@@ -1980,6 +1980,80 @@ class LakeTable:
         LSN whose effects are committed in the current snapshot."""
         return int(self.snapshot["ledger"]["applied_lsn"])
 
+    # ------------------------------------------------------------------ #
+    # SQL-style DML (Delta DELETE FROM / UPDATE ... WHERE analogs)
+    # ------------------------------------------------------------------ #
+    def _dml_lsn(self) -> int:
+        """DML statements are authored changes: they take the next LSN
+        above everything the table has seen (ledger watermark AND row
+        LSNs are both <= applied by the merge invariant), so the change
+        is visible to ``table_changes``/``changes_since`` and replays of
+        older WAL events cannot clobber it.  Interleaving DML with a live
+        WAL requires the WAL's future LSNs to stay above this — the same
+        single-LSN-space rule any CDC sink has."""
+        return int(self.snapshot["ledger"]["applied_lsn"]) + 1
+
+    def delete_where(self, cond) -> "MergeStats":
+        """``DELETE FROM t WHERE cond`` as a COW/MOR merge: resolve the
+        matching keys (one pruned scan — parquet predicate pushdown; pass
+        a ``read(prune=...)``-style range predicate for file-level
+        skipping on stats columns), synthesize a delete batch at the next
+        LSN, and run it through the normal merge path — bucket pruning,
+        CDF visibility, lineage, exactly-once all fall out.
+
+        Scale shape: O(matching rows + affected buckets), never O(table)
+        on the write side."""
+        if isinstance(cond, str):
+            cond = F.expr(cond)
+        lsn = self._dml_lsn()
+        batch = (
+            self.read()
+            .filter(cond)
+            .select(
+                *self.key_cols,
+                F.lit(lsn).cast("long").alias("lsn"),
+                F.lit("delete").alias("op"),
+            )
+        )
+        return self.merge(
+            batch,
+            batch_id=f"delete_where-{uuid.uuid4().hex[:8]}",
+            extra_lineage={"operation": "delete_where"},
+        )
+
+    def update_where(self, cond, assignments: dict) -> "MergeStats":
+        """``UPDATE t SET col = expr WHERE cond`` as a COW/MOR merge:
+        read the matching rows, apply the assignments (Column expressions
+        may reference existing columns, e.g. ``F.col("v") + 1``), and
+        merge the post-images back at the next LSN.  Key columns cannot
+        be assigned (that is a delete+insert, not an update)."""
+        bad = [c for c in assignments if c in self.key_cols]
+        if bad:
+            raise ValueError(f"cannot UPDATE key columns: {bad}")
+        unknown = [
+            c for c in assignments
+            if c not in {f.name for f in self.schema.fields}
+        ]
+        if unknown:
+            raise ValueError(f"unknown columns in SET: {unknown}")
+        if isinstance(cond, str):
+            cond = F.expr(cond)
+        lsn = self._dml_lsn()
+        updated = self.read().filter(cond)
+        for c, expr in assignments.items():
+            col = expr if isinstance(expr, F.Column) else F.lit(expr)
+            updated = updated.withColumn(c, col.cast(self.schema[c].dataType))
+        batch = updated.select(
+            *[f.name for f in self.schema.fields],
+            F.lit(lsn).cast("long").alias("lsn"),
+            F.lit("upsert").alias("op"),
+        )
+        return self.merge(
+            batch,
+            batch_id=f"update_where-{uuid.uuid4().hex[:8]}",
+            extra_lineage={"operation": "update_where"},
+        )
+
     def compact(
         self,
         max_files_per_bucket: int = 2,

@@ -1261,6 +1261,120 @@ def cdc_point_lookup(spark, sf_dir):
 
 
 @_register(
+    "cdc_dml_replay",
+    """
+    WITH ranked AS (
+      SELECT user_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      FROM events),
+    state AS (SELECT user_id, event_type, value FROM ranked WHERE rn = 1)
+    SELECT user_id, event_type,
+           CASE WHEN event_type = 'purchase' THEN value * 2 ELSE value END AS value
+    FROM state WHERE event_type <> 'click'
+    """,
+)
+def cdc_dml_replay(spark, sf_dir):
+    """SQL-style DML over a replayed CDC table: DELETE FROM ... WHERE and
+    UPDATE ... SET ... WHERE run as pruned COW merges (LakeTable.
+    delete_where/update_where) after the WAL replay settles latest-per-
+    key state; the oracle applies the same statements relationally."""
+    from cdm_cbioportal_etl_spark.cdc import CdcReplayer
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_id").alias("lsn"),
+        F.lit("upsert").alias("op"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    max_lsn = int(ev.agg(F.max("lsn")).collect()[0][0])
+    root = os.path.join(
+        CDC_WORK_DIR,
+        spark.sparkContext.applicationId,
+        "dml-" + os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    table = LakeTable.create(
+        spark,
+        root,
+        T.StructType(
+            [
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+            ]
+        ),
+        key_cols=["user_id"],
+        n_buckets=16,
+    )
+    CdcReplayer(table).replay_range_batches(
+        ev, 0, max_lsn + 1, batch_size=(max_lsn + 4) // 4
+    )
+    table.delete_where("event_type = 'click'")
+    table.update_where(
+        "event_type = 'purchase'", {"value": F.col("value") * 2}
+    )
+    return table.read().select("user_id", "event_type", "value")
+
+
+@_register(
+    "cdc_replica_sync",
+    """
+    WITH ranked AS (
+      SELECT user_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      FROM events)
+    SELECT user_id, event_type, value
+    FROM ranked WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def cdc_replica_sync(spark, sf_dir):
+    """CDF-driven row-level replication: bootstrap a replica from the
+    half-replayed source, replay the rest (updates + deletes), sync, and
+    return the REPLICA's state — it must equal the source's final
+    latest-per-key state, which the oracle computes directly."""
+    from cdm_cbioportal_etl_spark.cdc import CdcReplayer
+    from cdm_cbioportal_etl_spark.lake import TableReplicator
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_id").alias("lsn"),
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("update"))
+        .alias("op"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    max_lsn = int(ev.agg(F.max("lsn")).collect()[0][0])
+    bs = (max_lsn + 4) // 4
+    root = os.path.join(
+        CDC_WORK_DIR,
+        spark.sparkContext.applicationId,
+        "rpl-" + os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    table = LakeTable.create(
+        spark,
+        os.path.join(root, "src"),
+        T.StructType(
+            [
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+            ]
+        ),
+        key_cols=["user_id"],
+        n_buckets=16,
+    )
+    rep = CdcReplayer(table)
+    rep.replay_range_batches(ev, 0, 2 * bs, batch_size=bs)
+    replica = TableReplicator.create(spark, os.path.join(root, "replica"), table)
+    rep.replay_range_batches(ev, 2 * bs, max_lsn + 1, batch_size=bs)
+    replica.sync(table)
+    return replica.read().select("user_id", "event_type", "value")
+
+
+@_register(
     "cdc_rebucket_replay",
     f"""
     WITH wal AS (
