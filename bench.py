@@ -83,6 +83,9 @@ _BENCH_QUERIES = [
     "cdc_partial_image_replay_mor",
     "cdc_table_changes",
     "cdc_incremental_view",
+    "cdc_dml_replay",
+    "cdc_replica_sync",
+    "multimodal_png_decode",
 ]
 
 
