@@ -1,3 +1,8 @@
+from cdm_cbioportal_etl_spark.cdc.envelope import (
+    decode_debezium,
+    encode_debezium,
+    envelope_schema,
+)
 from cdm_cbioportal_etl_spark.cdc.generator import REPOS_SCHEMA, gen_change_events
 from cdm_cbioportal_etl_spark.cdc.replayer import CdcReplayer, expected_final_state
 from cdm_cbioportal_etl_spark.cdc.registry import SchemaRegistry
@@ -8,4 +13,7 @@ __all__ = [
     "CdcReplayer",
     "expected_final_state",
     "SchemaRegistry",
+    "decode_debezium",
+    "encode_debezium",
+    "envelope_schema",
 ]

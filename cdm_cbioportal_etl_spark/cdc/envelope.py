@@ -1,0 +1,153 @@
+"""Debezium-style CDC envelope codec → the engine's canonical batch.
+
+Real CDC pipelines rarely hand you ``(lsn, op, keys, payload)`` directly:
+they hand you the Debezium wire format — one JSON envelope per change,
+``payload.op`` in ``{c,r,u,d}``, full row images under ``payload.before``
+/ ``payload.after``, and the source log position at
+``payload.source.lsn``.  This module is the ingest adapter: decode the
+envelope column into the canonical batch shape every other engine
+surface (LakeTable.merge, CdcReplayer, WalTailReader) consumes, and
+encode the canonical shape back out (the test/wire-simulation path).
+
+Both directions are single JVM-side expressions (``from_json`` /
+``to_json`` on a typed struct) — no Python UDF, so decoding 100 TB of
+envelopes is a map-only scan that pipelines into the merge shuffle with
+zero extra stages.
+
+Semantics (Debezium public contract):
+  - op ``c`` (create) and ``r`` (snapshot read) → ``insert``;
+    ``u`` → ``update``; ``d`` → ``delete``.
+  - the row image is ``after`` except for deletes, which only carry
+    ``before``.
+  - Kafka tombstones (null payload / null op — the null-value record
+    emitted after a delete for log compaction) are dropped.
+  - partial images (Postgres TOAST: unchanged big columns arrive NULL
+    in ``after``) ride through untouched — pair the decoder with
+    ``LakeTable.merge(partial_images=True)`` and NULL means "unchanged".
+
+Provenance: generalizes the reference's fetch-then-normalize ingestion
+(reference pipeline/lib/cdm_utilities.py read + column-normalize steps)
+to the changelog-stream shape this engine ingests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F, types as T
+
+__all__ = ["envelope_schema", "decode_debezium", "encode_debezium"]
+
+
+def envelope_schema(data_schema: T.StructType) -> T.StructType:
+    """The typed Debezium envelope for a given row schema.  ``schema``
+    (the Kafka-Connect inline schema blob) is intentionally absent: we
+    parse only ``payload``; unknown envelope fields are ignored by
+    ``from_json`` (mode PERMISSIVE), which is what makes the decoder
+    tolerant of connector-version drift."""
+    return T.StructType(
+        [
+            T.StructField(
+                "payload",
+                T.StructType(
+                    [
+                        T.StructField("before", data_schema),
+                        T.StructField("after", data_schema),
+                        T.StructField(
+                            "source",
+                            T.StructType(
+                                [
+                                    T.StructField("lsn", T.LongType()),
+                                    T.StructField("ts_ms", T.LongType()),
+                                    T.StructField("db", T.StringType()),
+                                    T.StructField("table", T.StringType()),
+                                ]
+                            ),
+                        ),
+                        T.StructField("op", T.StringType()),
+                        T.StructField("ts_ms", T.LongType()),
+                    ]
+                ),
+            )
+        ]
+    )
+
+
+def decode_debezium(
+    raw: DataFrame,
+    data_schema: T.StructType,
+    value_col: str = "value",
+) -> DataFrame:
+    """``raw[value_col]`` (JSON envelope string per row) → canonical
+    batch ``(lsn, op, <data columns>)``.
+
+    Deletes materialize the ``before`` image so the key columns are
+    populated (Debezium deletes carry no ``after``); payload columns on
+    a delete are whatever ``before`` held — the merge path ignores them.
+    Tombstones and unparseable lines (null payload/op/lsn) are dropped,
+    matching a sink connector's behavior.
+    """
+    p = F.from_json(F.col(value_col), envelope_schema(data_schema))["payload"]
+    img = F.when(p["op"] == "d", p["before"]).otherwise(p["after"])
+    op = (
+        F.when(p["op"].isin("c", "r"), F.lit("insert"))
+        .when(p["op"] == "u", F.lit("update"))
+        .when(p["op"] == "d", F.lit("delete"))
+    )
+    out = raw.select(
+        p["source"]["lsn"].alias("lsn"), op.alias("op"), img.alias("_img")
+    ).where(
+        F.col("lsn").isNotNull()
+        & F.col("op").isNotNull()
+        & F.col("_img").isNotNull()
+    )
+    return out.select(
+        "lsn", "op", *[F.col("_img")[f.name].alias(f.name) for f in data_schema.fields]
+    )
+
+
+def _row_struct(data_schema: T.StructType, null_when: Column | None) -> Column:
+    row = F.struct(*[F.col(f.name).alias(f.name) for f in data_schema.fields])
+    if null_when is None:
+        return row
+    return F.when(null_when, F.lit(None).cast(data_schema)).otherwise(row)
+
+
+def encode_debezium(
+    batch: DataFrame,
+    data_schema: T.StructType,
+    source_db: str = "engine",
+    source_table: str = "t",
+) -> DataFrame:
+    """Canonical batch ``(lsn, op, <data columns>)`` → one-column
+    DataFrame ``value`` of Debezium JSON envelopes (the wire shape the
+    decoder consumes; used by tests and by the replicator's export path).
+
+    ``insert``/``upsert`` → op ``c`` with ``after`` only; ``update`` →
+    op ``u`` (before omitted — the engine's canonical shape carries no
+    pre-image; partial-image nulls in the payload stay null in
+    ``after``); ``delete`` → op ``d`` with ``before`` only.
+    """
+    is_del = F.col("op") == "delete"
+    dbz_op = (
+        F.when(F.col("op").isin("insert", "upsert"), F.lit("c"))
+        .when(is_del, F.lit("d"))
+        .otherwise(F.lit("u"))
+    )
+    envelope = F.struct(
+        F.struct(
+            _row_struct(data_schema, null_when=~is_del).alias("before"),
+            _row_struct(data_schema, null_when=is_del).alias("after"),
+            F.struct(
+                F.col("lsn").cast("long").alias("lsn"),
+                F.lit(None).cast("long").alias("ts_ms"),
+                F.lit(source_db).alias("db"),
+                F.lit(source_table).alias("table"),
+            ).alias("source"),
+            dbz_op.alias("op"),
+            F.lit(None).cast("long").alias("ts_ms"),
+        ).alias("payload")
+    )
+    # Debezium emits explicit nulls ("after": null on a delete);
+    # to_json drops null fields unless told otherwise
+    return batch.select(
+        F.to_json(envelope, {"ignoreNullFields": "false"}).alias("value")
+    )

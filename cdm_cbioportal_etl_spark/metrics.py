@@ -52,10 +52,21 @@ def stage_byte_totals(spark: SparkSession) -> dict[str, int] | None:
 def byte_delta(
     before: dict[str, int] | None, after: dict[str, int] | None
 ) -> dict[str, int] | None:
-    """Counter delta between two snapshots (None if either probe failed)."""
+    """Counter delta between two snapshots (None if either probe failed).
+
+    Returns None on a NEGATIVE inputRecords delta too: the REST totals
+    sum over *retained* stages, so once the app store evicts old stages
+    (spark.ui.retainedStages, default 1000) the totals can go backwards
+    and the delta is garbage — callers must either raise the retention
+    for long runs or treat None as "ledger unavailable", never publish
+    a wrapped number.
+    """
     if before is None or after is None:
         return None
-    return {k: after.get(k, 0) - before.get(k, 0) for k in _COUNTERS}
+    d = {k: after.get(k, 0) - before.get(k, 0) for k in _COUNTERS}
+    if d["inputRecords"] < 0 or d["inputBytes"] < 0:
+        return None
+    return d
 
 
 def per_event(delta: dict[str, int] | None, n_events: int) -> dict[str, float] | None:

@@ -1374,6 +1374,88 @@ def cdc_replica_sync(spark, sf_dir):
     return replica.read().select("user_id", "event_type", "value")
 
 
+# --------------------------------------------------------------------- #
+# Debezium envelope ingest: the wire format real CDC pipelines deliver.
+# decode: JSON envelope -> canonical batch, a single map-only from_json
+# projection (no UDF, no shuffle — pipelines into the merge at 100 TB).
+# The decode query checks value fidelity through encode->decode against
+# the relational WAL; the replay query proves the decoded wire drives
+# the exactly-once merge to the same final state as the direct path.
+# --------------------------------------------------------------------- #
+@_register(
+    "cdc_debezium_decode",
+    f"""
+    SELECT event_id AS lsn,
+           CASE WHEN event_type = 'error' THEN 'delete' ELSE 'update' END AS op,
+           'org/repo-' || lpad((user_id % 12)::VARCHAR, 4, '0') AS repo,
+           'src/f' || lpad(user_id::VARCHAR, 5, '0') || '.py' AS path,
+           md5(event_id::VARCHAR || ':' || event_type) AS commit,
+           (['{"','".join(_LANGS_SQL)}'])[(user_id % 6 + 1)::INT] AS lang,
+           concat_ws('|', event_type, coalesce(props, '')) AS content
+    FROM events
+    """,
+)
+def cdc_debezium_decode(spark, sf_dir):
+    """Debezium wire-format roundtrip: the repos WAL encoded to JSON
+    envelopes (op c/u/d, before/after images, source.lsn) and decoded
+    back to the canonical batch must preserve every value exactly; the
+    oracle is the WAL itself (cdc/envelope.py, JVM-side from_json)."""
+    from cdm_cbioportal_etl_spark.cdc import decode_debezium, encode_debezium
+    from cdm_cbioportal_etl_spark.cdc.generator import REPOS_SCHEMA
+
+    wal = _repos_wal(spark, sf_dir)
+    return decode_debezium(encode_debezium(wal, REPOS_SCHEMA), REPOS_SCHEMA).select(
+        "lsn",
+        # decode maps u->update, d->delete; the WAL op vocabulary is
+        # already {update, delete} so the roundtrip is the identity
+        "op",
+        "repo",
+        "path",
+        "commit",
+        "lang",
+        "content",
+    )
+
+
+@_register("cdc_debezium_replay", ORACLES["cdc_repos_replay"])
+def cdc_debezium_replay(spark, sf_dir):
+    """End-to-end changelog ingest: the repos WAL shipped as Debezium
+    envelopes, decoded on read, replayed through the exactly-once MERGE
+    engine — final state must hash-match the same oracle as the direct
+    replay (proves the adapter composes with the whole merge path)."""
+    from cdm_cbioportal_etl_spark.cdc import (
+        CdcReplayer,
+        decode_debezium,
+        encode_debezium,
+    )
+    from cdm_cbioportal_etl_spark.cdc.generator import REPOS_SCHEMA
+
+    wal = _repos_wal(spark, sf_dir)
+    wire = encode_debezium(wal, REPOS_SCHEMA)
+    decoded = decode_debezium(wire, REPOS_SCHEMA)
+    max_lsn = int(wal.agg(F.max("lsn")).collect()[0][0])
+    root = os.path.join(
+        CDC_WORK_DIR,
+        spark.sparkContext.applicationId,
+        "dbz-" + os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    table = LakeTable.create(
+        spark,
+        root,
+        T.StructType(list(REPOS_SCHEMA.fields)),
+        key_cols=["repo", "path"],
+        n_buckets=16,
+    )
+    CdcReplayer(table).replay_range_batches(
+        decoded, 0, max_lsn + 1, batch_size=(max_lsn + 4) // 4
+    )
+    return table.read().select(
+        "repo", "path", "commit", "lang", "content",
+        F.sha2("content", 256).alias("content_sha"),
+    )
+
+
 @_register(
     "cdc_rebucket_replay",
     f"""

@@ -84,7 +84,15 @@ def main() -> int:
     a = ap.parse_args()
 
     spark = get_spark(
-        "bench-incremental-view", extra_conf={"spark.ui.enabled": "true"}
+        "bench-incremental-view",
+        extra_conf={
+            "spark.ui.enabled": "true",
+            # the scan ledger sums RETAINED completed stages; a 64-batch
+            # run at 1e8 rows blows past the 1000-stage default and the
+            # deltas wrap negative — retain enough for the whole run
+            "spark.ui.retainedStages": "100000",
+            "spark.ui.retainedJobs": "100000",
+        },
     )
     root = os.path.join(a.dir, "iv_bench")
     shutil.rmtree(root, ignore_errors=True)
@@ -157,7 +165,13 @@ def main() -> int:
     fv = {(r.grp, r.cnt, r.sum_v) for r in full_tbl.read().collect()}
     assert iv == fv, "incremental view diverged from recompute"
 
-    med = lambda xs: sorted(xs)[len(xs) // 2]
+    # -1 marks a refresh whose scan ledger was unavailable/wrapped —
+    # exclude from the medians, never average garbage in
+    med = lambda xs: (
+        sorted(v for v in xs if v >= 0)[len([v for v in xs if v >= 0]) // 2]
+        if any(v >= 0 for v in xs)
+        else -1
+    )
     print(
         json.dumps(
             {
