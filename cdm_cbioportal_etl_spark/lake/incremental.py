@@ -147,6 +147,10 @@ class IncrementalAggView:
             snap = json.loads(json.dumps(self.table.snapshot))
             snap["version"] += 1
             snap["ledger"]["applied_lsn"] = to_v
+            # watermark-only commit: no view row changed — and the copied
+            # snapshot must not inherit the PREVIOUS commit's change
+            # descriptor (stale "cdf" files would double-count)
+            snap["changes"] = {"mode": "none"}
             snap["lineage"].append(
                 {"batch_id": f"view-advance-{to_v}", "source_version": to_v}
             )

@@ -298,6 +298,7 @@ class LakeTable:
         snap["schema_id"] = sid
         snap = json.loads(json.dumps(snap))  # deep copy
         snap["schemas"][str(sid)] = schema_to_json(new_schema)
+        snap["changes"] = {"mode": "none"}  # metadata-only: no row changed
         self._commit(snap)
         return True
 
@@ -600,6 +601,27 @@ class LakeTable:
             self._attach_blooms(out_abs, mapping, bloom_bits)
         return mapping
 
+    def _write_change_files(self, changes: DataFrame, n_keys: int) -> list[str]:
+        """Persist one commit's change rows (write-time CDF, the Delta
+        Lake ``_change_data`` shape): data columns + ``_lsn`` +
+        ``_change_type`` in {insert, update_preimage, update_postimage,
+        delete}.  Sized O(batch), never O(table) — the property that
+        lets ``table_changes`` answer a feed request by reading these
+        files instead of diffing two snapshots (which costs a scan of
+        every REWRITTEN file, 250x more rows than changed in the
+        measured steady state)."""
+        out_rel = os.path.join("changes", f"c-{uuid.uuid4().hex}")
+        out_abs = os.path.join(self.root, out_rel)
+        # change sets are batch-sized: collapse to few files so the read
+        # side stays one-task-per-commit at CDC batch sizes
+        n = max(1, min(32, n_keys // 500_000 + 1))
+        changes.repartition(n).write.parquet(out_abs)
+        return [
+            os.path.join(out_rel, fn)
+            for fn in sorted(os.listdir(out_abs))
+            if fn.endswith(".parquet")
+        ]
+
     # ------------------------------------------------------------------ #
     # per-file column stats (Iceberg-style data skipping)
     # ------------------------------------------------------------------ #
@@ -847,6 +869,7 @@ class LakeTable:
         snap["bucket_rows"] = {b: self._files_rows(f) for b, f in mapping.items()}
         cur = snap["ledger"]["applied_lsn"]
         snap["ledger"]["applied_lsn"] = lsn if reset_ledger else max(cur, lsn)
+        snap["changes"] = {"mode": "diff"}  # full replace: no per-row log
         self._commit(snap)
 
     # ------------------------------------------------------------------ #
@@ -1464,6 +1487,17 @@ class LakeTable:
                 df = df.unionByName(p)
             return df
 
+        # write-time CDF is captured on the broadcast-resolve path only:
+        # pre-images there cost one bounded extra read of the admitted
+        # files.  The shuffle path (winner set past the broadcast
+        # threshold) and partial-image merges would need a second
+        # table-sized shuffle to capture pre-images, so those commits
+        # mark themselves "diff" and table_changes falls back to the
+        # snapshot-diff feed for intervals containing them.
+        write_cdf = str(
+            snap.get("properties", {}).get("write_changes", "false")
+        ).lower() == "true"
+        change_files: list[str] | None = None
         if partial_update:
             # partial-image resolve: winners may carry nulls meaning
             # "unchanged", so matched existing rows ENRICH the winner
@@ -1555,6 +1589,60 @@ class LakeTable:
             resolved = kept_existing.select(*out_cols).unionByName(
                 kept_winners.repartition(n_part, "_bucket")
             )
+            if write_cdf:
+                # write-time CDF capture: pre-images come from ONE extra
+                # pass over the admitted existing files (inner broadcast
+                # join against winner keys — O(changed data), and the
+                # only place the old values still exist before the COW
+                # rewrite drops them); the result is winner-bounded, so
+                # checkpointing it is cheap and lets the post-image
+                # classification reuse it without re-scanning
+                w_slim = F.broadcast(
+                    reduced.select(
+                        *[F.col(k).alias(f"_ck_{i}") for i, k in enumerate(keys)],
+                        F.col("_op").alias("_c_op"),
+                    )
+                )
+                ccond = None
+                for i, k in enumerate(keys):
+                    c = existing[k].eqNullSafe(F.col(f"_ck_{i}"))
+                    ccond = c if ccond is None else (ccond & c)
+                pre = (
+                    existing.join(w_slim, ccond, "inner")
+                    .select(
+                        *data_cols,
+                        F.col(LSN_COL),
+                        F.when(F.col("_c_op") == "delete", F.lit("delete"))
+                        .otherwise(F.lit("update_preimage"))
+                        .alias("_change_type"),
+                    )
+                    .localCheckpoint()
+                )
+                matched = F.broadcast(
+                    pre.select(
+                        *[F.col(k).alias(f"_mk_{i}") for i, k in enumerate(keys)]
+                    )
+                    .distinct()
+                    .withColumn("_m", F.lit(1))
+                )
+                mcond = None
+                for i, k in enumerate(keys):
+                    c = F.col(k).eqNullSafe(F.col(f"_mk_{i}"))
+                    mcond = c if mcond is None else (mcond & c)
+                post = (
+                    reduced.filter(F.col("_op") != "delete")
+                    .join(matched, mcond, "left")
+                    .select(
+                        *data_cols,
+                        F.col(LSN_COL),
+                        F.when(F.col("_m").isNotNull(), F.lit("update_postimage"))
+                        .otherwise(F.lit("insert"))
+                        .alias("_change_type"),
+                    )
+                )
+                change_files = self._write_change_files(
+                    pre.unionByName(post), int(agg["keys"])
+                )
         else:
             # shuffle resolve — winner set too large to broadcast: union
             # the (already-reduced) winners with the touched existing rows
@@ -1617,6 +1705,15 @@ class LakeTable:
             batch_total, count_batch, batch_id, source_watermarks,
             extra_lineage, applied_segments, t0, t_gate, t_write,
             carried_files=sum(len(v) for v in carried.values()),
+            change_info=(
+                {
+                    "mode": "cdf",
+                    "files": change_files,
+                    "schema_id": snap["schema_id"],
+                }
+                if change_files is not None
+                else {"mode": "diff"}
+            ),
         )
 
     def _finish_apply(
@@ -1624,6 +1721,7 @@ class LakeTable:
         batch_total, count_batch, batch_id, source_watermarks,
         extra_lineage, applied_segments, t0, t_gate, t_write,
         carried_files: int = 0,
+        change_info: dict | None = None,
     ) -> MergeStats:
         """Shared commit tail of apply_prepared (cow + mor branches):
         snapshot bookkeeping, ledger advance, lineage, atomic commit."""
@@ -1631,6 +1729,10 @@ class LakeTable:
 
         rows_after = sum(bucket_rows.values())
         snap["bucket_rows"] = bucket_rows
+        # per-commit change descriptor: "cdf" (stored change files),
+        # "none" (structural commit, logically change-free), or "diff"
+        # (pre-images not captured — feed falls back to snapshot diff)
+        snap["changes"] = change_info or {"mode": "diff"}
         snap["version"] += 1
         snap["buckets"] = buckets_meta
         snap["ledger"]["applied_lsn"] = max(applied, int(agg["max_lsn"]))
@@ -1846,6 +1948,77 @@ class LakeTable:
                 paths |= pa ^ pb
         return changed, paths
 
+    def _stored_changes(
+        self, from_v: int, to_v: int, target: T.StructType
+    ) -> DataFrame | None:
+        """Write-time CDF read path: if EVERY commit in (from_v, to_v]
+        carries a change descriptor that is either stored change files
+        ("cdf") or provably change-free ("none"), return their
+        concatenation aligned to the TO-side schema — O(changed rows)
+        of I/O, zero snapshot reads, zero diff join.  Any commit marked
+        "diff" (shuffle-path merge, MOR append, overwrite, rollback) or
+        predating the descriptor makes the whole interval fall back to
+        the snapshot diff (return None): correctness never depends on
+        the fast path being available.
+
+        Semantics note: stored CDF is a PER-COMMIT event log (Delta
+        CDF's contract) — a key updated twice in the interval emits two
+        update pairs, and an insert-then-delete emits both, where the
+        endpoint diff would net them out.  Signed-delta consumers
+        (IncrementalAggView) are indifferent; consumers that need net
+        semantics should diff endpoints via ``read(version=...)``."""
+        parts: list[DataFrame] = []
+        try:
+            for v in range(from_v + 1, to_v + 1):
+                s = self.snapshot_at(v)
+                d = s.get("changes")
+                if not d or d.get("mode") == "diff":
+                    return None
+                if d["mode"] == "none":
+                    continue
+                files = d.get("files") or []
+                if not files:
+                    continue
+                schema = schema_from_json(s["schemas"][str(d["schema_id"])])
+                read_schema = T.StructType(
+                    list(schema.fields)
+                    + [
+                        T.StructField(LSN_COL, T.LongType()),
+                        T.StructField("_change_type", T.StringType()),
+                    ]
+                )
+                df = self.spark.read.schema(read_schema).parquet(
+                    *[os.path.join(self.root, p) for p in files]
+                )
+                have = set(df.columns)
+                parts.append(
+                    df.select(
+                        *[
+                            (
+                                F.col(f.name)
+                                if f.name in have
+                                else F.lit(None)
+                            )
+                            .cast(f.dataType)
+                            .alias(f.name)
+                            for f in target.fields
+                        ],
+                        F.col(LSN_COL).cast("long").alias(LSN_COL),
+                        F.col("_change_type"),
+                    )
+                )
+        except (FileNotFoundError, KeyError, ValueError):
+            return None
+        if not parts:
+            empty = self._empty(with_lsn=True, target=target)
+            return empty.withColumn(
+                "_change_type", F.lit(None).cast("string")
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     def table_changes(
         self,
         from_version: int,
@@ -1894,6 +2067,21 @@ class LakeTable:
             )
         target = schema_from_json(snap_b["schemas"][str(snap_b["schema_id"])])
         keys = list(snap_b["key_cols"])
+        stored = self._stored_changes(
+            snap_a["version"], snap_b["version"], target
+        )
+        if stored is not None:
+            if include_preimages:
+                return stored
+            return stored.filter(
+                F.col("_change_type") != "update_preimage"
+            ).withColumn(
+                "_change_type",
+                F.when(
+                    F.col("_change_type") == "update_postimage",
+                    F.lit("update"),
+                ).otherwise(F.col("_change_type")),
+            )
         changed, paths = self._diff_plan(snap_a, snap_b)
         if not changed:
             empty = self._empty(with_lsn=True, target=target)
@@ -2147,6 +2335,7 @@ class LakeTable:
                 "compacted_buckets": sorted(todo),
             }
         )
+        snap["changes"] = {"mode": "none"}  # structural: same logical rows
         self._commit(snap)
         return len(todo)
 
@@ -2194,6 +2383,7 @@ class LakeTable:
                 "restored_version": version,
             }
         ]
+        snap["changes"] = {"mode": "diff"}  # state jump: diff is the feed
         self._commit(snap)
         return snap["version"]
 
@@ -2243,6 +2433,7 @@ class LakeTable:
                 "n_buckets": n_buckets,
             }
         )
+        snap["changes"] = {"mode": "none"}  # structural: same logical rows
         self._commit(snap)
         return snap["version"]
 
@@ -2406,6 +2597,7 @@ class LakeTable:
                 "n_files": sum(len(f) for f in full.values()),
             }
         )
+        snap["changes"] = {"mode": "none"}  # structural: same logical rows
         self._commit(snap)
         return snap["version"]
 
@@ -2571,6 +2763,36 @@ class LakeTable:
         for dirpath, dirnames, filenames in list(os.walk(self._data_dir, topdown=False)):
             if not dirnames and not filenames and dirpath != self._data_dir:
                 os.rmdir(dirpath)
+        # write-time CDF files ride the same liveness rule: a change file
+        # is reclaimable once every snapshot whose descriptor references
+        # it has been expired (the feed's lookback horizon has passed it)
+        live_ch: set[str] = set()
+        for fn in os.listdir(self._meta_dir):
+            if not _re.fullmatch(r"snap-\d{8}\.json", fn):
+                continue
+            with open(os.path.join(self._meta_dir, fn)) as fh:
+                d = json.load(fh).get("changes") or {}
+            live_ch.update(d.get("files") or [])
+        ch_dir = os.path.join(self.root, "changes")
+        if os.path.isdir(ch_dir):
+            for dirpath, _dirnames, filenames in os.walk(ch_dir):
+                for fn in filenames:
+                    full = os.path.join(dirpath, fn)
+                    rel = os.path.relpath(full, self.root)
+                    if rel not in live_ch and fn.endswith(".parquet"):
+                        os.remove(full)
+                        removed += 1
+            for dirpath, dirnames, filenames in list(
+                os.walk(ch_dir, topdown=False)
+            ):
+                # a commit dir whose every parquet was reclaimed keeps
+                # only writer markers (_SUCCESS, .crc) — drop those too
+                if dirpath != ch_dir and not dirnames and all(
+                    fn == "_SUCCESS" or fn.startswith(".") for fn in filenames
+                ):
+                    for fn in filenames:
+                        os.remove(os.path.join(dirpath, fn))
+                    os.rmdir(dirpath)
         return removed
 
     def drop(self) -> None:

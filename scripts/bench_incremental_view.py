@@ -81,6 +81,13 @@ def main() -> int:
     # long batch counts measuring every Nth is sound and keeps the
     # wall dominated by the thing under test (the incremental refresh)
     ap.add_argument("--recompute-every", type=int, default=1)
+    ap.add_argument(
+        "--cdf",
+        action="store_true",
+        help="source table writes change files at merge time "
+        "(write_changes=true): refresh reads O(batch) stored change "
+        "rows instead of snapshot-diffing rewritten files",
+    )
     a = ap.parse_args()
 
     spark = get_spark(
@@ -97,7 +104,8 @@ def main() -> int:
     root = os.path.join(a.dir, "iv_bench")
     shutil.rmtree(root, ignore_errors=True)
     src = LakeTable.create(
-        spark, os.path.join(root, "src"), SCHEMA, ["k"], n_buckets=32
+        spark, os.path.join(root, "src"), SCHEMA, ["k"], n_buckets=32,
+        properties={"write_changes": "true"} if a.cdf else {},
     )
     # build the base the way a CDC table actually accretes: successive
     # batches of monotonic keys, so every bucket holds files with
@@ -178,6 +186,7 @@ def main() -> int:
                 "base_rows": a.base_rows,
                 "batch_rows": a.batch_rows,
                 "batches": a.batches,
+                "cdf": bool(a.cdf),
                 "incremental_walls_sec": inc_walls,
                 "recompute_walls_sec": full_walls,
                 "median_incremental_sec": med(inc_walls),
