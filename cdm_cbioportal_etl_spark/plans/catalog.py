@@ -1456,6 +1456,99 @@ def cdc_debezium_replay(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------- #
+# Write-time CDF: COW merges persist per-commit change files (the Delta
+# _change_data shape) so the change feed reads O(changed rows) instead
+# of snapshot-diffing rewritten files.  The oracle recomputes the
+# per-commit event log relationally: per (key, batch) winner, the
+# previous surviving winner is the pre-image (lag over batch winners).
+# --------------------------------------------------------------------- #
+@_register(
+    "cdc_cdf_writetime",
+    f"""
+    WITH wal AS (
+      SELECT event_id AS lsn,
+             CASE WHEN event_type = 'error' THEN 'delete' ELSE 'update' END AS op,
+             'org/repo-' || lpad((user_id % 12)::VARCHAR, 4, '0') AS repo,
+             'src/f' || lpad(user_id::VARCHAR, 5, '0') || '.py' AS path,
+             md5(event_id::VARCHAR || ':' || event_type) AS commit,
+             (['{"','".join(_LANGS_SQL)}'])[(user_id % 6 + 1)::INT] AS lang,
+             concat_ws('|', event_type, coalesce(props, '')) AS content
+      FROM events
+    ), bs AS (
+      SELECT (max(event_id) + 4) // 4 AS v FROM events
+    ), w AS (
+      SELECT wal.*, lsn // (SELECT v FROM bs) AS b,
+             row_number() OVER (
+               PARTITION BY repo, path, lsn // (SELECT v FROM bs)
+               ORDER BY lsn DESC
+             ) AS rn
+      FROM wal
+    ), win AS (
+      SELECT * FROM w WHERE rn = 1
+    ), seq AS (
+      SELECT *,
+        lag(op) OVER pk AS p_op,
+        lag(commit) OVER pk AS p_commit,
+        lag(lang) OVER pk AS p_lang,
+        lag(content) OVER pk AS p_content,
+        lag(lsn) OVER pk AS p_lsn
+      FROM win
+      WINDOW pk AS (PARTITION BY repo, path ORDER BY b)
+    )
+    SELECT repo, path, commit, lang, content,
+           lsn AS _lsn, 'insert' AS _change_type
+    FROM seq WHERE op <> 'delete' AND (p_op IS NULL OR p_op = 'delete')
+    UNION ALL
+    SELECT repo, path, p_commit, p_lang, p_content,
+           p_lsn, 'update_preimage'
+    FROM seq WHERE op <> 'delete' AND p_op IS NOT NULL AND p_op <> 'delete'
+    UNION ALL
+    SELECT repo, path, commit, lang, content,
+           lsn, 'update_postimage'
+    FROM seq WHERE op <> 'delete' AND p_op IS NOT NULL AND p_op <> 'delete'
+    UNION ALL
+    SELECT repo, path, p_commit, p_lang, p_content,
+           p_lsn, 'delete'
+    FROM seq WHERE op = 'delete' AND p_op IS NOT NULL AND p_op <> 'delete'
+    """,
+)
+def cdc_cdf_writetime(spark, sf_dir):
+    """Per-commit change feed from STORED change files: replay the repos
+    WAL in 4 batches into a write_changes=true table, then read
+    table_changes(0, head) — served entirely from the per-commit CDF
+    parquet (no snapshot diff; every commit descriptor must say so)."""
+    from cdm_cbioportal_etl_spark.cdc import CdcReplayer
+    from cdm_cbioportal_etl_spark.cdc.generator import REPOS_SCHEMA
+
+    wal = _repos_wal(spark, sf_dir)
+    max_lsn = int(wal.agg(F.max("lsn")).collect()[0][0])
+    root = os.path.join(
+        CDC_WORK_DIR,
+        spark.sparkContext.applicationId,
+        "cdf-" + os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    table = LakeTable.create(
+        spark,
+        root,
+        T.StructType(list(REPOS_SCHEMA.fields)),
+        key_cols=["repo", "path"],
+        n_buckets=16,
+        properties={"write_changes": "true"},
+    )
+    CdcReplayer(table).replay_range_batches(
+        wal, 0, max_lsn + 1, batch_size=(max_lsn + 4) // 4
+    )
+    head = table.snapshot["version"]
+    modes = {
+        table.snapshot_at(v).get("changes", {}).get("mode")
+        for v in range(1, head + 1)
+    }
+    assert modes <= {"cdf", "none"}, f"stored-CDF path not used: {modes}"
+    return table.table_changes(0, head, include_preimages=True)
+
+
 @_register(
     "cdc_rebucket_replay",
     f"""
@@ -3564,7 +3657,10 @@ def tfidf_top_terms_per_doc(spark, sf_dir):
 @_register(
     "embedding_mean_pool",
     """
-    SELECT label, pos, round(avg(val), 4) AS mean_val
+    -- + 0.0 canonicalizes IEEE negative zero: a near-zero mean can
+    -- round to -0.0 in one engine and 0.0 in the other (seen at
+    -- sf0.001), which are hash-distinct strings
+    SELECT label, pos, round(avg(val), 4) + 0.0 AS mean_val
     FROM (SELECT label,
                  unnest(range(len(embedding))) AS pos,
                  unnest(embedding)::DOUBLE AS val
@@ -3583,7 +3679,7 @@ def embedding_mean_pool(spark, sf_dir):
     ).select("label", F.col("pos").cast("long").alias("pos"),
              F.col("val").cast("double").alias("val"))
     return ex.groupBy("label", "pos").agg(
-        F.round(F.avg("val"), 4).alias("mean_val")
+        (F.round(F.avg("val"), 4) + F.lit(0.0)).alias("mean_val")
     )
 
 
