@@ -7,6 +7,7 @@ from cdm_cbioportal_etl_spark.lake.backend import (
 )
 from cdm_cbioportal_etl_spark.lake.incremental import IncrementalAggView
 from cdm_cbioportal_etl_spark.lake.replicate import TableReplicator
+from cdm_cbioportal_etl_spark.lake.sql import LakeSession
 from cdm_cbioportal_etl_spark.lake.table import (
     ConcurrentCommitError,
     LakeTable,
@@ -17,6 +18,7 @@ __all__ = [
     "ConcurrentCommitError",
     "IcebergBackend",
     "IncrementalAggView",
+    "LakeSession",
     "LakeTable",
     "MergeBackend",
     "ParquetMergeBackend",

@@ -1967,7 +1967,10 @@ class LakeTable:
         endpoint diff would net them out.  Signed-delta consumers
         (IncrementalAggView) are indifferent; consumers that need net
         semantics should diff endpoints via ``read(version=...)``."""
-        parts: list[DataFrame] = []
+        # group file paths by the schema they were written under: one
+        # scan node per SCHEMA VERSION, not per commit — a long interval
+        # (thousands of commits) stays a handful-of-scans plan
+        by_schema: dict[int, tuple[T.StructType, list[str]]] = {}
         try:
             for v in range(from_v + 1, to_v + 1):
                 s = self.snapshot_at(v)
@@ -1979,36 +1982,40 @@ class LakeTable:
                 files = d.get("files") or []
                 if not files:
                     continue
-                schema = schema_from_json(s["schemas"][str(d["schema_id"])])
-                read_schema = T.StructType(
-                    list(schema.fields)
-                    + [
-                        T.StructField(LSN_COL, T.LongType()),
-                        T.StructField("_change_type", T.StringType()),
-                    ]
-                )
-                df = self.spark.read.schema(read_schema).parquet(
-                    *[os.path.join(self.root, p) for p in files]
-                )
-                have = set(df.columns)
-                parts.append(
-                    df.select(
-                        *[
-                            (
-                                F.col(f.name)
-                                if f.name in have
-                                else F.lit(None)
-                            )
-                            .cast(f.dataType)
-                            .alias(f.name)
-                            for f in target.fields
-                        ],
-                        F.col(LSN_COL).cast("long").alias(LSN_COL),
-                        F.col("_change_type"),
+                sid = int(d["schema_id"])
+                if sid not in by_schema:
+                    by_schema[sid] = (
+                        schema_from_json(s["schemas"][str(sid)]),
+                        [],
                     )
+                by_schema[sid][1].extend(
+                    os.path.join(self.root, p) for p in files
                 )
         except (FileNotFoundError, KeyError, ValueError):
             return None
+        parts: list[DataFrame] = []
+        for schema, paths in by_schema.values():
+            read_schema = T.StructType(
+                list(schema.fields)
+                + [
+                    T.StructField(LSN_COL, T.LongType()),
+                    T.StructField("_change_type", T.StringType()),
+                ]
+            )
+            df = self.spark.read.schema(read_schema).parquet(*paths)
+            have = set(df.columns)
+            parts.append(
+                df.select(
+                    *[
+                        (F.col(f.name) if f.name in have else F.lit(None))
+                        .cast(f.dataType)
+                        .alias(f.name)
+                        for f in target.fields
+                    ],
+                    F.col(LSN_COL).cast("long").alias(LSN_COL),
+                    F.col("_change_type"),
+                )
+            )
         if not parts:
             empty = self._empty(with_lsn=True, target=target)
             return empty.withColumn(

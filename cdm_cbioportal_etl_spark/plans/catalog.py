@@ -1549,6 +1549,53 @@ def cdc_cdf_writetime(spark, sf_dir):
     return table.table_changes(0, head, include_preimages=True)
 
 
+@_register("cdc_sql_merge_replay", ORACLES["cdc_repos_replay"])
+def cdc_sql_merge_replay(spark, sf_dir):
+    """WAL replay driven entirely by the SQL front-end (lake/sql.py):
+    four MERGE INTO statements with the CDC routing idiom (matched
+    delete / UPDATE SET * / INSERT *), source LSNs keeping the merge
+    exactly-once — final state must hash-match the same oracle as the
+    programmatic replay."""
+    from cdm_cbioportal_etl_spark.lake import LakeSession
+    from cdm_cbioportal_etl_spark.cdc.generator import REPOS_SCHEMA
+
+    wal = _repos_wal(spark, sf_dir)
+    max_lsn = int(wal.agg(F.max("lsn")).collect()[0][0])
+    bs = (max_lsn + 4) // 4
+    root = os.path.join(
+        CDC_WORK_DIR,
+        spark.sparkContext.applicationId,
+        "sqlmerge-" + os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    table = LakeTable.create(
+        spark,
+        root,
+        T.StructType(list(REPOS_SCHEMA.fields)),
+        key_cols=["repo", "path"],
+        n_buckets=16,
+    )
+    ls = LakeSession(spark)
+    ls.register("repos", table)
+    wal.createOrReplaceTempView("repos_wal")
+    for i in range(4):
+        ls.sql(
+            f"""
+            MERGE INTO repos USING (
+              SELECT * FROM repos_wal
+              WHERE lsn >= {i * bs} AND lsn < {(i + 1) * bs}
+            ) s ON repos.repo = s.repo AND repos.path = s.path
+            WHEN MATCHED AND s.op = 'delete' THEN DELETE
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *
+            """
+        )
+    return ls.sql(
+        "SELECT repo, path, commit, lang, content, "
+        "sha2(content, 256) AS content_sha FROM repos"
+    )
+
+
 @_register(
     "cdc_rebucket_replay",
     f"""

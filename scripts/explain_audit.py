@@ -62,6 +62,14 @@ AUDIT = {
         broadcast=True,
         forbid=["ArrowEvalPython", "BatchEvalPython"],
     ),
+    # round-4: the write-time CDF feed must be served from stored change
+    # files — a pure scan+union, never the snapshot-diff full-outer join
+    # (SortMergeJoin/ShuffledHashJoin would mean the fallback engaged)
+    "cdc_cdf_writetime": dict(
+        pushed=False,
+        broadcast=False,
+        forbid=["SortMergeJoin", "ShuffledHashJoin", "NestedLoop"],
+    ),
 }
 
 
