@@ -52,6 +52,12 @@ def main() -> None:
                     help="continue from the table's LSN ledger watermark")
     ap.add_argument("--synthetic", type=int, default=0,
                     help="generate N events instead of reading --wal")
+    ap.add_argument("--cdf", action="store_true",
+                    help="create the table with write_changes=true: COW "
+                         "merges persist per-commit change files, so the "
+                         "--view refresh (and any table_changes consumer) "
+                         "reads O(batch) stored rows instead of snapshot-"
+                         "diffing rewritten files")
     ap.add_argument("--view", default=None,
                     help="maintain an incremental per-lang COUNT view at "
                          "this path: created (one full compute) if absent, "
@@ -74,10 +80,13 @@ def main() -> None:
     if LakeTable.exists(args.table):
         table = LakeTable(spark, args.table)
     else:
+        props = {"merge_mode": args.mode}
+        if args.cdf:
+            props["write_changes"] = "true"
         table = LakeTable.create(
             spark, args.table, T.StructType(list(REPOS_SCHEMA.fields)),
             key_cols=["repo", "path"], n_buckets=args.buckets,
-            properties={"merge_mode": args.mode},
+            properties=props,
         )
 
     replayer = CdcReplayer(table)
