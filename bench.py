@@ -86,6 +86,10 @@ _BENCH_QUERIES = [
     "cdc_dml_replay",
     "cdc_replica_sync",
     "multimodal_png_decode",
+    # round 4: Debezium wire decode+replay, stored-CDF feed, SQL MERGE
+    "cdc_debezium_replay",
+    "cdc_cdf_writetime",
+    "cdc_sql_merge_replay",
 ]
 
 

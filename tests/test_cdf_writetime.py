@@ -226,6 +226,69 @@ def test_view_refresh_consumes_stored_cdf(spark, tmp_path):
     assert sorted(map(tuple, view.read().collect())) == expect
 
 
+def test_streaming_tail_to_cdf_to_view_chain(spark, tmp_path):
+    """The whole CDC chain end-to-end: WAL segments tailed by Structured
+    Streaming -> exactly-once merges into a write_changes table (every
+    streaming commit captures CDF) -> incremental view refreshed from
+    the STORED feed -> equals the recompute."""
+    import os as _os
+
+    from pyspark.sql import types as T
+
+    from cdm_cbioportal_etl_spark.cdc import gen_change_events
+    from cdm_cbioportal_etl_spark.cdc.generator import REPOS_SCHEMA
+    from cdm_cbioportal_etl_spark.streaming import WalTailReader
+
+    events = gen_change_events(
+        spark, 4000, n_repos=16, paths_per_repo=25, seed=7
+    )
+    wal_dir = str(tmp_path / "wal")
+    _os.makedirs(wal_dir, exist_ok=True)
+    for i, (lo, hi) in enumerate([(0, 1500), (1500, 3000), (3000, 4000)]):
+        (
+            events.filter((F.col("lsn") >= lo) & (F.col("lsn") < hi))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(_os.path.join(wal_dir, f"seg-{i:04d}"))
+        )
+    table = LakeTable.create(
+        spark,
+        str(tmp_path / "table"),
+        T.StructType(list(REPOS_SCHEMA.fields)),
+        key_cols=["repo", "path"],
+        n_buckets=8,
+        properties={"write_changes": "true"},
+    )
+    view = IncrementalAggView.create(
+        spark, str(tmp_path / "view"), table, group_cols=["lang"]
+    )
+    WalTailReader(
+        spark,
+        _os.path.join(wal_dir, "seg-*"),
+        table,
+        str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    ).run_available_now()
+    # every streaming merge captured CDF
+    head = table.snapshot["version"]
+    modes = {
+        table.snapshot_at(v).get("changes", {}).get("mode")
+        for v in range(1, head + 1)
+    }
+    assert modes <= {"cdf", "none"}, modes
+    view.refresh(table)
+    expect = sorted(
+        map(
+            tuple,
+            table.read()
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect(),
+        )
+    )
+    assert sorted(map(tuple, view.read().collect())) == expect
+
+
 def test_vacuum_reclaims_expired_change_files(spark, tmp_path):
     ta, _tb = _run_twins(spark, tmp_path, {})
     ch_dir = os.path.join(str(tmp_path / "a"), "changes")
