@@ -10,12 +10,14 @@ from cdm_cbioportal_etl_spark.lake.replicate import TableReplicator
 from cdm_cbioportal_etl_spark.lake.sql import LakeSession
 from cdm_cbioportal_etl_spark.lake.table import (
     ConcurrentCommitError,
+    ConstraintViolationError,
     LakeTable,
     SchemaEvolutionError,
 )
 
 __all__ = [
     "ConcurrentCommitError",
+    "ConstraintViolationError",
     "IcebergBackend",
     "IncrementalAggView",
     "LakeSession",

@@ -153,6 +153,24 @@ class LakeSession:
     # DDL / maintenance (the Delta-SQL operational surface)
     # ------------------------------------------------------------------ #
     def _alter(self, s: str):
+        cm = re.fullmatch(
+            r"ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+ADD\s+CONSTRAINT\s+"
+            r"([A-Za-z_][A-Za-z0-9_]*)\s+CHECK\s*\((.+)\)",
+            s,
+            flags=re.IGNORECASE | re.DOTALL,
+        )
+        if cm:
+            return self.table(cm.group(1)).add_constraint(
+                cm.group(2), cm.group(3).strip()
+            )
+        dm = re.fullmatch(
+            r"ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+DROP\s+CONSTRAINT\s+"
+            r"([A-Za-z_][A-Za-z0-9_]*)",
+            s,
+            flags=re.IGNORECASE,
+        )
+        if dm:
+            return self.table(dm.group(1)).drop_constraint(dm.group(2))
         m = re.fullmatch(
             r"ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+ADD\s+COLUMNS?\s*"
             r"\(?\s*(.+?)\s*\)?",
@@ -161,7 +179,8 @@ class LakeSession:
         )
         if not m:
             raise ValueError(
-                f"only ALTER TABLE t ADD COLUMN(S) is supported: {s!r}"
+                "only ALTER TABLE t ADD COLUMN(S) / ADD CONSTRAINT name "
+                f"CHECK (expr) / DROP CONSTRAINT name are supported: {s!r}"
             )
         t = self.table(m.group(1))
         from pyspark.sql import types as T
@@ -230,6 +249,35 @@ class LakeSession:
         s = re.sub(
             r"\b([A-Za-z_][A-Za-z0-9_]*)\s+VERSION\s+AS\s+OF\s+(\d+)",
             _tt,
+            s,
+            flags=re.IGNORECASE,
+        )
+
+        # `t TIMESTAMP AS OF <epoch-seconds | 'ISO datetime'>` resolves
+        # to the newest retained version committed at or before it
+        def _ts(m: re.Match) -> str:
+            nonlocal n_tt
+            t = self.table(m.group(1))
+            raw = m.group(2).strip()
+            if raw.startswith(("'", '"')):
+                from datetime import datetime, timezone
+
+                dt = datetime.fromisoformat(raw[1:-1])
+                ts = (
+                    dt if dt.tzinfo else dt.replace(tzinfo=timezone.utc)
+                ).timestamp()
+            else:
+                ts = float(raw)
+            v = t.version_at_timestamp(ts)
+            alias = f"__ts_{m.group(1).lower()}_{n_tt}"
+            n_tt += 1
+            t.read(version=v).createOrReplaceTempView(alias)
+            return alias
+
+        s = re.sub(
+            r"\b([A-Za-z_][A-Za-z0-9_]*)\s+TIMESTAMP\s+AS\s+OF\s+"
+            r"([0-9.]+|'[^']*'|\"[^\"]*\")",
+            _ts,
             s,
             flags=re.IGNORECASE,
         )

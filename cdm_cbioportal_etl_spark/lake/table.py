@@ -41,7 +41,9 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
+import time
 import uuid
 from dataclasses import dataclass
 from typing import Any
@@ -77,6 +79,11 @@ _WIDENINGS = {
 
 class SchemaEvolutionError(ValueError):
     pass
+
+
+class ConstraintViolationError(ValueError):
+    """A CHECK constraint rejected incoming rows (or, when adding a
+    constraint, existing rows)."""
 
 
 class ConcurrentCommitError(RuntimeError):
@@ -179,6 +186,11 @@ class LakeTable:
         repair hint (delete the orphan manifest)."""
         os.makedirs(self._meta_dir, exist_ok=True)
         version = snap["version"]
+        # commit wall time (epoch seconds): what TIMESTAMP AS OF resolves
+        # against.  Stamped at commit, monotone per table by construction
+        # of the single-winner version allocation below (a racing loser
+        # re-stamps on retry).
+        snap["committed_at"] = time.time()
         path = os.path.join(self._meta_dir, f"snap-{version:08d}.json")
         try:
             fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
@@ -213,6 +225,38 @@ class LakeTable:
             raise ValueError(f"no snapshot version {version} at {self.root}")
         with open(path) as fh:
             return json.load(fh)
+
+    def version_at_timestamp(self, ts: float) -> int:
+        """TIMESTAMP AS OF resolution (Delta/Iceberg semantics): the
+        newest RETAINED version whose commit time is <= ts.  Scans
+        retained manifests newest-first, so cost is O(versions newer
+        than ts), not O(history).  Commit times come from each writer's
+        clock; with multiple writers they are monotone up to clock skew
+        — exactly the Delta caveat — and version-based travel remains
+        the exact API.  Raises if ts predates the oldest retained
+        snapshot (the lookback horizon has passed it)."""
+        import re as _re
+
+        versions = sorted(
+            (
+                int(m.group(1))
+                for fn in os.listdir(self._meta_dir)
+                if (m := _re.fullmatch(r"snap-(\d{8})\.json", fn))
+            ),
+            reverse=True,
+        )
+        oldest = None
+        for v in versions:
+            s = self.snapshot_at(v)
+            at = s.get("committed_at")
+            if at is None or at <= ts:
+                return v  # pre-timestamp manifests count as old enough
+            oldest = (v, at)
+        raise ValueError(
+            f"no retained snapshot at or before timestamp {ts} "
+            f"(oldest retained: version {oldest[0]} committed at "
+            f"{oldest[1]})" if oldest else f"table has no snapshots"
+        )
 
     @classmethod
     def exists(cls, root: str) -> bool:
@@ -860,6 +904,7 @@ class LakeTable:
         overwritten state."""
         snap = json.loads(json.dumps(self.snapshot))
         df = self._align(df, self.schema, with_lsn=False)
+        self._enforce_constraints(df, "overwrite data")
         staged = df.withColumn(LSN_COL, F.lit(lsn).cast("long")).withColumn(
             "_bucket", self._bucket_expr()
         )
@@ -1185,6 +1230,12 @@ class LakeTable:
         broadcast of an unbounded winner set).
         """
         batch_total = batch.count() if count_batch else -1
+        if self._constraints():
+            # one combinable aggregate over the batch, only when the
+            # table declares constraints; deletes carry no payload
+            self._enforce_constraints(
+                batch.filter(F.col(op_col) != "delete"), "merge batch"
+            )
 
         def _prep() -> DataFrame:
             if partial_update:
@@ -1780,6 +1831,7 @@ class LakeTable:
             carried_files=carried_files,
         )
         lineage = {
+            "at": round(_time.time(), 3),
             "batch_id": batch_id or uuid.uuid4().hex,
             # explicit operation kind: history() must not infer it from a
             # USER-supplied batch_id (e.g. 'compact-2026-08' is a merge)
@@ -2187,6 +2239,89 @@ class LakeTable:
         WAL requires the WAL's future LSNs to stay above this — the same
         single-LSN-space rule any CDC sink has."""
         return int(self.snapshot["ledger"]["applied_lsn"]) + 1
+
+    # ------------------------------------------------------------------ #
+    # CHECK constraints (Delta ALTER TABLE ADD CONSTRAINT ... CHECK)
+    # ------------------------------------------------------------------ #
+    def _constraints(self) -> dict[str, str]:
+        raw = self.snapshot.get("properties", {}).get("check_constraints")
+        return json.loads(raw) if raw else {}
+
+    def _enforce_constraints(self, df: DataFrame, what: str) -> None:
+        """SQL CHECK semantics: a row violates only when the expression
+        is FALSE (NULL passes — which also makes partial-image batches,
+        whose nulls mean 'unchanged', check only the values they carry).
+        One combinable aggregate over ``df``; raises with per-constraint
+        violation counts."""
+        cons = self._constraints()
+        if not cons:
+            return
+        aggs = [
+            F.sum(
+                F.when(~F.coalesce(F.expr(expr), F.lit(True)), 1).otherwise(0)
+            ).alias(name)
+            for name, expr in cons.items()
+        ]
+        row = df.agg(*aggs).collect()[0]
+        bad = {n: int(row[n]) for n in cons if row[n]}
+        if bad:
+            raise ConstraintViolationError(
+                f"CHECK constraint(s) violated by {what}: "
+                + ", ".join(
+                    f"{n} ({cons[n]!r}): {c} row(s)" for n, c in bad.items()
+                )
+            )
+
+    def add_constraint(self, name: str, expr: str) -> None:
+        """Register a CHECK constraint after validating it against the
+        CURRENT table state (one pruned scan — the Delta contract: a
+        constraint never admits data that violates it, past or future).
+        Enforced on every subsequent merge/overwrite batch."""
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+            raise ValueError(f"invalid constraint name: {name!r}")
+        cons = self._constraints()
+        if name in cons:
+            raise ValueError(f"constraint {name!r} already exists")
+        probe = dict(cons)
+        probe[name] = expr
+        # validate the expression parses AND existing rows satisfy it
+        snap = json.loads(json.dumps(self.snapshot))
+        snap["properties"]["check_constraints"] = json.dumps(probe)
+        self._snap = snap  # stage locally so _enforce sees the new one
+        try:
+            self._enforce_constraints(self.read(), "existing table rows")
+        except Exception:
+            self.refresh()  # unstage
+            raise
+        snap["version"] += 1
+        snap["changes"] = {"mode": "none"}  # metadata-only commit
+        snap["lineage"].append(
+            {
+                "at": round(time.time(), 3),
+                "batch_id": f"add-constraint-{name}",
+                "operation": "add_constraint",
+                "constraint": {name: expr},
+            }
+        )
+        self._commit(snap)
+
+    def drop_constraint(self, name: str) -> None:
+        cons = self._constraints()
+        if name not in cons:
+            raise ValueError(f"no such constraint: {name!r}")
+        del cons[name]
+        snap = json.loads(json.dumps(self.snapshot))
+        snap["properties"]["check_constraints"] = json.dumps(cons)
+        snap["version"] += 1
+        snap["changes"] = {"mode": "none"}
+        snap["lineage"].append(
+            {
+                "at": round(time.time(), 3),
+                "batch_id": f"drop-constraint-{name}",
+                "operation": "drop_constraint",
+            }
+        )
+        self._commit(snap)
 
     def delete_where(self, cond) -> "MergeStats":
         """``DELETE FROM t WHERE cond`` as a COW/MOR merge: resolve the
