@@ -1,5 +1,6 @@
 from cdm_cbioportal_etl_spark.cdc.envelope import (
     decode_debezium,
+    decode_debezium_with_rejects,
     encode_debezium,
     envelope_schema,
 )
@@ -14,6 +15,7 @@ __all__ = [
     "expected_final_state",
     "SchemaRegistry",
     "decode_debezium",
+    "decode_debezium_with_rejects",
     "encode_debezium",
     "envelope_schema",
 ]

@@ -34,7 +34,12 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F, types as T
 
-__all__ = ["envelope_schema", "decode_debezium", "encode_debezium"]
+__all__ = [
+    "envelope_schema",
+    "decode_debezium",
+    "decode_debezium_with_rejects",
+    "encode_debezium",
+]
 
 
 def envelope_schema(data_schema: T.StructType) -> T.StructType:
@@ -71,6 +76,38 @@ def envelope_schema(data_schema: T.StructType) -> T.StructType:
     )
 
 
+def _classified(raw: DataFrame, data_schema: T.StructType, value_col: str):
+    """Shared decode plan: parse once, classify every line.  ``_why`` is
+    null for decodable envelopes, else one of {tombstone, corrupt,
+    unknown_op, missing_lsn, missing_image}."""
+    v = F.col(value_col)
+    p = F.from_json(v, envelope_schema(data_schema))["payload"]
+    img = F.when(p["op"] == "d", p["before"]).otherwise(p["after"])
+    why = (
+        # Kafka log-compaction tombstone: the null-VALUE record after a
+        # delete — routine, silently dropped, never dead-lettered
+        F.when(v.isNull(), F.lit("tombstone"))
+        # from_json PERMISSIVE yields a null struct on malformed JSON;
+        # a parsed envelope without an op is equally unusable
+        .when(p.isNull() | p["op"].isNull(), F.lit("corrupt"))
+        .when(~p["op"].isin("c", "r", "u", "d"), F.lit("unknown_op"))
+        .when(p["source"]["lsn"].isNull(), F.lit("missing_lsn"))
+        .when(img.isNull(), F.lit("missing_image"))
+    )
+    op = (
+        F.when(p["op"].isin("c", "r"), F.lit("insert"))
+        .when(p["op"] == "u", F.lit("update"))
+        .when(p["op"] == "d", F.lit("delete"))
+    )
+    return raw.select(
+        v.alias("_raw"),
+        why.alias("_why"),
+        p["source"]["lsn"].alias("lsn"),
+        op.alias("op"),
+        img.alias("_img"),
+    )
+
+
 def decode_debezium(
     raw: DataFrame,
     data_schema: T.StructType,
@@ -82,26 +119,37 @@ def decode_debezium(
     Deletes materialize the ``before`` image so the key columns are
     populated (Debezium deletes carry no ``after``); payload columns on
     a delete are whatever ``before`` held — the merge path ignores them.
-    Tombstones and unparseable lines (null payload/op/lsn) are dropped,
-    matching a sink connector's behavior.
+    Tombstones and undecodable lines are dropped, matching a sink
+    connector's default; use ``decode_debezium_with_rejects`` when the
+    pipeline must account for every line (dead-letter queue).
     """
-    p = F.from_json(F.col(value_col), envelope_schema(data_schema))["payload"]
-    img = F.when(p["op"] == "d", p["before"]).otherwise(p["after"])
-    op = (
-        F.when(p["op"].isin("c", "r"), F.lit("insert"))
-        .when(p["op"] == "u", F.lit("update"))
-        .when(p["op"] == "d", F.lit("delete"))
-    )
-    out = raw.select(
-        p["source"]["lsn"].alias("lsn"), op.alias("op"), img.alias("_img")
-    ).where(
-        F.col("lsn").isNotNull()
-        & F.col("op").isNotNull()
-        & F.col("_img").isNotNull()
-    )
-    return out.select(
+    c = _classified(raw, data_schema, value_col)
+    return c.where(F.col("_why").isNull()).select(
         "lsn", "op", *[F.col("_img")[f.name].alias(f.name) for f in data_schema.fields]
     )
+
+
+def decode_debezium_with_rejects(
+    raw: DataFrame,
+    data_schema: T.StructType,
+    value_col: str = "value",
+) -> tuple[DataFrame, DataFrame]:
+    """Dead-letter variant: ``(decoded, rejects)`` where ``rejects`` is
+    ``(raw_value, reason)`` for every line that is neither decodable nor
+    a routine tombstone — reason in {corrupt, unknown_op, missing_lsn,
+    missing_image}.  A production tail sinks ``rejects`` to a quarantine
+    table and alerts on its rate; exactly-once of the good path is
+    untouched (the LSN ledger never sees a rejected line).  Both outputs
+    share one classification plan — at scale this costs one extra scan
+    of the envelope column, not a second parse job per side."""
+    c = _classified(raw, data_schema, value_col)
+    decoded = c.where(F.col("_why").isNull()).select(
+        "lsn", "op", *[F.col("_img")[f.name].alias(f.name) for f in data_schema.fields]
+    )
+    rejects = c.where(
+        F.col("_why").isNotNull() & (F.col("_why") != "tombstone")
+    ).select(F.col("_raw").alias("raw_value"), F.col("_why").alias("reason"))
+    return decoded, rejects
 
 
 def _row_struct(data_schema: T.StructType, null_when: Column | None) -> Column:

@@ -1549,6 +1549,47 @@ def cdc_cdf_writetime(spark, sf_dir):
     return table.table_changes(0, head, include_preimages=True)
 
 
+@_register("cdc_snapshot_handoff", ORACLES["cdc_repos_replay"])
+def cdc_snapshot_handoff(spark, sf_dir):
+    """Debezium's snapshot-then-streaming handoff: bootstrap the sink
+    from a consistent snapshot at a boundary LSN (one overwrite stamped
+    with that LSN), then tail the WAL WITH OVERLAP — redelivered events
+    at or below the boundary are no-ops through the ledger, later ones
+    apply exactly once.  Final state must hash-match the pure replay."""
+    from cdm_cbioportal_etl_spark.cdc import CdcReplayer, expected_final_state
+    from cdm_cbioportal_etl_spark.cdc.generator import REPOS_SCHEMA
+
+    wal = _repos_wal(spark, sf_dir)
+    max_lsn = int(wal.agg(F.max("lsn")).collect()[0][0])
+    boundary = max_lsn // 2
+    root = os.path.join(
+        CDC_WORK_DIR,
+        spark.sparkContext.applicationId,
+        "handoff-" + os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    table = LakeTable.create(
+        spark,
+        root,
+        T.StructType(list(REPOS_SCHEMA.fields)),
+        key_cols=["repo", "path"],
+        n_buckets=16,
+    )
+    # the "initial consistent snapshot" a source connector exports
+    snap = expected_final_state(
+        wal.filter(F.col("lsn") <= boundary), ["repo", "path"]
+    )
+    table.overwrite(snap, lsn=boundary)
+    # tail the WHOLE WAL (overlap included): <= boundary must no-op
+    CdcReplayer(table).replay_range_batches(
+        wal, 0, max_lsn + 1, batch_size=(max_lsn + 4) // 4
+    )
+    return table.read().select(
+        "repo", "path", "commit", "lang", "content",
+        F.sha2("content", 256).alias("content_sha"),
+    )
+
+
 @_register("cdc_sql_merge_replay", ORACLES["cdc_repos_replay"])
 def cdc_sql_merge_replay(spark, sf_dir):
     """WAL replay driven entirely by the SQL front-end (lake/sql.py):

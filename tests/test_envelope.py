@@ -130,3 +130,42 @@ def test_decode_plan_is_single_stage(spark):
     assert "Exchange" not in plan and "BatchEvalPython" not in plan
     schema = envelope_schema(SCHEMA)
     assert schema["payload"].dataType["op"].dataType == T.StringType()
+
+
+def test_dead_letter_split_accounts_for_every_line(spark):
+    from cdm_cbioportal_etl_spark.cdc import decode_debezium_with_rejects
+
+    rows = [
+        (_env("c", 1, after={"k": 1, "name": "a", "v": 5}),),   # good
+        (None,),                                                 # tombstone
+        ("{not json at all",),                                   # corrupt
+        (json.dumps({"payload": {"source": {"lsn": 2}}}),),      # corrupt (no op)
+        (_env("x", 3, after={"k": 3, "name": "c", "v": 7}),),    # unknown_op
+        (_env("u", None, after={"k": 4, "name": "d", "v": 8}),), # missing_lsn
+        (_env("d", 5),),                                         # missing_image
+        (_env("d", 6, before={"k": 6, "name": "f", "v": 9}),),   # good delete
+    ]
+    raw = spark.createDataFrame(rows, ["value"])
+    decoded, rejects = decode_debezium_with_rejects(raw, SCHEMA)
+    got = {(r.lsn, r.op, r.k) for r in decoded.collect()}
+    assert got == {(1, "insert", 1), (6, "delete", 6)}
+    why = sorted(r.reason for r in rejects.collect())
+    assert why == ["corrupt", "corrupt", "missing_image", "missing_lsn", "unknown_op"]
+    # tombstones are routine: dropped, never dead-lettered
+    assert rejects.filter("reason = 'tombstone'").count() == 0
+    # the default decoder's good set is identical (one semantics)
+    assert {
+        (r.lsn, r.op, r.k) for r in decode_debezium(raw, SCHEMA).collect()
+    } == got
+
+
+def test_dead_letter_plan_is_map_only(spark):
+    from cdm_cbioportal_etl_spark.cdc import decode_debezium_with_rejects
+
+    raw = spark.createDataFrame(
+        [(_env("c", 1, after={"k": 1, "name": "x", "v": 1}),)], ["value"]
+    )
+    decoded, rejects = decode_debezium_with_rejects(raw, SCHEMA)
+    for df in (decoded, rejects):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan and "BatchEvalPython" not in plan
