@@ -5,6 +5,7 @@ from cdm_cbioportal_etl_spark.cdc.envelope import (
     envelope_schema,
 )
 from cdm_cbioportal_etl_spark.cdc.generator import REPOS_SCHEMA, gen_change_events
+from cdm_cbioportal_etl_spark.cdc.router import EnvelopeTailReader, WalRouter
 from cdm_cbioportal_etl_spark.cdc.replayer import CdcReplayer, expected_final_state
 from cdm_cbioportal_etl_spark.cdc.registry import SchemaRegistry
 
@@ -16,6 +17,8 @@ __all__ = [
     "SchemaRegistry",
     "decode_debezium",
     "decode_debezium_with_rejects",
+    "EnvelopeTailReader",
+    "WalRouter",
     "encode_debezium",
     "envelope_schema",
 ]

@@ -1549,7 +1549,69 @@ def cdc_cdf_writetime(spark, sf_dir):
     return table.table_changes(0, head, include_preimages=True)
 
 
-@_register("cdc_snapshot_handoff", ORACLES["cdc_repos_replay"])
+@_register(
+    "cdc_router_fanout",
+    f"""
+    WITH wal AS (
+      SELECT event_id AS lsn,
+             CASE WHEN event_type = 'error' THEN 'delete' ELSE 'update' END AS op,
+             'org/repo-' || lpad((user_id % 12)::VARCHAR, 4, '0') AS repo,
+             'src/f' || lpad(user_id::VARCHAR, 5, '0') || '.py' AS path,
+             md5(event_id::VARCHAR || ':' || event_type) AS commit,
+             (['{"','".join(_LANGS_SQL)}'])[(user_id % 6 + 1)::INT] AS lang,
+             concat_ws('|', event_type, coalesce(props, '')) AS content,
+             CASE WHEN user_id % 2 = 0 THEN 'repos_even' ELSE 'repos_odd' END AS tbl
+      FROM events
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+      FROM wal
+    )
+    SELECT tbl, repo, path, commit, lang, content
+    FROM ranked WHERE rn = 1 AND op <> 'delete'
+    """,
+)
+def cdc_router_fanout(spark, sf_dir):
+    """One wire stream, two tables: the repos WAL encoded as Debezium
+    envelopes with source.table split by user parity, routed through
+    WalRouter to two independent lake tables (own ledgers, own buckets)
+    — the union of both final states must match the relational
+    per-partition latest-per-key oracle."""
+    from cdm_cbioportal_etl_spark.cdc import WalRouter, encode_debezium
+    from cdm_cbioportal_etl_spark.cdc.generator import REPOS_SCHEMA
+
+    wal = _repos_wal(spark, sf_dir)
+    parity = (F.substring("path", 6, 5).cast("int") % 2 == 0)
+    root = os.path.join(
+        CDC_WORK_DIR,
+        spark.sparkContext.applicationId,
+        "router-" + os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    tables = {}
+    for name in ("repos_even", "repos_odd"):
+        tables[name] = LakeTable.create(
+            spark,
+            os.path.join(root, name),
+            T.StructType(list(REPOS_SCHEMA.fields)),
+            key_cols=["repo", "path"],
+            n_buckets=8,
+        )
+    wire = encode_debezium(
+        wal.filter(parity), REPOS_SCHEMA, source_table="repos_even"
+    ).unionByName(
+        encode_debezium(
+            wal.filter(~parity), REPOS_SCHEMA, source_table="repos_odd"
+        )
+    )
+    WalRouter(spark, tables).apply_wire_batch(wire)
+    out = None
+    for name, t in tables.items():
+        part = t.read().select(
+            F.lit(name).alias("tbl"), "repo", "path", "commit", "lang",
+            "content",
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
 def cdc_snapshot_handoff(spark, sf_dir):
     """Debezium's snapshot-then-streaming handoff: bootstrap the sink
     from a consistent snapshot at a boundary LSN (one overwrite stamped
