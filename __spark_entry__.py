@@ -63,10 +63,25 @@ _ANCHORS = (
 )
 
 
+# Queries that fell out of round 3's window but already carry a green
+# hash-match row from round 1 or 2 — lowest re-check priority, so the
+# truly never-driver-checked queries plus the recheck row and anchors
+# all fit inside the driver's 50-entry cap.
+_R12_GREEN = frozenset({
+    "q4_order_priority", "sessionize_events", "value_percentiles_by_type",
+    "tumbling_window_counts", "lsh_verify_neardup_docs",
+    "asof_purchase_last_click", "yaml_summary_pipeline",
+    "timeline_audit_events", "age_at_sequencing_samples",
+    "patient_age_redact", "except_intersect_custkeys",
+})
+
+
 def _window_order(names):
     fresh = [n for n in names if n not in _R03_SEEN]
-    head = fresh + [n for n in _RECHECK if n not in fresh]
+    never = [n for n in fresh if n not in _R12_GREEN]
+    head = never + [n for n in _RECHECK if n not in never]
     head += [n for n in _ANCHORS if n not in head]
+    head += [n for n in fresh if n not in head]
     return head + [n for n in names if n not in head]
 
 

@@ -153,6 +153,28 @@ class LakeSession:
     # DDL / maintenance (the Delta-SQL operational surface)
     # ------------------------------------------------------------------ #
     def _alter(self, s: str):
+        # branch / tag lifecycle (write-audit-publish surface)
+        bm = re.fullmatch(
+            r"ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+"
+            r"(CREATE|DROP|PUBLISH)\s+(BRANCH|TAG)\s+"
+            r"([A-Za-z_][A-Za-z0-9_.-]*)"
+            r"(?:\s+AS\s+OF\s+VERSION\s+(\d+))?",
+            s,
+            flags=re.IGNORECASE,
+        )
+        if bm:
+            t = self.table(bm.group(1))
+            verb, kind, name = bm.group(2).upper(), bm.group(3).upper(), bm.group(4)
+            at = int(bm.group(5)) if bm.group(5) else None
+            if verb == "CREATE":
+                if kind == "BRANCH":
+                    return t.create_branch(name, at_version=at)
+                return t.create_tag(name, at_version=at)
+            if verb == "DROP":
+                return t.drop_ref(name)
+            if kind != "BRANCH":
+                raise ValueError("only branches can be published")
+            return t.publish_branch(name)
         cm = re.fullmatch(
             r"ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+ADD\s+CONSTRAINT\s+"
             r"([A-Za-z_][A-Za-z0-9_]*)\s+CHECK\s*\((.+)\)",
@@ -249,6 +271,24 @@ class LakeSession:
         s = re.sub(
             r"\b([A-Za-z_][A-Za-z0-9_]*)\s+VERSION\s+AS\s+OF\s+(\d+)",
             _tt,
+            s,
+            flags=re.IGNORECASE,
+        )
+
+        # `t VERSION AS OF '<ref>'` reads a named branch/tag head
+        def _ref(m: re.Match) -> str:
+            nonlocal n_tt
+            t = self.table(m.group(1))
+            v = t._read_ref(m.group(2))["version"]
+            alias = f"__ref_{m.group(1).lower()}_{n_tt}"
+            n_tt += 1
+            t.read(version=v).createOrReplaceTempView(alias)
+            return alias
+
+        s = re.sub(
+            r"\b([A-Za-z_][A-Za-z0-9_]*)\s+VERSION\s+AS\s+OF\s+"
+            r"'([A-Za-z_][A-Za-z0-9_.-]*)'",
+            _ref,
             s,
             flags=re.IGNORECASE,
         )

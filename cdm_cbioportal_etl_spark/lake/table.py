@@ -141,12 +141,17 @@ class MergeStats:
 class LakeTable:
     """A bucketed copy-on-write table rooted at a local/posix directory."""
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str, ref: str = "main"):
         self.spark = spark
         self.root = os.path.abspath(root)
         self._meta_dir = os.path.join(self.root, "_meta")
         self._data_dir = os.path.join(self.root, "data")
         self._snap: dict[str, Any] | None = None
+        # which named ref this handle reads from / commits to.  "main"
+        # is the VERSION pointer every pre-refs table already has; other
+        # names resolve through _meta/refs/<name>.json (Iceberg-style
+        # branches and tags — the write-audit-publish surface).
+        self.ref = ref
 
     # ------------------------------------------------------------------ #
     # metadata plumbing
@@ -158,10 +163,53 @@ class LakeTable:
         assert self._snap is not None
         return self._snap
 
+    def _refs_dir(self) -> str:
+        return os.path.join(self._meta_dir, "refs")
+
+    def _ref_path(self, name: str) -> str:
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_.-]*", name):
+            raise ValueError(f"invalid ref name: {name!r}")
+        return os.path.join(self._refs_dir(), f"{name}.json")
+
+    def _read_ref(self, name: str) -> dict[str, Any]:
+        if name == "main":
+            with open(os.path.join(self._meta_dir, "VERSION")) as fh:
+                return {"version": int(fh.read().strip()), "type": "branch"}
+        try:
+            with open(self._ref_path(name)) as fh:
+                return json.load(fh)
+        except FileNotFoundError:
+            raise ValueError(
+                f"no such ref {name!r} at {self.root} "
+                f"(existing: {sorted(r['name'] for r in self.refs())})"
+            ) from None
+
+    def _write_ref(
+        self, name: str, version: int, ref_type: str, exclusive: bool = False
+    ) -> None:
+        """Swing (or exclusively create) a named ref pointer.  Same
+        durability order as the VERSION pointer: contents fsync'd, then
+        atomic rename, then directory entry fsync'd."""
+        os.makedirs(self._refs_dir(), exist_ok=True)
+        path = self._ref_path(name)
+        if exclusive and os.path.exists(path):
+            raise ValueError(f"ref {name!r} already exists at {self.root}")
+        rec = {"version": int(version), "type": ref_type,
+               "created_at": time.time()}
+        tmp = os.path.join(self._refs_dir(), f".{name}.{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            json.dump(rec, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, path)
+        dfd = os.open(self._refs_dir(), os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
+
     def refresh(self) -> None:
-        vfile = os.path.join(self._meta_dir, "VERSION")
-        with open(vfile) as fh:
-            version = int(fh.read().strip())
+        version = self._read_ref(self.ref)["version"]
         with open(os.path.join(self._meta_dir, f"snap-{version:08d}.json")) as fh:
             self._snap = json.load(fh)
 
@@ -174,48 +222,95 @@ class LakeTable:
         the old committed state or the new one, never a pointer at a
         truncated/missing manifest.
 
-        Concurrency: the manifest is created with O_EXCL, so version
-        allocation is ATOMIC — of two writers racing to commit the same
-        version, exactly one wins; the loser gets ConcurrentCommitError
-        without having moved the pointer (optimistic concurrency, the
-        Iceberg/Delta commit protocol on a posix filesystem).  The loser
-        refreshes and retries at the next version — ``merge`` does this
-        automatically, and the LSN ledger keeps the retried batch
-        exactly-once.  A manifest that exists while VERSION never reaches
-        it is a crashed writer's remnant; the error message carries the
-        repair hint (delete the orphan manifest)."""
+        Concurrency: commits are arbitrated PER REF by an O_EXCL
+        transaction token named ``txn/<ref>-<base>`` — "the commit that
+        advanced <ref> past version <base>".  Of two writers whose
+        handles share the same base snapshot, exactly one creates the
+        token; the loser gets ConcurrentCommitError without having moved
+        the pointer (optimistic concurrency, the Iceberg/Delta commit
+        protocol on a posix filesystem), refreshes, and re-prepares
+        against the new head — ``merge`` does this automatically, and
+        the LSN ledger keeps the retried batch exactly-once.  Version
+        numbers are ONE global sequence shared by every ref (Iceberg's
+        snapshot-id model): the snap-file O_EXCL is pure number
+        allocation — losing it to a writer on ANOTHER ref just re-draws
+        the number; it is never the conflict signal, the token is.
+        (Earlier revisions used the snap-file collision itself as the
+        conflict check; that only works while versions are dense per
+        chain — with a shared global sequence a stale same-ref writer
+        would silently allocate past the collision and drop the racer's
+        commit.)  A token that exists while the ref pointer never
+        advances past its base is a crashed writer's remnant; the error
+        message carries the repair hint."""
         os.makedirs(self._meta_dir, exist_ok=True)
-        version = snap["version"]
-        # commit wall time (epoch seconds): what TIMESTAMP AS OF resolves
-        # against.  Stamped at commit, monotone per table by construction
-        # of the single-winner version allocation below (a racing loser
-        # re-stamps on retry).
-        snap["committed_at"] = time.time()
-        path = os.path.join(self._meta_dir, f"snap-{version:08d}.json")
+        if self.ref != "main":
+            if self._read_ref(self.ref).get("type") == "tag":
+                raise ValueError(
+                    f"ref {self.ref!r} is a tag — tags are immutable; "
+                    "checkout a branch to write"
+                )
+        # the committed snapshot this handle derived the new one from
+        # (its view before the mutation); None for the genesis commit
+        base = self._snap["version"] if self._snap else None
+        txn_dir = os.path.join(self._meta_dir, "txn")
+        os.makedirs(txn_dir, exist_ok=True)
+        token = os.path.join(
+            txn_dir, f"{self.ref}-{'genesis' if base is None else base}"
+        )
         try:
-            fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
+            tfd = os.open(token, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
         except FileExistsError:
             raise ConcurrentCommitError(
-                f"version {version} at {self.root} was committed by another "
-                "writer (or is a crashed writer's orphan manifest if VERSION "
-                f"never reaches {version} — repair by deleting "
-                f"{path}).  Refresh and retry."
+                f"ref {self.ref!r} at {self.root} was advanced past version "
+                f"{base} by another writer (or the token is a crashed "
+                f"writer's remnant if the ref pointer never moves — repair "
+                f"by deleting {token} and the manifest it names).  Refresh "
+                "and retry."
             ) from None
+        # allocate the next free GLOBAL snapshot number; a collision here
+        # is a writer on another ref taking the same number — re-draw
+        while True:
+            version = max(
+                (base + 1) if base is not None else 0,
+                self._next_free_version(),
+            )
+            path = os.path.join(self._meta_dir, f"snap-{version:08d}.json")
+            try:
+                fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
+                break
+            except FileExistsError:
+                continue
+        snap["version"] = version
+        # lineage across refs is the `parent` chain, not numeric
+        # adjacency.  NOT setdefault: the deep-copied snap inherits its
+        # base's parent.
+        snap["parent"] = base
+        # commit wall time (epoch seconds): what TIMESTAMP AS OF resolves
+        # against.  Stamped at commit, monotone per ref by construction
+        # of the single-winner token protocol above (a racing loser
+        # re-stamps on retry).
+        snap["committed_at"] = time.time()
+        # record which manifest this token produced (repair breadcrumb)
+        with os.fdopen(tfd, "w") as fh:
+            fh.write(str(version))
         with os.fdopen(fd, "w") as fh:
             json.dump(snap, fh)
             fh.flush()
             os.fsync(fh.fileno())
-        tmp = os.path.join(self._meta_dir, f".VERSION.{uuid.uuid4().hex}")
-        with open(tmp, "w") as fh:
-            fh.write(str(version))
-            fh.flush()
-            os.fsync(fh.fileno())
-        os.replace(tmp, os.path.join(self._meta_dir, "VERSION"))
-        dfd = os.open(self._meta_dir, os.O_RDONLY)
-        try:
-            os.fsync(dfd)
-        finally:
-            os.close(dfd)
+        if self.ref == "main":
+            tmp = os.path.join(self._meta_dir, f".VERSION.{uuid.uuid4().hex}")
+            with open(tmp, "w") as fh:
+                fh.write(str(version))
+                fh.flush()
+                os.fsync(fh.fileno())
+            os.replace(tmp, os.path.join(self._meta_dir, "VERSION"))
+            dfd = os.open(self._meta_dir, os.O_RDONLY)
+            try:
+                os.fsync(dfd)
+            finally:
+                os.close(dfd)
+        else:
+            self._write_ref(self.ref, version, "branch")
         self._snap = snap
 
     def snapshot_at(self, version: int) -> dict[str, Any]:
@@ -226,25 +321,48 @@ class LakeTable:
         with open(path) as fh:
             return json.load(fh)
 
+    def _next_free_version(self) -> int:
+        """Next unallocated number in the table's single global version
+        sequence (max retained manifest + 1).  Metadata-dir listing only
+        — expire_snapshots keeps it bounded."""
+        try:
+            names = os.listdir(self._meta_dir)
+        except FileNotFoundError:
+            return 0
+        mx = -1
+        for fn in names:
+            m = re.fullmatch(r"snap-(\d{8})\.json", fn)
+            if m:
+                mx = max(mx, int(m.group(1)))
+        return mx + 1
+
+    def _ancestry(self, head: int | None = None):
+        """Yield versions newest-first along the ``parent`` chain from
+        ``head`` (default: this handle's current version).  Stops at the
+        root or at the first expired (missing) ancestor manifest.
+        Manifests written before the refs feature carry no ``parent``
+        key — fall back to numeric adjacency, their actual lineage."""
+        v = self.snapshot["version"] if head is None else head
+        while v is not None:
+            try:
+                s = self.snapshot_at(v)
+            except ValueError:
+                return
+            yield v
+            v = s.get("parent", v - 1 if v > 0 else None)
+
     def version_at_timestamp(self, ts: float) -> int:
         """TIMESTAMP AS OF resolution (Delta/Iceberg semantics): the
-        newest RETAINED version whose commit time is <= ts.  Scans
-        retained manifests newest-first, so cost is O(versions newer
-        than ts), not O(history).  Commit times come from each writer's
-        clock; with multiple writers they are monotone up to clock skew
-        — exactly the Delta caveat — and version-based travel remains
-        the exact API.  Raises if ts predates the oldest retained
-        snapshot (the lookback horizon has passed it)."""
-        import re as _re
-
-        versions = sorted(
-            (
-                int(m.group(1))
-                for fn in os.listdir(self._meta_dir)
-                if (m := _re.fullmatch(r"snap-(\d{8})\.json", fn))
-            ),
-            reverse=True,
-        )
+        newest RETAINED version **in this ref's ancestry** whose commit
+        time is <= ts.  Walks the parent chain newest-first, so cost is
+        O(versions newer than ts), not O(history) — and a sibling
+        branch's commits never satisfy another branch's timestamp.
+        Commit times come from each writer's clock; with multiple
+        writers they are monotone up to clock skew — exactly the Delta
+        caveat — and version-based travel remains the exact API.  Raises
+        if ts predates the oldest retained snapshot (the lookback
+        horizon has passed it)."""
+        versions = list(self._ancestry())
         oldest = None
         for v in versions:
             s = self.snapshot_at(v)
@@ -257,6 +375,164 @@ class LakeTable:
             f"(oldest retained: version {oldest[0]} committed at "
             f"{oldest[1]})" if oldest else f"table has no snapshots"
         )
+
+    # ------------------------------------------------------------------ #
+    # refs: branches / tags / write-audit-publish
+    # ------------------------------------------------------------------ #
+    def create_branch(self, name: str, at_version: int | None = None) -> None:
+        """Create a branch pointing at ``at_version`` (default: this
+        handle's current head).  Branch commits share the table's global
+        version sequence but move only the branch pointer — main stays
+        untouched until :meth:`publish_branch` (the Iceberg
+        write-audit-publish pattern; the reference's analog is staging
+        cBioPortal files to a scratch dir and copying them live after
+        validation passes)."""
+        if name == "main":
+            raise ValueError("'main' is the table's default branch")
+        v = self.snapshot["version"] if at_version is None else int(at_version)
+        self.snapshot_at(v)  # must exist
+        self._write_ref(name, v, "branch", exclusive=True)
+
+    def create_tag(self, name: str, at_version: int | None = None) -> None:
+        """Create an immutable named pointer (audit/release marker).
+        Reads resolve through it; commits to it are refused; expire/
+        vacuum keep what it references alive."""
+        if name == "main":
+            raise ValueError("'main' is the table's default branch")
+        v = self.snapshot["version"] if at_version is None else int(at_version)
+        self.snapshot_at(v)
+        self._write_ref(name, v, "tag", exclusive=True)
+
+    def drop_ref(self, name: str) -> None:
+        if name == "main":
+            raise ValueError("cannot drop the main branch")
+        try:
+            os.remove(self._ref_path(name))
+        except FileNotFoundError:
+            raise ValueError(f"no such ref {name!r} at {self.root}") from None
+        # drop the ref's commit-arbitration tokens too, so a branch
+        # recreated under the same name can commit from any base again
+        txn_dir = os.path.join(self._meta_dir, "txn")
+        if os.path.isdir(txn_dir):
+            pat = re.compile(rf"{re.escape(name)}-(\d+|genesis)\Z")
+            for fn in os.listdir(txn_dir):
+                if pat.fullmatch(fn):
+                    os.remove(os.path.join(txn_dir, fn))
+
+    def refs(self) -> list[dict[str, Any]]:
+        """All named refs (main + branches + tags), with their heads."""
+        out = [
+            {
+                "name": "main",
+                "type": "branch",
+                "version": self._read_ref("main")["version"],
+            }
+        ]
+        if os.path.isdir(self._refs_dir()):
+            for fn in sorted(os.listdir(self._refs_dir())):
+                if not fn.endswith(".json") or fn.startswith("."):
+                    continue
+                with open(os.path.join(self._refs_dir(), fn)) as fh:
+                    rec = json.load(fh)
+                out.append(
+                    {
+                        "name": fn[:-5],
+                        "type": rec.get("type", "branch"),
+                        "version": int(rec["version"]),
+                    }
+                )
+        return out
+
+    def checkout(self, name: str) -> "LakeTable":
+        """A handle on the same table bound to ref ``name``.  Reads see
+        the ref's head; commits move the ref's pointer (tags refuse)."""
+        self._read_ref(name)  # validate it exists
+        return LakeTable(self.spark, self.root, ref=name)
+
+    def publish_branch(self, branch: str) -> int:
+        """Fast-forward THIS handle's ref to ``branch``'s head (the
+        "publish" step of write-audit-publish).  Commits a new manifest
+        whose content is the branch head's — data files are referenced,
+        not rewritten, so publish is O(metadata) — allocated through the
+        same O_EXCL single-winner protocol as every commit, so two racing
+        publishes cannot both win.  The branch pointer is then advanced
+        to the published commit, keeping branch == target for the next
+        staging cycle.
+
+        Requires this ref's head to be an ANCESTOR of the branch head
+        (true fast-forward).  If the target advanced independently since
+        the fork, raises ConcurrentCommitError: publishing would silently
+        drop those commits — re-stage from a fresh branch instead.  The
+        ledger (applied LSNs, source watermarks) publishes with the data
+        it covers, so exactly-once replay holds across the flow."""
+        rec = self._read_ref(branch)
+        if rec.get("type") == "tag":
+            raise ValueError(f"{branch!r} is a tag, not a branch")
+        src_head = int(rec["version"])
+        self.refresh()
+        base = self.snapshot["version"]
+        if src_head == base:
+            return base  # nothing staged
+        if base not in self._ancestry(src_head):
+            raise ConcurrentCommitError(
+                f"branch {branch!r} (head {src_head}) does not descend "
+                f"from {self.ref!r} (head {base}): the target advanced "
+                "since the fork (or the fork point was expired) — "
+                "re-stage on a fresh branch"
+            )
+        snap = json.loads(json.dumps(self.snapshot_at(src_head)))
+        snap["version"] += 1  # _commit reallocates globally
+        # the publish commit's change-data descriptor covers the WHOLE
+        # staged segment (base..src_head), not just the branch's last
+        # commit: concatenate the staged commits' stored change files
+        # when they all captured CDF under one schema, else fall back to
+        # the snapshot-diff mode — CDF consumers on the target ref keep
+        # their fast path across a write-audit-publish cycle.
+        staged: list[int] = []
+        for v in self._ancestry(src_head):
+            if v == base:
+                break
+            staged.append(v)
+        ch_files: list[str] = []
+        ch_sid: int | None = None
+        ch_ok = True
+        for v in reversed(staged):  # oldest-first
+            d = self.snapshot_at(v).get("changes") or {}
+            mode = d.get("mode")
+            if mode == "none":
+                continue
+            if mode != "cdf":
+                ch_ok = False
+                break
+            sid = int(d["schema_id"])
+            if ch_sid is None:
+                ch_sid = sid
+            elif sid != ch_sid:
+                ch_ok = False  # schema evolved mid-branch: one-scan
+                break          # descriptor can't carry both
+            ch_files.extend(d.get("files") or [])
+        if ch_ok and ch_sid is not None:
+            snap["changes"] = {
+                "mode": "cdf", "files": ch_files, "schema_id": ch_sid,
+            }
+        elif ch_ok:
+            snap["changes"] = {"mode": "none"}
+        else:
+            snap["changes"] = {"mode": "diff"}
+        snap["lineage"].append(
+            {
+                "at": round(time.time(), 3),
+                "batch_id": f"publish-{branch}-{src_head}",
+                "operation": "publish",
+                "source_ref": branch,
+                "source_version": src_head,
+                "base_version": base,
+            }
+        )
+        self._commit(snap)
+        published = snap["version"]
+        self._write_ref(branch, published, "branch")
+        return published
 
     @classmethod
     def exists(cls, root: str) -> bool:
@@ -983,6 +1259,15 @@ class LakeTable:
             raise ValueError(f"invalid prepare strategy: {strategy}")
 
         batch = batch.withColumn(lsn_col, F.col(lsn_col).cast("long"))
+        # KEY columns must be cast to the declared schema types BEFORE
+        # anything hashes them: Spark's murmur3 is type-sensitive
+        # (hash(0 as int) != hash(0 as bigint)), so an INT-typed key from
+        # e.g. a SQL VALUES literal would bucket to the wrong file and
+        # split the key's versions across buckets — found as a DELETE
+        # that left its row behind.  Non-key columns are cast at the
+        # payload projections.
+        for k in keys:
+            batch = batch.withColumn(k, F.col(k).cast(target[k].dataType))
         new_events = batch.filter(F.col(lsn_col) > F.lit(applied))
 
         data_cols = [f.name for f in target.fields]
@@ -1148,6 +1433,15 @@ class LakeTable:
         keys = self.key_cols
         applied = self.snapshot["ledger"]["applied_lsn"]
         batch = batch.withColumn(lsn_col, F.col(lsn_col).cast("long"))
+        # KEY columns must be cast to the declared schema types BEFORE
+        # anything hashes them: Spark's murmur3 is type-sensitive
+        # (hash(0 as int) != hash(0 as bigint)), so an INT-typed key from
+        # e.g. a SQL VALUES literal would bucket to the wrong file and
+        # split the key's versions across buckets — found as a DELETE
+        # that left its row behind.  Non-key columns are cast at the
+        # payload projections.
+        for k in keys:
+            batch = batch.withColumn(k, F.col(k).cast(target[k].dataType))
         new_events = batch.filter(F.col(lsn_col) > F.lit(applied))
         data_cols = [f.name for f in target.fields if f.name not in keys]
         have = set(new_events.columns)
@@ -2023,8 +2317,22 @@ class LakeTable:
         # scan node per SCHEMA VERSION, not per commit — a long interval
         # (thousands of commits) stays a handful-of-scans plan
         by_schema: dict[int, tuple[T.StructType, list[str]]] = {}
+        # the interval's commits = this ref's ancestry from to_v back to
+        # (exclusive) from_v — numeric adjacency doesn't hold once the
+        # global version sequence interleaves branch commits
+        interval: list[int] = []
+        hit_from = from_v < 0
+        for v in self._ancestry(to_v):
+            if v == from_v:
+                hit_from = True
+                break
+            if v < from_v:
+                break
+            interval.append(v)
+        if not hit_from:
+            return None  # from_v expired or on another branch: fall back
         try:
-            for v in range(from_v + 1, to_v + 1):
+            for v in reversed(interval):
                 s = self.snapshot_at(v)
                 d = s.get("changes")
                 if not d or d.get("mode") == "diff":
@@ -2858,16 +3166,47 @@ class LakeTable:
             # keep_last=0 would delete the CURRENT manifest and brick the
             # table (VERSION pointer left dangling)
             raise ValueError(f"keep_last must be >= 1, got {keep_last}")
-        current = self.snapshot["version"]
+        # protect every ref head; for BRANCH refs also their newest
+        # keep_last ancestors (per-branch lookback, Iceberg's
+        # branch-level retention).  A tag keeps exactly its snapshot.
+        protected: set[int] = set()
+        newest_head = 0
+        for r in self.refs():
+            head = int(r["version"])
+            newest_head = max(newest_head, head)
+            if r["type"] == "tag":
+                protected.add(head)
+                continue
+            for i, v in enumerate(self._ancestry(head)):
+                if i >= keep_last:
+                    break
+                protected.add(v)
         removed = 0
         for fn in sorted(os.listdir(self._meta_dir)):
             m = _re.fullmatch(r"snap-(\d{8})\.json", fn)
             if not m:
                 continue
             v = int(m.group(1))
-            if v <= current - keep_last:
+            # never touch manifests at/above the newest observed head: a
+            # concurrent writer may be mid-commit there (its manifest
+            # exists before its pointer swings)
+            if v not in protected and v < newest_head:
                 os.remove(os.path.join(self._meta_dir, fn))
                 removed += 1
+        # commit-arbitration tokens age out with the manifests: a token
+        # at base B only blocks writers whose cached snapshot is B, and
+        # once B's manifest is expired such a handle can no longer exist
+        # (its refresh fails).  Same guard as manifests: never the newest
+        # head's token (a writer may be mid-commit from it).
+        txn_dir = os.path.join(self._meta_dir, "txn")
+        if os.path.isdir(txn_dir):
+            for fn in os.listdir(txn_dir):
+                m = _re.search(r"-(\d+)\Z", fn)
+                if not m:
+                    continue  # genesis tokens stay (tiny, one per ref)
+                b = int(m.group(1))
+                if b not in protected and b < newest_head:
+                    os.remove(os.path.join(txn_dir, fn))
         return removed
 
     def vacuum(self) -> int:

@@ -1612,6 +1612,9 @@ def cdc_router_fanout(spark, sf_dir):
         )
         out = part if out is None else out.unionByName(part)
     return out
+
+
+@_register("cdc_snapshot_handoff", ORACLES["cdc_repos_replay"])
 def cdc_snapshot_handoff(spark, sf_dir):
     """Debezium's snapshot-then-streaming handoff: bootstrap the sink
     from a consistent snapshot at a boundary LSN (one overwrite stamped
@@ -1696,6 +1699,55 @@ def cdc_sql_merge_replay(spark, sf_dir):
     return ls.sql(
         "SELECT repo, path, commit, lang, content, "
         "sha2(content, 256) AS content_sha FROM repos"
+    )
+
+
+@_register("cdc_branch_wap_publish", ORACLES["cdc_repos_replay"])
+def cdc_branch_wap_publish(spark, sf_dir):
+    """Write-audit-publish over Iceberg-style branches: each WAL batch
+    is staged on an ``audit`` branch (main untouched), audited on the
+    branch read (no NULL keys), then fast-forward published — an
+    O(metadata) commit referencing the staged files.  After two full
+    stage/audit/publish cycles the MAIN state must hash-match the pure
+    replay oracle, proving publish loses nothing and the ledger travels
+    with the data (reference analog: staging cBioPortal files to a
+    scratch dir and copying live after validation,
+    pipeline/lib/summary/summary_config_processor.py)."""
+    from cdm_cbioportal_etl_spark.cdc import CdcReplayer
+    from cdm_cbioportal_etl_spark.cdc.generator import REPOS_SCHEMA
+
+    wal = _repos_wal(spark, sf_dir)
+    max_lsn = int(wal.agg(F.max("lsn")).collect()[0][0])
+    root = os.path.join(
+        CDC_WORK_DIR,
+        spark.sparkContext.applicationId,
+        "wap-" + os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    table = LakeTable.create(
+        spark,
+        root,
+        T.StructType(list(REPOS_SCHEMA.fields)),
+        key_cols=["repo", "path"],
+        n_buckets=16,
+    )
+    half = (max_lsn + 2) // 2
+    for lo, hi in ((0, half), (half, max_lsn + 1)):
+        table.create_branch("audit")
+        staging = table.checkout("audit")
+        CdcReplayer(staging).replay_range_batches(
+            wal, lo, hi, batch_size=max(1, (hi - lo + 1) // 2)
+        )
+        # audit gate runs on the BRANCH read; main is still unstaged
+        assert staging.read().filter(
+            F.col("repo").isNull() | F.col("path").isNull()
+        ).count() == 0
+        table.publish_branch("audit")
+        table.refresh()
+        table.drop_ref("audit")
+    return table.read().select(
+        "repo", "path", "commit", "lang", "content",
+        F.sha2("content", 256).alias("content_sha"),
     )
 
 

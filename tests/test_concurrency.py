@@ -69,19 +69,28 @@ def test_retry_preserves_exactly_once_under_overlap(spark, tmp_path):
     assert b.applied_lsn() == 3
 
 
-def test_orphan_manifest_raises_with_repair_hint(spark, tmp_path):
+def test_orphan_token_raises_with_repair_hint(spark, tmp_path):
+    """A crashed writer's remnant is its commit-arbitration token (the
+    ref pointer never advanced past the token's base).  A bare orphan
+    MANIFEST no longer blocks — the global allocator draws past it and
+    expire_snapshots reaps it — but the token must surface a repairable
+    ConcurrentCommitError rather than spin or drop data."""
     root = str(tmp_path / "occ3")
     t = LakeTable.create(spark, root, SCHEMA, ["k"], n_buckets=2)
     _merge(t, [(1, "upsert", "k1", "a", 1)])
-    # simulate a crashed writer: manifest for the NEXT version exists but
-    # VERSION never reached it
     v = t.snapshot["version"]
+    # crashed writer: token for (main, v) exists, manifest half-written,
+    # pointer never moved
     orphan = os.path.join(root, "_meta", f"snap-{v + 1:08d}.json")
     with open(orphan, "w") as fh:
         json.dump({"version": v + 1}, fh)
+    token = os.path.join(root, "_meta", "txn", f"main-{v}")
+    with open(token, "w") as fh:
+        fh.write(str(v + 1))
     with pytest.raises(ConcurrentCommitError, match="repair"):
         _merge(t, [(2, "upsert", "k2", "a", 2)])
     # repair and retry succeeds
+    os.remove(token)
     os.remove(orphan)
     _merge(t, [(2, "upsert", "k2", "a", 2)])
     assert t.applied_lsn() == 2
