@@ -3278,6 +3278,98 @@ def cdc_repos_replay_mor(spark, sf_dir):
     )
 
 
+@_register("cdc_repos_replay_dv", ORACLES["cdc_repos_replay"])
+def cdc_repos_replay_dv(spark, sf_dir):
+    """North-rule flagship in deletion-vector mode: superseded rows are
+    killed positionally (per-commit (file, row_index) sidecars), winners
+    append as plain files — MOR's write cost with a fold-free read
+    (lake/table.py::_apply_dv).  Final state must hash-match the same
+    DuckDB oracle as the copy-on-write replay."""
+    from cdm_cbioportal_etl_spark.cdc import CdcReplayer
+    from cdm_cbioportal_etl_spark.cdc.generator import REPOS_SCHEMA
+
+    wal = _repos_wal(spark, sf_dir)
+    max_lsn = wal.agg(F.max("lsn")).collect()[0][0]
+    root = os.path.join(
+        CDC_WORK_DIR,
+        spark.sparkContext.applicationId,
+        "repos-dv-" + os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    table = LakeTable.create(
+        spark, root, T.StructType(list(REPOS_SCHEMA.fields)),
+        key_cols=["repo", "path"], n_buckets=16,
+        properties={"merge_mode": "dv"},
+    )
+    CdcReplayer(table).replay_range_batches(
+        wal, 0, int(max_lsn) + 1, batch_size=(int(max_lsn) + 4) // 4
+    )
+    return table.read().select(
+        "repo", "path", "commit", "lang", "content",
+        F.sha2("content", 256).alias("content_sha"),
+    )
+
+
+@_register("wal_log_compaction", ORACLES["cdc_repos_replay"])
+def wal_log_compaction(spark, sf_dir):
+    """Kafka-style log compaction of the WAL itself: the lower half of
+    the change stream is rewritten to latest-event-per-key (tombstones
+    retained), then compacted-prefix ∪ tail replays through the
+    exactly-once MERGE path — final state must hash-match the
+    full-log oracle (streaming/compaction.py, the bootstrap-cost
+    amortization a 10^10-event log needs for new-replica seeding)."""
+    from cdm_cbioportal_etl_spark.cdc import CdcReplayer
+    from cdm_cbioportal_etl_spark.cdc.generator import REPOS_SCHEMA
+    from cdm_cbioportal_etl_spark.streaming.compaction import (
+        compact_wal_prefix,
+        compose_compacted_wal,
+    )
+
+    wal = _repos_wal(spark, sf_dir)
+    max_lsn = int(wal.agg(F.max("lsn")).collect()[0][0])
+    work = os.path.join(
+        CDC_WORK_DIR,
+        spark.sparkContext.applicationId,
+        "walcomp-" + os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    wal_dir = os.path.join(work, "wal")
+    os.makedirs(wal_dir)
+    # 8 LSN-contiguous segments, one file each (the tail reader's shape)
+    step = (max_lsn + 8) // 8
+    for i in range(8):
+        seg = wal.filter(
+            (F.col("lsn") >= i * step) & (F.col("lsn") < (i + 1) * step)
+        )
+        tmp = os.path.join(work, f"_seg{i}")
+        seg.coalesce(1).write.parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        os.rename(
+            os.path.join(tmp, part),
+            os.path.join(wal_dir, f"seg-{i:04d}.parquet"),
+        )
+        shutil.rmtree(tmp)
+    rep = compact_wal_prefix(
+        spark, wal_dir, os.path.join(work, "compacted"),
+        key_cols=["repo", "path"], op_col="op", upto_lsn=max_lsn // 2,
+    )
+    composed = compose_compacted_wal(
+        spark, wal_dir, os.path.join(work, "compacted"), rep.upto_lsn
+    )
+    table = LakeTable.create(
+        spark, os.path.join(work, "table"),
+        T.StructType(list(REPOS_SCHEMA.fields)),
+        key_cols=["repo", "path"], n_buckets=16,
+    )
+    CdcReplayer(table).replay_range_batches(
+        composed, 0, max_lsn + 1, batch_size=(max_lsn + 4) // 4
+    )
+    return table.read().select(
+        "repo", "path", "commit", "lang", "content",
+        F.sha2("content", 256).alias("content_sha"),
+    )
+
+
 # --------------------------------------------------------------------- #
 # Stats-pruned lake read (Iceberg-style data skipping): the table's
 # manifest carries per-file min/max for key cols + LSN; read(prune=...)
