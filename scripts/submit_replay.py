@@ -43,10 +43,11 @@ def main() -> None:
     ap.add_argument("--buckets", type=int, default=64)
     ap.add_argument("--strategy", default="auto",
                     choices=["broadcast", "shuffle", "auto"])
-    ap.add_argument("--mode", default="cow", choices=["cow", "mor"],
-                    help="merge mode: copy-on-write rewrite vs "
-                         "merge-on-read delta append (applies at table "
-                         "creation; existing tables keep their property)")
+    ap.add_argument("--mode", default="cow", choices=["cow", "mor", "dv"],
+                    help="merge mode: copy-on-write rewrite, merge-on-read "
+                         "delta append, or deletion-vector positional kills "
+                         "(applies at table creation; existing tables keep "
+                         "their property)")
     ap.add_argument("--salt", type=int, default=0)
     ap.add_argument("--resume", action="store_true",
                     help="continue from the table's LSN ledger watermark")

@@ -214,6 +214,49 @@ def test_dv_rejects_mor_deltas(spark, tmp_path):
     assert _state(t) == _state(cow)
 
 
+def test_dv_streaming_tail(spark, tmp_path):
+    """The WAL tail reader drives dv merges through merge_kwargs — the
+    full streaming chain works against the third physical mode too."""
+    from cdm_cbioportal_etl_spark.cdc import gen_change_events
+    from cdm_cbioportal_etl_spark.cdc.generator import REPOS_SCHEMA
+    from cdm_cbioportal_etl_spark.cdc.replayer import expected_final_state
+    from cdm_cbioportal_etl_spark.streaming import WalTailReader
+
+    events = gen_change_events(spark, 3000, n_repos=10, paths_per_repo=20, seed=3)
+    wal_dir = str(tmp_path / "wal")
+    os.makedirs(wal_dir)
+    for i, (lo, hi) in enumerate([(0, 1500), (1500, 3000)]):
+        (
+            events.filter((F.col("lsn") >= lo) & (F.col("lsn") < hi))
+            .coalesce(1)
+            .write.parquet(os.path.join(wal_dir, f"seg-{i:04d}"))
+        )
+    table = LakeTable.create(
+        spark, str(tmp_path / "dvtail"),
+        T.StructType(list(REPOS_SCHEMA.fields)),
+        key_cols=["repo", "path"], n_buckets=4,
+    )
+    WalTailReader(
+        spark, os.path.join(wal_dir, "seg-*"), table,
+        str(tmp_path / "ckpt"), max_files_per_trigger=1,
+        merge_kwargs={"mode": "dv"},
+    ).run_available_now()
+    got = {
+        tuple(r)
+        for r in table.read().select("repo", "path", "commit").collect()
+    }
+    want = {
+        tuple(r)
+        for r in expected_final_state(events, ["repo", "path"])
+        .select("repo", "path", "commit")
+        .collect()
+    }
+    assert got == want
+    assert table.snapshot.get("dv") or all(
+        not r["is_delta"] for r in table.files().collect()
+    )
+
+
 def test_dv_point_lookup_and_changes_since(spark, tmp_path):
     dv = _replay(spark, tmp_path, "dvpoint", "dv")
     r = dv.point_lookup({"repo": "r1", "path": "a.py"}).collect()
