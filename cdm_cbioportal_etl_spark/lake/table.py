@@ -737,6 +737,7 @@ class LakeTable:
             [LSN_COL] if with_lsn else []
         )
         by_schema: dict[int, list[str]] = {}
+        dv_hot: set[str] = set()  # files carrying dead (dv-killed) rows
         for b, files in snap["buckets"].items():
             if buckets is not None and int(b) not in buckets:
                 continue
@@ -748,9 +749,10 @@ class LakeTable:
                     continue
                 if eff_prune and not self._stats_admit(fobj, eff_prune):
                     continue
-                by_schema.setdefault(fobj["schema_id"], []).append(
-                    os.path.join(self.root, fobj["path"])
-                )
+                abs_path = os.path.join(self.root, fobj["path"])
+                by_schema.setdefault(fobj["schema_id"], []).append(abs_path)
+                if fobj.get("dv_rows"):
+                    dv_hot.add(abs_path)
         if not by_schema:
             return self._empty(with_lsn, target).select(*final_cols)
         # deletion vectors in scope: per-commit (file, row_index) kill
@@ -763,8 +765,14 @@ class LakeTable:
             if buckets is None or set(e.get("buckets", [])) & buckets
         ]
         dv_cols = ["_dv_file", "_dv_pos"] if dv_entries else []
+        eq_entries = [
+            e
+            for e in snap.get("eqdel", [])
+            if buckets is None or set(e.get("buckets", [])) & buckets
+        ]
         parts = []
-        for sid, paths in sorted(by_schema.items()):
+        parts_dv = []
+        for sid, all_paths in sorted(by_schema.items()):
             # each file group's schema is KNOWN from the manifest — pass it
             # explicitly so the read plans with zero footer-inference work
             # (measured ~0.5s per inference on 64 files; read() runs
@@ -779,35 +787,49 @@ class LakeTable:
                     T.StructField(DELETED_COL, T.BooleanType(), True),
                 ]
             )
-            raw = self.spark.read.schema(file_schema).parquet(*paths)
-            if dv_entries:
-                import re as _re
-
-                root_abs = os.path.abspath(self.root)
+            # files with no dead rows bypass the positional anti-join
+            # entirely (and never materialize _metadata) — on a table
+            # whose updates are skewed, most files stay on this leg
+            hot = [p for p in all_paths if p in dv_hot] if dv_entries else []
+            clean = (
+                [p for p in all_paths if p not in dv_hot]
+                if dv_entries
+                else all_paths
+            )
+            if clean:
+                raw = self.spark.read.schema(file_schema).parquet(*clean)
+                parts.append(
+                    self._align(
+                        raw, target, with_lsn=True, with_deleted=has_deltas
+                    ).select(*internal)
+                )
+            if hot:
+                # data-file rel paths are exactly 4 components
+                # (data/w-*/_bucket=*/part-*.parquet — asserted at dv
+                # write time), so the uri→rel normalization is ONE
+                # right-anchored substring_index per row, not a regexp —
+                # this runs on every scanned row of the dv-bearing leg
+                raw = self.spark.read.schema(file_schema).parquet(*hot)
                 raw = raw.select(
                     "*",
-                    F.regexp_replace(
-                        F.regexp_replace(
-                            F.col("_metadata.file_path"), r"^file:/+", "/"
-                        ),
-                        "^" + _re.escape(root_abs + "/"),
-                        "",
+                    F.substring_index(
+                        F.col("_metadata.file_path"), "/", -4
                     ).alias("_dv_file"),
                     F.col("_metadata.row_index").alias("_dv_pos"),
                 )
-            parts.append(
-                self._align(
-                    raw,
-                    target,
-                    with_lsn=True,
-                    with_deleted=has_deltas,
-                    extra_cols=dv_cols,
-                ).select(*internal, *dv_cols)
-            )
-        df = parts[0]
-        for p in parts[1:]:
-            df = df.unionByName(p)
-        if dv_entries:
+                parts_dv.append(
+                    self._align(
+                        raw,
+                        target,
+                        with_lsn=True,
+                        with_deleted=has_deltas,
+                        extra_cols=dv_cols,
+                    ).select(*internal, *dv_cols)
+                )
+        if parts_dv:
+            hot_df = parts_dv[0]
+            for p in parts_dv[1:]:
+                hot_df = hot_df.unionByName(p)
             dv = self.spark.read.parquet(
                 *[
                     os.path.join(self.root, p)
@@ -817,13 +839,69 @@ class LakeTable:
             ).select(
                 F.col("file").alias("_dv_file"), F.col("pos").alias("_dv_pos")
             )
-            if sum(int(e.get("rows", 0)) for e in dv_entries) <= 4_000_000:
+            if (
+                sum(int(e.get("rows", 0)) for e in dv_entries)
+                <= self.DV_BROADCAST_ROWS
+            ):
                 # small dead-set: ship it to every task instead of
-                # shuffling the table scan for the anti-join
+                # shuffling the scan.  Measured crossover: building a
+                # multi-million-row broadcast hash relation costs more
+                # than shuffling both sides (6-10s vs 1.7-2.3s at 3.6M
+                # dead / 8.2M scanned), so large dead sets take the
+                # shuffle-hash path — never sort-merge, the dead set is
+                # always the small side
                 dv = F.broadcast(dv)
-            df = df.join(dv, ["_dv_file", "_dv_pos"], "left_anti").drop(
-                "_dv_file", "_dv_pos"
+            else:
+                dv = dv.hint("shuffle_hash")
+            parts.append(
+                hot_df.join(dv, ["_dv_file", "_dv_pos"], "left_anti").drop(
+                    "_dv_file", "_dv_pos"
+                )
             )
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        if eq_entries:
+            # equality deletes: a row version dies when some recorded key
+            # tuple matches it at a delete LSN at or above the row's own.
+            # Applied BEFORE any MOR fold — killing every version at or
+            # below the delete's LSN is exactly the delete-barrier
+            # semantics (a later upsert, higher LSN, survives and
+            # resolves normally; partial-image columns can no longer
+            # inherit through the barrier because the older occurrences
+            # are gone).  One anti-join per scan until compact() retires
+            # the entries.
+            keys = snap["key_cols"]
+            eqs = []
+            key_schema = T.StructType(
+                [f for f in target.fields if f.name in set(keys)]
+            )
+            for e in eq_entries:
+                eqs.append(
+                    self.spark.read.schema(key_schema)
+                    .parquet(*[os.path.join(self.root, p) for p in e["files"]])
+                    .select(
+                        *[
+                            F.col(k).alias(f"_eqk_{i}")
+                            for i, k in enumerate(keys)
+                        ],
+                        F.lit(int(e["lsn"])).cast("long").alias("_eq_lsn"),
+                    )
+                )
+            eq = eqs[0]
+            for q in eqs[1:]:
+                eq = eq.unionByName(q)
+            if (
+                sum(int(e.get("rows", 0)) for e in eq_entries)
+                <= self.DV_BROADCAST_ROWS
+            ):
+                eq = F.broadcast(eq)
+            else:
+                eq = eq.hint("shuffle_hash")
+            cond = df[LSN_COL] <= F.col("_eq_lsn")
+            for i, k in enumerate(keys):
+                cond = cond & df[k].eqNullSafe(F.col(f"_eqk_{i}"))
+            df = df.join(eq, cond, "left_anti")
         if has_deltas:
             keys = snap["key_cols"]
             if snap.get("properties", {}).get("partial_updates"):
@@ -1237,6 +1315,7 @@ class LakeTable:
         snap["version"] += 1
         snap["buckets"] = mapping
         snap.pop("dv", None)  # full replace: no prior positions survive
+        snap.pop("eqdel", None)
         snap["bucket_rows"] = {b: self._files_rows(f) for b, f in mapping.items()}
         cur = snap["ledger"]["applied_lsn"]
         snap["ledger"]["applied_lsn"] = lsn if reset_ledger else max(cur, lsn)
@@ -1250,6 +1329,12 @@ class LakeTable:
     # of broadcast (a 10^8-winner batch cannot be broadcast); overridable
     # via table property "winner_broadcast_threshold"
     WINNER_BROADCAST_THRESHOLD = 2_000_000
+
+    # dead-row sets larger than this take the shuffle-hash anti-join
+    # instead of a broadcast (building a multi-million-row broadcast hash
+    # relation costs more than shuffling both sides — measured in
+    # scripts/bench_dv_modes.py)
+    DV_BROADCAST_ROWS = 262_144
 
     def _winner_threshold(self) -> int:
         return int(
@@ -2160,7 +2245,6 @@ class LakeTable:
         this is the third physical strategy the north rule's
         10^10-event replay needs for update-heavy workloads.
         """
-        import re as _re
         import time as _time
 
         from pyspark import StorageLevel
@@ -2224,8 +2308,7 @@ class LakeTable:
                 want = set(keys) | (set(data_cols) if write_cdf else set())
                 read_schema = T.StructType(
                     [f for f in fschema.fields if f.name in want]
-                    + ([T.StructField(LSN_COL, T.LongType(), True)]
-                       if write_cdf else [])
+                    + [T.StructField(LSN_COL, T.LongType(), True)]
                 )
                 raw = self.spark.read.schema(read_schema).parquet(
                     *[os.path.join(self.root, p) for p in paths]
@@ -2233,14 +2316,14 @@ class LakeTable:
                 have = set(raw.columns)
                 sel = [
                     F.col(k).cast(target[k].dataType).alias(k) for k in keys
-                ]
+                ] + [F.col(LSN_COL)]
                 if write_cdf:
                     sel += [
                         (F.col(c) if c in have else F.lit(None))
                         .cast(target[c].dataType)
                         .alias(c)
                         for c in nk_cols
-                    ] + [F.col(LSN_COL)]
+                    ]
                 scans.append(
                     raw.select(
                         *sel,
@@ -2251,31 +2334,81 @@ class LakeTable:
             scan = scans[0]
             for s in scans[1:]:
                 scan = scan.unionByName(s)
-            root_abs = os.path.abspath(self.root)
-            rel_expr = F.regexp_replace(
-                F.regexp_replace(F.col("_dv_uri"), r"^file:/+", "/"),
-                "^" + _re.escape(root_abs + "/"),
-                "",
-            )
-            scan = scan.withColumn("_dv_file", rel_expr).drop("_dv_uri")
+            # uri→rel: data-file rel paths are exactly 4 components (the
+            # invariant the read-side normalization also relies on;
+            # asserted below before any dv entry is committed)
+            scan = scan.withColumn(
+                "_dv_file", F.substring_index(F.col("_dv_uri"), "/", -4)
+            ).drop("_dv_uri")
             # rows a PRIOR commit already killed must not re-match: their
             # key's winner would re-emit a duplicate position (harmless)
             # but, worse, their stale values would pollute the CDF
             # pre-image and mask a delete-then-reinsert as an update.
             # One anti-join against the in-scope existing DV — O(dead
             # rows in the touched buckets), repaid by compaction.
-            prior_dv = [
-                os.path.join(self.root, p)
+            prior_entries = [
+                e
                 for e in snap.get("dv", [])
                 if set(e.get("buckets", [])) & touched
-                for p in e["files"]
             ]
-            if prior_dv:
-                dead = self.spark.read.parquet(*prior_dv).select(
+            if prior_entries:
+                dead = self.spark.read.parquet(
+                    *[
+                        os.path.join(self.root, p)
+                        for e in prior_entries
+                        for p in e["files"]
+                    ]
+                ).select(
                     F.col("file").alias("_dv_file"),
                     F.col("pos").alias("_dv_pos"),
                 )
+                if (
+                    sum(int(e.get("rows", 0)) for e in prior_entries)
+                    <= self.DV_BROADCAST_ROWS
+                ):
+                    dead = F.broadcast(dead)
+                else:
+                    dead = dead.hint("shuffle_hash")
                 scan = scan.join(dead, ["_dv_file", "_dv_pos"], "left_anti")
+            # rows an EQUALITY delete killed are dead the same way prior
+            # dv positions are: re-matching them would duplicate kills
+            # (harmless) and corrupt CDF pre-images (not harmless)
+            eq_prior = [
+                e
+                for e in snap.get("eqdel", [])
+                if set(e.get("buckets", [])) & touched
+            ]
+            if eq_prior:
+                eqs = []
+                key_schema = T.StructType(
+                    [f for f in target.fields if f.name in set(keys)]
+                )
+                for e in eq_prior:
+                    eqs.append(
+                        self.spark.read.schema(key_schema)
+                        .parquet(
+                            *[os.path.join(self.root, p) for p in e["files"]]
+                        )
+                        .select(
+                            *[
+                                F.col(k).alias(f"_eqk_{i}")
+                                for i, k in enumerate(keys)
+                            ],
+                            F.lit(int(e["lsn"])).cast("long").alias("_eq_lsn"),
+                        )
+                    )
+                eq = eqs[0]
+                for q in eqs[1:]:
+                    eq = eq.unionByName(q)
+                if (
+                    sum(int(e.get("rows", 0)) for e in eq_prior)
+                    <= self.DV_BROADCAST_ROWS
+                ):
+                    eq = F.broadcast(eq)
+                econd = scan[LSN_COL] <= F.col("_eq_lsn")
+                for i, k in enumerate(keys):
+                    econd = econd & scan[k].eqNullSafe(F.col(f"_eqk_{i}"))
+                scan = scan.join(eq, econd, "left_anti")
             wk = reduced.select(
                 *[F.col(k).alias(f"_wk_{i}") for i, k in enumerate(keys)],
                 F.col("_op").alias("_c_op"),
@@ -2296,6 +2429,16 @@ class LakeTable:
                 .collect()
             }
             if counts:
+                # the rel-path normalization (both here and in read())
+                # is substring_index(uri, '/', -4): it is exact ONLY
+                # while every data file lives at depth
+                # data/<write>/<bucket>/<file> — fail loudly if the
+                # layout ever changes instead of silently mis-keying
+                bad = [p for p in counts if p.count("/") != 3]
+                if bad:
+                    raise AssertionError(
+                        f"dv path normalization invariant violated: {bad[:3]}"
+                    )
                 out_rel = os.path.join("dv", f"d-{uuid.uuid4().hex}")
                 out_abs = os.path.join(self.root, out_rel)
                 n_dv_rows = sum(counts.values())
@@ -2648,6 +2791,18 @@ class LakeTable:
                 if int(b) in set(e.get("buckets", []))
             }
 
+        def _eq_sig(snap: dict, b) -> tuple:
+            # equality deletes never scan at write time, so there is no
+            # per-file record to anchor a finer plan on: a bucket whose
+            # eq coverage changed is read in full on both sides
+            return tuple(
+                sorted(
+                    (tuple(e["files"]), int(e["lsn"]))
+                    for e in snap.get("eqdel", [])
+                    if int(b) in set(e.get("buckets", []))
+                )
+            )
+
         changed: set[int] = set()
         paths: set[str] = set()
         for b in set(snap_a["buckets"]) | set(snap_b["buckets"]):
@@ -2656,12 +2811,15 @@ class LakeTable:
             sig = lambda fs: sorted((f["path"], bool(f.get("delta"))) for f in fs)
             da, db = _dv_entries(snap_a, b), _dv_entries(snap_b, b)
             dv_changed = set(da) != set(db)
-            if sig(fa) == sig(fb) and not dv_changed:
+            eq_changed = _eq_sig(snap_a, b) != _eq_sig(snap_b, b)
+            if sig(fa) == sig(fb) and not dv_changed and not eq_changed:
                 continue
             changed.add(int(b))
             pa = {f["path"] for f in fa}
             pb = {f["path"] for f in fb}
-            if any(f.get("delta") for f in list(fa) + list(fb)):
+            if eq_changed or any(
+                f.get("delta") for f in list(fa) + list(fb)
+            ):
                 paths |= pa | pb
                 continue
             dv_diff = [
@@ -3042,6 +3200,91 @@ class LakeTable:
             extra_lineage={"operation": "delete_where"},
         )
 
+    def delete_keys(self, keys_df: DataFrame, batch_id: str | None = None) -> int:
+        """Equality delete (Iceberg-v2 equality-delete files; the GDPR
+        right-to-be-forgotten shape): record the key tuples as an
+        O(batch) delete file applied lazily at read time — NO scan of
+        the table, NO rewrite, regardless of table size.  Every row
+        version whose key matches and whose LSN is at or below this
+        commit's LSN is dead; a later upsert (higher LSN) recreates the
+        key.  Contrast ``delete_where`` (reads matching rows eagerly —
+        the right tool for predicate deletes) and dv merges (positional
+        kills — need a position scan): equality deletes are the third
+        point on the delete-cost spectrum, built for high-volume
+        key-deletion feeds (erasure-request streams) against tables too
+        large to touch per request.
+
+        Read tax: one anti-join per scan until ``compact()`` (or any
+        full rewrite) materializes the deletions and retires the entry.
+        Write-time CDF is NOT captured (capturing pre-images would
+        require exactly the scan this operation exists to avoid), so
+        ``table_changes`` over an interval containing an equality-delete
+        commit falls back to the snapshot diff.
+
+        Returns the commit's LSN, or -1 if the key set was empty (no
+        commit).  Reference analog: none — the reference re-extracts
+        tables wholesale (reference
+        pipeline/lib/summary/summary_config_processor.py:110-152).
+        """
+        target = self.schema
+        keys = self.key_cols
+        missing = [k for k in keys if k not in keys_df.columns]
+        if missing:
+            raise ValueError(f"delete_keys needs every key column: {missing}")
+        staged = keys_df.select(
+            *[F.col(k).cast(target[k].dataType).alias(k) for k in keys]
+        ).distinct()
+        agg = staged.select(
+            F.count(F.lit(1)).alias("n"),
+            F.collect_set(self._bucket_expr()).alias("bs"),
+        ).collect()[0]
+        n = int(agg["n"])
+        if n == 0:
+            return -1
+        out_rel = os.path.join("eqdel", f"e-{uuid.uuid4().hex}")
+        out_abs = os.path.join(self.root, out_rel)
+        staged.repartition(max(1, min(8, n // 4_000_000 + 1))).write.parquet(
+            out_abs
+        )
+        files = [
+            os.path.join(out_rel, fn)
+            for fn in sorted(os.listdir(out_abs))
+            if fn.endswith(".parquet")
+        ]
+        retries = int(
+            self.snapshot.get("properties", {}).get("commit_retries", 3)
+        )
+        for attempt in range(retries + 1):
+            snap = json.loads(json.dumps(self.snapshot))
+            lsn = int(snap["ledger"]["applied_lsn"]) + 1
+            snap["eqdel"] = list(snap.get("eqdel", [])) + [
+                {
+                    "files": files,
+                    "rows": n,
+                    "buckets": sorted(int(b) for b in agg["bs"]),
+                    "lsn": lsn,
+                }
+            ]
+            snap["ledger"]["applied_lsn"] = lsn
+            snap["version"] += 1
+            snap["lineage"].append(
+                {
+                    "batch_id": batch_id or f"delete_keys-{uuid.uuid4().hex[:8]}",
+                    "operation": "delete_keys",
+                    "lsn_max": lsn,
+                    "deleted_keys": n,
+                }
+            )
+            snap["changes"] = {"mode": "diff"}
+            try:
+                self._commit(snap)
+                return lsn
+            except ConcurrentCommitError:
+                if attempt == retries:
+                    raise
+                self.refresh()
+        return lsn
+
     def update_where(self, cond, assignments: dict) -> "MergeStats":
         """``UPDATE t SET col = expr WHERE cond`` as a COW/MOR merge:
         read the matching rows, apply the assignments (Column expressions
@@ -3115,6 +3358,16 @@ class LakeTable:
                     for f in files
                 )
             )
+            # buckets under an equality-delete entry qualify the same
+            # way: the rewrite materializes the kills and retires the
+            # per-scan anti-join
+            or (
+                fold_all_deltas
+                and any(
+                    int(b) in set(e.get("buckets", []))
+                    for e in snap.get("eqdel", [])
+                )
+            )
         }
         if not todo:
             return 0
@@ -3169,15 +3422,16 @@ class LakeTable:
         # entries straddling untouched buckets stay, with stale positions
         # for the rewritten buckets — harmless: the anti-join matches on
         # file path and the old paths are gone from every future scan
-        if snap.get("dv"):
-            kept = []
-            for e in snap["dv"]:
-                rem = sorted(set(e.get("buckets", [])) - todo)
-                if rem:
-                    kept.append({**e, "buckets": rem})
-            snap["dv"] = kept
-            if not kept:
-                del snap["dv"]
+        for field in ("dv", "eqdel"):
+            if snap.get(field):
+                kept = []
+                for e in snap[field]:
+                    rem = sorted(set(e.get("buckets", [])) - todo)
+                    if rem:
+                        kept.append({**e, "buckets": rem})
+                snap[field] = kept
+                if not kept:
+                    del snap[field]
         snap["bucket_rows"] = snap.get("bucket_rows", {})
         snap["bucket_rows"].update(
             {b: self._files_rows(f) for b, f in mapping.items()}
@@ -3277,9 +3531,10 @@ class LakeTable:
         )
         snap["n_buckets"] = n_buckets
         snap["buckets"] = mapping
-        # the rewrite read resolved every dv anti-join (and MOR fold):
-        # the new layout starts position-clean
+        # the rewrite read resolved every dv anti-join, equality delete,
+        # and MOR fold: the new layout starts clean
         snap.pop("dv", None)
+        snap.pop("eqdel", None)
         snap["bucket_rows"] = {
             b: self._files_rows(f) for b, f in mapping.items()
         }
@@ -3437,6 +3692,7 @@ class LakeTable:
         full.update(mapping)
         snap["buckets"] = full
         snap.pop("dv", None)  # full rewrite resolved every position kill
+        snap.pop("eqdel", None)
         snap["bucket_rows"] = {b: self._files_rows(f) for b, f in full.items()}
         props = snap.setdefault("properties", {})
         props["stats_cols"] = ",".join(stats_cols)
@@ -3662,10 +3918,14 @@ class LakeTable:
             if not _re.fullmatch(r"snap-\d{8}\.json", fn):
                 continue
             with open(os.path.join(self._meta_dir, fn)) as fh:
-                for e in json.load(fh).get("dv", []):
+                snap_j = json.load(fh)
+            for field in ("dv", "eqdel"):
+                for e in snap_j.get(field, []):
                     live_dv.update(e.get("files", []))
-        dv_dir = os.path.join(self.root, "dv")
-        if os.path.isdir(dv_dir):
+        for sub in ("dv", "eqdel"):
+            dv_dir = os.path.join(self.root, sub)
+            if not os.path.isdir(dv_dir):
+                continue
             for dirpath, _dirnames, filenames in os.walk(dv_dir):
                 for fn in filenames:
                     full = os.path.join(dirpath, fn)

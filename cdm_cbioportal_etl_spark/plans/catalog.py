@@ -3310,6 +3310,93 @@ def cdc_repos_replay_dv(spark, sf_dir):
     )
 
 
+@_register(
+    "cdc_equality_delete",
+    f"""
+    WITH wal AS (
+      SELECT event_id AS lsn,
+             CASE WHEN event_type = 'error' THEN 'delete' ELSE 'update' END AS op,
+             'org/repo-' || lpad((user_id % 12)::VARCHAR, 4, '0') AS repo,
+             'src/f' || lpad(user_id::VARCHAR, 5, '0') || '.py' AS path,
+             md5(event_id::VARCHAR || ':' || event_type) AS commit,
+             (['{"','".join(_LANGS_SQL)}'])[(user_id % 6 + 1)::INT] AS lang,
+             concat_ws('|', event_type, coalesce(props, '')) AS content
+      FROM events
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+      FROM wal
+    ), final AS (
+      SELECT repo, path, commit, lang, content
+      FROM ranked WHERE rn = 1 AND op <> 'delete'
+    ), reins AS (
+      SELECT 'org/repo-0003' AS repo,
+             'src/f' || lpad((SELECT min(user_id)::VARCHAR FROM events
+                              WHERE user_id % 12 = 3), 5, '0') || '.py' AS path,
+             'reinserted' AS commit, 'py' AS lang, 'hello-again' AS content
+    )
+    SELECT repo, path, commit, lang, content, sha256(content) AS content_sha
+    FROM final WHERE repo <> 'org/repo-0003'
+    UNION ALL
+    SELECT repo, path, commit, lang, content, sha256(content) AS content_sha
+    FROM reins
+    """,
+)
+def cdc_equality_delete(spark, sf_dir):
+    """Equality deletes at replay scale: full replay, then ONE O(1)-write
+    delete_keys commit erasing every key of one repo (the GDPR erasure
+    shape — no scan, no rewrite), then a higher-LSN upsert resurrecting
+    one of the erased keys.  Oracle = final state minus the erased repo
+    plus the resurrected row (lake/table.py::delete_keys)."""
+    from cdm_cbioportal_etl_spark.cdc import CdcReplayer
+    from cdm_cbioportal_etl_spark.cdc.generator import REPOS_SCHEMA
+
+    wal = _repos_wal(spark, sf_dir)
+    max_lsn = int(wal.agg(F.max("lsn")).collect()[0][0])
+    root = os.path.join(
+        CDC_WORK_DIR,
+        spark.sparkContext.applicationId,
+        "repos-eq-" + os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    table = LakeTable.create(
+        spark, root, T.StructType(list(REPOS_SCHEMA.fields)),
+        key_cols=["repo", "path"], n_buckets=16,
+    )
+    CdcReplayer(table).replay_range_batches(
+        wal, 0, max_lsn + 1, batch_size=(max_lsn + 4) // 4
+    )
+    erase = wal.filter(F.col("repo") == "org/repo-0003").select(
+        "repo", "path"
+    ).distinct()
+    lsn = table.delete_keys(erase)
+    min_uid = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 12 == 3)
+        .agg(F.min("user_id"))
+        .collect()[0][0]
+    )
+    reins = spark.createDataFrame(
+        [
+            (
+                lsn + 1,
+                "upsert",
+                "org/repo-0003",
+                f"src/f{int(min_uid):05d}.py",
+                "reinserted",
+                "py",
+                "hello-again",
+            )
+        ],
+        "lsn long, op string, repo string, path string, commit string, "
+        "lang string, content string",
+    )
+    table.merge(reins)
+    return table.read().select(
+        "repo", "path", "commit", "lang", "content",
+        F.sha2("content", 256).alias("content_sha"),
+    )
+
+
 @_register("wal_log_compaction", ORACLES["cdc_repos_replay"])
 def wal_log_compaction(spark, sf_dir):
     """Kafka-style log compaction of the WAL itself: the lower half of
