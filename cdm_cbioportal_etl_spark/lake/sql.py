@@ -349,7 +349,20 @@ class LakeSession:
     # ------------------------------------------------------------------ #
     # DML
     # ------------------------------------------------------------------ #
-    def _delete(self, s: str) -> MergeStats:
+    def _delete(self, s: str):
+        # extension: DELETE FROM t KEYS USING (<select of key tuples>) —
+        # the O(1)-write equality delete (lake/table.py::delete_keys, the
+        # erasure-feed statement); the subquery runs through the ordinary
+        # SELECT path so it can read other registered lake tables.
+        km = re.fullmatch(
+            r"DELETE\s+FROM\s+([A-Za-z_][A-Za-z0-9_]*)\s+KEYS\s+USING\s+"
+            r"\(\s*(.+?)\s*\)",
+            s,
+            flags=re.IGNORECASE | re.DOTALL,
+        )
+        if km:
+            keys_df = self._select(km.group(2))
+            return self.table(km.group(1)).delete_keys(keys_df)
         m = re.fullmatch(
             r"DELETE\s+FROM\s+([A-Za-z_][A-Za-z0-9_]*)"
             r"(?:\s+WHERE\s+(.+))?",

@@ -142,6 +142,21 @@ def test_optimize_zorder(sess):
     assert {r.k for r in sess.sql("SELECT k FROM t").collect()} == {1, 2, 3}
 
 
+def test_delete_keys_using(sess):
+    """DELETE FROM t KEYS USING (<select>): the O(1)-write equality
+    delete through the statement surface; the subquery reads the lake
+    table itself."""
+    lsn = sess.sql("DELETE FROM t KEYS USING (SELECT k FROM t WHERE n >= 20)")
+    assert isinstance(lsn, int) and lsn > 0
+    assert _state(sess) == [(1, "a", 10)]
+    # no data file was touched — pure metadata + eqdel sidecar commit
+    t = sess.table("t")
+    assert t.snapshot.get("eqdel")
+    # resurrect through INSERT (higher LSN)
+    sess.sql("INSERT INTO t VALUES (2, 'z', 99)")
+    assert _state(sess) == [(1, "a", 10), (2, "z", 99)]
+
+
 def test_errors_are_informative(sess):
     with pytest.raises(ValueError, match="unknown lake table"):
         sess.sql("DELETE FROM nope WHERE k = 1")
