@@ -90,6 +90,11 @@ _BENCH_QUERIES = [
     "cdc_debezium_replay",
     "cdc_cdf_writetime",
     "cdc_sql_merge_replay",
+    # round 4 (late): deletion-vector replay, WAL log compaction,
+    # equality deletes
+    "cdc_repos_replay_dv",
+    "wal_log_compaction",
+    "cdc_equality_delete",
 ]
 
 

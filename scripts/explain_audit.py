@@ -70,6 +70,15 @@ AUDIT = {
         broadcast=False,
         forbid=["SortMergeJoin", "ShuffledHashJoin", "NestedLoop"],
     ),
+    # late round-4: the deletion-vector final read must be FOLD-FREE —
+    # no latest-per-key HashAggregate (that would mean the MOR fold
+    # engaged) and no python; the positional anti-join may be broadcast
+    # or shuffled-hash depending on dead-set size
+    "cdc_repos_replay_dv": dict(
+        pushed=False,
+        broadcast=False,
+        forbid=["HashAggregate", "SortAggregate", "ArrowEvalPython"],
+    ),
 }
 
 
@@ -146,6 +155,12 @@ SKIP_EXEC = {
     # iterative CC loop localCheckpoints eagerly during construction;
     # its per-round plan is the audited join+agg shape
     "neardup_clusters_docs",
+    # late round-4 replay-at-construction rows: dv replay's read plan is
+    # AUDIT-checked above; log compaction / equality delete replay the
+    # same merge plans the rows above cover
+    "cdc_repos_replay_dv",
+    "wal_log_compaction",
+    "cdc_equality_delete",
 }
 
 
