@@ -1432,7 +1432,14 @@ def cdc_debezium_replay(spark, sf_dir):
 
     wal = _repos_wal(spark, sf_dir)
     wire = encode_debezium(wal, REPOS_SCHEMA)
-    decoded = decode_debezium(wire, REPOS_SCHEMA)
+    # materialize the decoded stream ONCE, as a wire consumer does (each
+    # message is parsed once into the batch buffer) — lazy decode would
+    # re-parse every envelope on every action the merge takes (~3 per
+    # batch: winner agg, payload join, gate agg — measured 61s vs ~8s at
+    # sf0.1).  At unbounded scale this buffering happens PER MICRO-BATCH
+    # (the streaming tail's shape, streaming/wal.py); one checkpoint of
+    # the whole stream is the bounded-catalog-size equivalent.
+    decoded = decode_debezium(wire, REPOS_SCHEMA).localCheckpoint()
     max_lsn = int(wal.agg(F.max("lsn")).collect()[0][0])
     root = os.path.join(
         CDC_WORK_DIR,
