@@ -726,8 +726,15 @@ class LakeTable:
             # MOR resolution groups on the keys, so they ride internally
             # even when not requested (dropped again at the end); a pure
             # base-file scan needs only what was asked for
+            # the MOR fold groups on the keys, and equality-delete kills
+            # MATCH on them — both ride internally even when not
+            # requested (dropped again at the end)
+            has_eq = any(
+                buckets is None or set(e.get("buckets", [])) & buckets
+                for e in snap.get("eqdel", [])
+            )
             keep_set = set(columns) | (
-                set(snap["key_cols"]) if has_deltas else set()
+                set(snap["key_cols"]) if (has_deltas or has_eq) else set()
             )
             keep = [c for c in target_names if c in keep_set]
         else:
@@ -3234,6 +3241,7 @@ class LakeTable:
         staged = keys_df.select(
             *[F.col(k).cast(target[k].dataType).alias(k) for k in keys]
         ).distinct()
+        staged_buckets = int(self.snapshot["n_buckets"])
         agg = staged.select(
             F.count(F.lit(1)).alias("n"),
             F.collect_set(self._bucket_expr()).alias("bs"),
@@ -3257,6 +3265,20 @@ class LakeTable:
         for attempt in range(retries + 1):
             snap = json.loads(json.dumps(self.snapshot))
             lsn = int(snap["ledger"]["applied_lsn"]) + 1
+            if int(snap["n_buckets"]) != staged_buckets:
+                # a concurrent rebucket won an earlier commit race: the
+                # staged bucket ids are for the OLD layout — recompute
+                # under the new one (one small job) or the entry's scope
+                # filter would skip buckets holding matching keys
+                staged_buckets = int(snap["n_buckets"])
+                agg = staged.select(
+                    F.count(F.lit(1)).alias("n"),
+                    F.collect_set(
+                        F.pmod(
+                            F.xxhash64(*keys), F.lit(staged_buckets)
+                        ).cast("int")
+                    ).alias("bs"),
+                ).collect()[0]
             snap["eqdel"] = list(snap.get("eqdel", [])) + [
                 {
                     "files": files,

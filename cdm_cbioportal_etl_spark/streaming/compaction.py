@@ -74,8 +74,12 @@ class CompactionReport:
 
 
 def _list_segments(wal_dir: str) -> list[str]:
+    # absolute paths: the footer-stats map is keyed by the path Spark's
+    # input_file_name() reports (absolute), and a relative wal_dir must
+    # not make every segment silently miss the map (a missed segment
+    # would default to neither-prefix-nor-tail — data loss, not an error)
     return sorted(
-        os.path.join(wal_dir, fn)
+        os.path.join(os.path.abspath(wal_dir), fn)
         for fn in os.listdir(wal_dir)
         if fn.endswith(".parquet") and not fn.startswith(".")
     )
@@ -89,14 +93,21 @@ def _norm_path(p: str) -> str:
 def _segment_max_lsns(
     spark: SparkSession, segments: list[str], lsn_col: str
 ) -> dict[str, int]:
-    """Per-segment max LSN — one column-pruned job over the lsn column."""
-    return {
+    """Per-segment max LSN — one column-pruned job over the lsn column.
+    Every listed segment must resolve (a segment missing from this map
+    would silently land in neither prefix nor tail — fail instead);
+    zero-row segments are legitimately absent and map to -inf."""
+    out = {
         _norm_path(r["_f"]): int(r["_m"])
         for r in spark.read.parquet(*segments)
         .groupBy(F.input_file_name().alias("_f"))
         .agg(F.max(lsn_col).alias("_m"))
         .collect()
     }
+    for s in segments:
+        if s not in out:
+            out[s] = -(2 ** 62)  # empty segment: compacts away harmlessly
+    return out
 
 
 def compact_log(

@@ -174,6 +174,16 @@ def test_dv_merge_after_eq_delete_cdf_insert(spark, tmp_path):
     assert ("r1", "a.py", "cZ") in got and len(got) == 4
 
 
+def test_column_pruned_read_applies_kills(spark, tmp_path):
+    """read(columns=[...]) must still apply equality kills even when the
+    projection excludes the key columns the anti-join matches on."""
+    t = _mk(spark, tmp_path, "proj")
+    t.delete_keys(_keys(spark, [("r1", "a.py")]))
+    got = sorted(r["commit"] for r in t.read(columns=["commit"]).collect())
+    assert got == ["c2", "c3", "c4"]
+    assert t.read(columns=["commit"]).columns == ["commit"]
+
+
 def test_validation_and_noop(spark, tmp_path):
     t = _mk(spark, tmp_path, "val")
     v = t.snapshot["version"]
