@@ -1404,7 +1404,13 @@ def cdc_debezium_decode(spark, sf_dir):
     from cdm_cbioportal_etl_spark.cdc.generator import REPOS_SCHEMA
 
     wal = _repos_wal(spark, sf_dir)
-    return decode_debezium(encode_debezium(wal, REPOS_SCHEMA), REPOS_SCHEMA).select(
+    # pin the wire (see cdc_debezium_replay: a fused from_json(to_json)
+    # projection defeats codegen and runs ~10x slower than parse-of-
+    # materialized-stream, which is also the only shape reality has)
+    wire = encode_debezium(
+        wal.repartition(spark.sparkContext.defaultParallelism), REPOS_SCHEMA
+    ).localCheckpoint()
+    return decode_debezium(wire, REPOS_SCHEMA).select(
         "lsn",
         # decode maps u->update, d->delete; the WAL op vocabulary is
         # already {update, delete} so the roundtrip is the identity
@@ -1431,14 +1437,24 @@ def cdc_debezium_replay(spark, sf_dir):
     from cdm_cbioportal_etl_spark.cdc.generator import REPOS_SCHEMA
 
     wal = _repos_wal(spark, sf_dir)
-    wire = encode_debezium(wal, REPOS_SCHEMA)
-    # materialize the decoded stream ONCE, as a wire consumer does (each
-    # message is parsed once into the batch buffer) — lazy decode would
-    # re-parse every envelope on every action the merge takes (~3 per
-    # batch: winner agg, payload join, gate agg — measured 61s vs ~8s at
-    # sf0.1).  At unbounded scale this buffering happens PER MICRO-BATCH
-    # (the streaming tail's shape, streaming/wal.py); one checkpoint of
-    # the whole stream is the bounded-catalog-size equivalent.
+    # Materialize the WIRE first: a real changelog is a stored stream
+    # (Kafka segments), never an expression fused into its consumer.
+    # Leaving encode→decode fused in one projection is catastrophic —
+    # Catalyst can't simplify from_json(to_json(...)) here (explicit-null
+    # encoding) and the combined tree evaluates at ~16k envelopes/sec on
+    # one core (AQE coalesces the 2 MB shuffle to a single task at this
+    # toy scale): measured 26s query wall vs ~12s with the wire pinned.
+    # The repartition gives the simulated topic the partition count a
+    # real one would have.
+    par = spark.sparkContext.defaultParallelism
+    wire = encode_debezium(wal.repartition(par), REPOS_SCHEMA).localCheckpoint()
+    # ... then materialize the decoded stream ONCE, as a wire consumer
+    # does (each message is parsed once into the batch buffer) — lazy
+    # decode would re-parse every envelope on every action the merge
+    # takes (~3 per batch: winner agg, payload join, gate agg).  At
+    # unbounded scale this buffering happens PER MICRO-BATCH (the
+    # streaming tail's shape, streaming/wal.py); one checkpoint of the
+    # whole stream is the bounded-catalog-size equivalent.
     decoded = decode_debezium(wire, REPOS_SCHEMA).localCheckpoint()
     max_lsn = int(wal.agg(F.max("lsn")).collect()[0][0])
     root = os.path.join(
