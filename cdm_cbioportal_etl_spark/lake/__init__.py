@@ -5,6 +5,10 @@ from cdm_cbioportal_etl_spark.lake.backend import (
     iceberg_available,
     reduce_winners,
 )
+from cdm_cbioportal_etl_spark.lake.datasource import (
+    LakeTableDataSource,
+    register_lake_datasource,
+)
 from cdm_cbioportal_etl_spark.lake.incremental import IncrementalAggView
 from cdm_cbioportal_etl_spark.lake.replicate import TableReplicator
 from cdm_cbioportal_etl_spark.lake.sql import LakeSession
@@ -22,10 +26,12 @@ __all__ = [
     "IncrementalAggView",
     "LakeSession",
     "LakeTable",
+    "LakeTableDataSource",
     "MergeBackend",
     "ParquetMergeBackend",
     "SchemaEvolutionError",
     "TableReplicator",
     "iceberg_available",
     "reduce_winners",
+    "register_lake_datasource",
 ]

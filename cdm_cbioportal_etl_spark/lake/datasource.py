@@ -1,0 +1,619 @@
+"""Python DataSource (Spark 4 `pyspark.sql.datasource`) over LakeTable.
+
+Exposes the lake table through the native reader registry, so the table
+participates in plain `spark.read` / `spark.readStream` pipelines without
+importing this package at the call site beyond one registration call:
+
+    from cdm_cbioportal_etl_spark.lake.datasource import register
+    register(spark)
+
+    df = (spark.read.format("laketable")
+          .option("path", "/data/repos").load())            # snapshot
+    chg = (spark.readStream.format("laketable")
+           .option("path", "/data/repos").option("mode", "cdf")
+           .load())                                          # change feed
+
+Architecture (why this is NOT the slow Python path):
+
+- **Planning is metadata-only and driver-side.**  The lake's manifests
+  are plain JSON (`_meta/snap-*.json` + ref pointers), so `schema()` /
+  `partitions()` never need a SparkSession or a data scan.  Pushed-down
+  filters (`pushFilters`, Spark 4.1) prune data FILES against the same
+  per-file min/max stats the native `LakeTable.read()` path uses
+  (`LakeTable._stats_admit`) — every filter is also returned to Spark,
+  which re-applies it row-level, so pruning can only skip provably
+  matching-free files, never change results.
+- **The data path is Arrow batches, never row-at-a-time Python.**
+  `read(partition)` opens parquet via pyarrow with column pruning and
+  yields `pyarrow.RecordBatch` directly; Spark ingests the batches
+  without per-row conversion.
+- **One partition per data file** (delta-free buckets) keeps read
+  parallelism at file granularity; a bucket with pending MOR deltas
+  becomes ONE partition holding the whole bucket — the bucket layout
+  guarantees every version of a key lives in a single bucket, so the
+  latest-per-key fold is partition-local and needs no shuffle at all
+  (the native read pays one; see `table.py` read()'s MOR branch).
+- Deletion vectors (positional kills) and equality deletes (key+LSN
+  kills) are applied inside the partition read, matching the native
+  read semantics exactly (tests assert value equality against it).
+
+Deliberately read-only: writes go through `LakeTable.merge()` —
+an exactly-once JVM shuffle job; funneling write data through Python
+workers would be the anti-scale path, so no `writer()` is provided.
+
+Streaming (`mode=cdf`) serves the table's write-time change files
+(Delta CDF's `_change_data` shape, see `_write_change_files`): offsets
+are snapshot versions, each micro-batch reads exactly the stored
+change files of the commits in `(start, end]` — O(changed rows), no
+snapshot diff.  Commits that did not capture changes (`mode="diff"`:
+shuffle-path merges, overwrite, rollback) are not streamable and raise,
+mirroring Delta's behavior when CDF is off for a commit range.
+
+reference analog: `pipeline/lib/summary/summary_config_processor.py:373-419`
+(table registration making results readable by downstream jobs); here the
+registration is Spark's own datasource registry.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Any, Iterator
+
+from pyspark.sql import types as T
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+
+from .table import LSN_COL, DELETED_COL, LakeTable, schema_from_json
+
+FORMAT_NAME = "laketable"
+CHANGE_TYPE_COL = "_change_type"
+COMMIT_VERSION_COL = "_commit_version"
+
+
+# --------------------------------------------------------------------- #
+# driver-side manifest access (pure file I/O — no SparkSession)
+# --------------------------------------------------------------------- #
+def _read_ref_version(root: str, ref: str) -> int:
+    meta = os.path.join(root, "_meta")
+    if ref == "main":
+        with open(os.path.join(meta, "VERSION")) as fh:
+            return int(fh.read().strip())
+    with open(os.path.join(meta, "refs", f"{ref}.json")) as fh:
+        return int(json.load(fh)["version"])
+
+
+def _snapshot_at(root: str, version: int) -> dict[str, Any]:
+    path = os.path.join(root, "_meta", f"snap-{version:08d}.json")
+    if not os.path.exists(path):
+        raise ValueError(f"no snapshot version {version} at {root}")
+    with open(path) as fh:
+        return json.load(fh)
+
+
+def _ancestry(root: str, head: int) -> Iterator[tuple[int, dict[str, Any]]]:
+    """(version, snapshot) newest-first along the parent chain."""
+    v: int | None = head
+    while v is not None:
+        try:
+            s = _snapshot_at(root, v)
+        except ValueError:
+            return
+        yield v, s
+        v = s.get("parent", v - 1 if v > 0 else None)
+
+
+def _load_snapshot(options: dict) -> tuple[str, dict[str, Any]]:
+    root = options.get("path")
+    if not root:
+        raise ValueError("laketable: option 'path' is required")
+    root = os.path.abspath(root)
+    if not os.path.isdir(os.path.join(root, "_meta")):
+        raise ValueError(f"laketable: no lake table at {root} (missing _meta/)")
+    ref = options.get("ref", "main")
+    if "version" in options:
+        version = int(options["version"])
+    elif "timestamp" in options:
+        ts = float(options["timestamp"])
+        version = None
+        for v, s in _ancestry(root, _read_ref_version(root, ref)):
+            at = s.get("committed_at")
+            if at is None or at <= ts:
+                version = v
+                break
+        if version is None:
+            raise ValueError(
+                f"laketable: no retained snapshot at or before {ts}"
+            )
+    else:
+        version = _read_ref_version(root, ref)
+    return root, _snapshot_at(root, version)
+
+
+def _table_struct(snap: dict[str, Any]) -> T.StructType:
+    return schema_from_json(snap["schemas"][str(snap["schema_id"])])
+
+
+# --------------------------------------------------------------------- #
+# batch scan
+# --------------------------------------------------------------------- #
+@dataclass
+class ScanPartition(InputPartition):
+    # (abs_path, rel_path, schema_id, has_dv_rows) per data file
+    files: list[tuple[str, str, int, bool]]
+    fold: bool = False  # MOR latest-per-key fold needed (bucket-local)
+    dv_files: list[str] = field(default_factory=list)  # abs sidecar paths
+    # (abs key-file paths, delete LSN) per equality-delete entry in scope
+    eq_entries: list[tuple[list[str], int]] = field(default_factory=list)
+
+
+class LakeTableReader(DataSourceReader):
+    def __init__(self, root: str, snap: dict[str, Any], options: dict):
+        self.root = root
+        self.key_cols: list[str] = list(snap["key_cols"])
+        self.partial = bool(
+            snap.get("properties", {}).get("partial_updates")
+        )
+        self.target = _table_struct(snap)
+        self.with_lsn = str(options.get("with_lsn", "")).lower() == "true"
+        cols_opt = options.get("columns")
+        if cols_opt:
+            want = [c.strip() for c in str(cols_opt).split(",") if c.strip()]
+            known = {f.name for f in self.target.fields}
+            missing = [c for c in want if c not in known]
+            if missing:
+                raise ValueError(f"laketable: columns not in schema: {missing}")
+            self.out_cols = want
+        else:
+            self.out_cols = [f.name for f in self.target.fields]
+        if self.with_lsn:
+            self.out_cols = [*self.out_cols, LSN_COL]
+        self._snap = snap  # manifest metadata only (file lists + stats)
+        self._prune: dict[str, list] = {}
+
+    # -- planning ------------------------------------------------------ #
+    def pushFilters(self, filters):  # noqa: N802 (Spark API name)
+        """Translate AND-ed top-level predicates into the same file-stats
+        prune dict the native read uses.  EVERY filter is yielded back,
+        so Spark still evaluates all of them row-level — the pushdown is
+        pure file skipping and cannot change results (`_stats_admit` is
+        the shared admit rule; a file lacking stats is always admitted)."""
+        for f in filters:
+            try:
+                col = f.attribute[0] if len(f.attribute) == 1 else None
+            except (AttributeError, TypeError):
+                col = None
+            if col is not None:
+                cur = self._prune.get(col, [None, None])
+                if isinstance(f, EqualTo) and _scalar(f.value):
+                    cur = [f.value, f.value]
+                elif isinstance(f, In) and f.value and all(
+                    _scalar(v) for v in f.value
+                ):
+                    cur = [min(f.value), max(f.value)]
+                elif isinstance(
+                    f, (GreaterThan, GreaterThanOrEqual)
+                ) and _scalar(f.value):
+                    cur[0] = f.value if cur[0] is None else max(cur[0], f.value)
+                elif isinstance(
+                    f, (LessThan, LessThanOrEqual)
+                ) and _scalar(f.value):
+                    cur[1] = f.value if cur[1] is None else min(cur[1], f.value)
+                else:
+                    cur = None
+                if cur is not None:
+                    self._prune[col] = cur
+            yield f  # Spark re-applies everything: pushdown = skip-only
+
+    def partitions(self):
+        snap = self._snap
+        prune = self._prune or None
+        parts: list[ScanPartition] = []
+        dv_entries = snap.get("dv", [])
+        eq_entries = snap.get("eqdel", [])
+        for b, files in snap["buckets"].items():
+            bi = int(b)
+            has_deltas = any(f.get("delta") for f in files)
+            if has_deltas and self.partial:
+                # NOT NotImplementedError: the datasource API treats that
+                # as "partitions() not overridden" and plans one default
+                # partition instead of failing
+                raise ValueError(
+                    "laketable: partial-image tables with pending MOR "
+                    "deltas need the per-column fold — compact() the "
+                    "table or use LakeTable.read()"
+                )
+            eff = prune
+            if prune and has_deltas:
+                # non-key columns can change between base row and delta
+                # version — pruning on them could drop the newest version
+                eff = {
+                    c: p for c, p in prune.items() if c in self.key_cols
+                } or None
+            dvf = [
+                os.path.join(self.root, p)
+                for e in dv_entries
+                if bi in e.get("buckets", [])
+                for p in e["files"]
+            ]
+            eqs = [
+                (
+                    [os.path.join(self.root, p) for p in e["files"]],
+                    int(e["lsn"]),
+                )
+                for e in eq_entries
+                if bi in e.get("buckets", [])
+            ]
+            admitted = [
+                (
+                    os.path.join(self.root, f["path"]),
+                    f["path"],
+                    int(f["schema_id"]),
+                    bool(f.get("dv_rows")),
+                )
+                for f in files
+                if eff is None or LakeTable._stats_admit(f, eff)
+            ]
+            if not admitted:
+                continue
+            if has_deltas:
+                # keys never span buckets: the fold is partition-local
+                parts.append(
+                    ScanPartition(admitted, fold=True, dv_files=dvf,
+                                  eq_entries=eqs)
+                )
+            else:
+                for fe in admitted:
+                    parts.append(
+                        ScanPartition(
+                            [fe],
+                            dv_files=dvf if fe[3] else [],
+                            eq_entries=eqs,
+                        )
+                    )
+        return parts or [ScanPartition([])]
+
+    # -- execution (runs on executors; Arrow end-to-end) ---------------- #
+    def read(self, partition: ScanPartition):
+        if not partition.files:
+            return
+        need_internal = bool(
+            partition.fold or partition.eq_entries or self.with_lsn
+        )
+        fold = partition.fold
+        internal = list(
+            dict.fromkeys(
+                [
+                    *self.out_cols,
+                    *(self.key_cols if (fold or partition.eq_entries) else []),
+                    *( [LSN_COL] if need_internal else [] ),
+                    *( [DELETED_COL] if fold else [] ),
+                ]
+            )
+        )
+        tbl = self._read_aligned(partition, internal)
+        if partition.eq_entries:
+            tbl = self._apply_eq_deletes(tbl, partition.eq_entries)
+        if fold:
+            tbl = self._fold_latest(tbl)
+        out_struct = T.StructType(
+            [
+                next(f for f in self._internal_struct().fields if f.name == c)
+                for c in self.out_cols
+            ]
+        )
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        out = tbl.select(self.out_cols).cast(to_arrow_schema(out_struct))
+        for batch in out.to_batches():
+            if batch.num_rows:
+                yield batch
+
+    # helpers ----------------------------------------------------------- #
+    def _internal_struct(self) -> T.StructType:
+        return T.StructType(
+            list(self.target.fields)
+            + [
+                T.StructField(LSN_COL, T.LongType(), True),
+                T.StructField(DELETED_COL, T.BooleanType(), True),
+            ]
+        )
+
+    def _read_aligned(self, partition: ScanPartition, internal: list[str]):
+        """Read the partition's files column-pruned and align every file
+        to one Arrow schema (null-fill columns the file's schema version
+        predates — the Iceberg read-time projection)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        istruct = self._internal_struct()
+        arrow_schema = to_arrow_schema(
+            T.StructType([f for f in istruct.fields if f.name in internal])
+        )
+        dead = self._dv_positions(partition) if partition.dv_files else {}
+        pieces = []
+        for abs_path, rel_path, sid, has_dv in partition.files:
+            pf = pq.ParquetFile(abs_path)
+            # the file's PHYSICAL columns (delta files carry _deleted,
+            # base files don't; older schema ids lack evolved columns)
+            present = set(pf.schema_arrow.names)
+            cols = [c for c in internal if c in present]
+            t = pf.read(columns=cols)
+            if has_dv and rel_path in dead:
+                import numpy as np
+
+                mask = np.ones(t.num_rows, dtype=bool)
+                pos = dead[rel_path]
+                mask[pos[pos < t.num_rows]] = False
+                t = t.filter(pa.array(mask))
+            arrays = []
+            for fld in arrow_schema:
+                if fld.name in t.column_names:
+                    arrays.append(t.column(fld.name).cast(fld.type))
+                else:
+                    arrays.append(pa.nulls(t.num_rows, type=fld.type))
+            pieces.append(pa.table(arrays, schema=arrow_schema))
+        return pa.concat_tables(pieces) if len(pieces) > 1 else pieces[0]
+
+    def _dv_positions(self, partition: ScanPartition):
+        """rel_path -> sorted int64 array of dead row indices, from the
+        dv sidecars in scope (each is a small per-commit parquet)."""
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        rels = {f[1] for f in partition.files if f[3]}
+        out: dict[str, list] = {}
+        for p in partition.dv_files:
+            t = pq.read_table(p, columns=["file", "pos"])
+            files = t.column("file").to_pylist()
+            poss = t.column("pos").to_pylist()
+            for fp, pos in zip(files, poss):
+                if fp in rels:
+                    out.setdefault(fp, []).append(pos)
+        return {k: np.unique(np.asarray(v, dtype=np.int64))
+                for k, v in out.items()}
+
+    def _apply_eq_deletes(self, tbl, eq_entries):
+        """Kill row versions whose key matches an equality-delete entry
+        at `row._lsn <= entry.lsn` — same rule as the native read."""
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        kills = []
+        for paths, lsn in eq_entries:
+            for p in paths:
+                k = pq.read_table(p, columns=self.key_cols).to_pandas()
+                k["_eq_lsn"] = lsn
+                kills.append(k)
+        if not kills:
+            return tbl
+        kdf = (
+            pd.concat(kills, ignore_index=True)
+            .groupby(self.key_cols, dropna=False, as_index=False)["_eq_lsn"]
+            .max()
+        )
+        df = tbl.to_pandas()
+        m = df.merge(kdf, on=self.key_cols, how="left")
+        keep = ~(m["_eq_lsn"].notna() & (m[LSN_COL] <= m["_eq_lsn"]))
+        return pa.Table.from_pandas(
+            df[keep.to_numpy()], schema=tbl.schema, preserve_index=False
+        )
+
+    def _fold_latest(self, tbl):
+        """MOR resolution, partition-local (bucket-local): latest LSN per
+        key wins, tombstones drop the key."""
+        import pandas as pd  # noqa: F401
+        import pyarrow as pa
+
+        df = tbl.to_pandas()
+        idx = df.groupby(self.key_cols, dropna=False)[LSN_COL].idxmax()
+        df = df.loc[idx]
+        dele = df[DELETED_COL].fillna(False).astype(bool)
+        df = df[~dele.to_numpy()]
+        return pa.Table.from_pandas(df, schema=tbl.schema,
+                                    preserve_index=False)
+
+
+def _scalar(v) -> bool:
+    return isinstance(v, (int, float, str, bool)) and not isinstance(v, bytes)
+
+
+# --------------------------------------------------------------------- #
+# streaming change feed
+# --------------------------------------------------------------------- #
+@dataclass
+class ChangePartition(InputPartition):
+    path: str  # abs change-file path
+    schema_id: int
+    version: int  # commit that produced it
+
+
+class LakeChangesStreamReader(DataSourceStreamReader):
+    """Micro-batch source over stored write-time change files.
+
+    Offsets are snapshot versions on the chosen ref; `partitions(a, b)`
+    maps to the change files of commits in `(a, b]` along the parent
+    chain — deterministic for a retained history, so checkpoint replay
+    re-reads identical data (exactly-once with an idempotent sink).
+    """
+
+    def __init__(self, root: str, snap: dict[str, Any], options: dict):
+        self.root = root
+        self.ref = options.get("ref", "main")
+        self.target = _table_struct(snap)
+        if "startingversion" in {k.lower() for k in options}:
+            sv = next(
+                v for k, v in options.items()
+                if k.lower() == "startingversion"
+            )
+            self.start_version = int(sv)
+        else:
+            self.start_version = int(snap["version"])
+
+    def initialOffset(self):  # noqa: N802
+        return {"version": self.start_version}
+
+    def latestOffset(self):  # noqa: N802
+        return {"version": _read_ref_version(self.root, self.ref)}
+
+    def partitions(self, start, end):  # noqa: N802
+        a, b = int(start["version"]), int(end["version"])
+        parts: list[ChangePartition] = []
+        hit = a < 0
+        interval: list[tuple[int, dict]] = []
+        for v, s in _ancestry(self.root, b):
+            if v == a:
+                hit = True
+                break
+            if v < a:
+                break
+            interval.append((v, s))
+        if not hit:
+            raise ValueError(
+                f"laketable cdf: start version {a} is not in the retained "
+                f"ancestry of version {b} (expired or other branch)"
+            )
+        for v, s in reversed(interval):
+            d = s.get("changes")
+            if not d or d.get("mode") == "diff":
+                raise ValueError(
+                    f"laketable cdf: commit {v} did not capture change "
+                    "files (shuffle-path merge, overwrite, or rollback) — "
+                    "this interval is not streamable; create the table "
+                    "with write_changes=true and avoid overwrite/rollback "
+                    "under a live stream, or rebuild the downstream state "
+                    "from a snapshot read"
+                )
+            if d["mode"] == "none":
+                continue
+            for p in d.get("files") or []:
+                parts.append(
+                    ChangePartition(
+                        os.path.join(self.root, p), int(d["schema_id"]), v
+                    )
+                )
+        return parts
+
+    def read(self, partition: ChangePartition):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        out_struct = _cdf_struct(self.target)
+        arrow_schema = to_arrow_schema(out_struct)
+        t = pq.read_table(partition.path)
+        arrays = []
+        for fld in arrow_schema:
+            if fld.name == COMMIT_VERSION_COL:
+                arrays.append(
+                    pa.array([partition.version] * t.num_rows,
+                             type=fld.type)
+                )
+            elif fld.name in t.column_names:
+                arrays.append(t.column(fld.name).cast(fld.type))
+            else:
+                arrays.append(pa.nulls(t.num_rows, type=fld.type))
+        out = pa.table(arrays, schema=arrow_schema)
+        for batch in out.to_batches():
+            if batch.num_rows:
+                yield batch
+
+    def commit(self, end):  # noqa: N802
+        pass  # offsets live in the query checkpoint; nothing to release
+
+    def stop(self):
+        pass
+
+
+def _cdf_struct(target: T.StructType) -> T.StructType:
+    return T.StructType(
+        list(target.fields)
+        + [
+            T.StructField(LSN_COL, T.LongType(), True),
+            T.StructField(CHANGE_TYPE_COL, T.StringType(), True),
+            T.StructField(COMMIT_VERSION_COL, T.LongType(), True),
+        ]
+    )
+
+
+# --------------------------------------------------------------------- #
+# the DataSource
+# --------------------------------------------------------------------- #
+class LakeTableDataSource(DataSource):
+    """`laketable` format: batch snapshot reads + streaming change feed."""
+
+    @classmethod
+    def name(cls) -> str:
+        return FORMAT_NAME
+
+    def schema(self):
+        root, snap = _load_snapshot(self.options)
+        if _is_cdf(self.options):
+            return _cdf_struct(_table_struct(snap))
+        struct = _table_struct(snap)
+        cols_opt = self.options.get("columns")
+        if cols_opt:
+            want = [c.strip() for c in str(cols_opt).split(",") if c.strip()]
+            by_name = {f.name: f for f in struct.fields}
+            missing = [c for c in want if c not in by_name]
+            if missing:
+                raise ValueError(
+                    f"laketable: columns not in schema: {missing}"
+                )
+            struct = T.StructType([by_name[c] for c in want])
+        if str(self.options.get("with_lsn", "")).lower() == "true":
+            struct = T.StructType(
+                list(struct.fields)
+                + [T.StructField(LSN_COL, T.LongType(), True)]
+            )
+        return struct
+
+    def reader(self, schema) -> DataSourceReader:
+        if _is_cdf(self.options):
+            raise ValueError(
+                "laketable: mode=cdf is a streaming source — use "
+                "spark.readStream (batch change reads: "
+                "LakeTable.table_changes())"
+            )
+        root, snap = _load_snapshot(self.options)
+        return LakeTableReader(root, snap, dict(self.options))
+
+    def streamReader(self, schema) -> DataSourceStreamReader:  # noqa: N802
+        if not _is_cdf(self.options):
+            raise ValueError(
+                "laketable: streaming requires option mode=cdf (the "
+                "snapshot itself is a batch source)"
+            )
+        root, snap = _load_snapshot(self.options)
+        return LakeChangesStreamReader(root, snap, dict(self.options))
+
+
+def _is_cdf(options: dict) -> bool:
+    return str(options.get("mode", "")).lower() in ("cdf", "changes")
+
+
+def register_lake_datasource(spark) -> None:
+    """Register the `laketable` format on this session (idempotent)."""
+    try:
+        # required for pushFilters() to plan (runtime-settable SQL conf);
+        # pushdown here is skip-only so enabling it is always safe
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    except Exception:
+        pass  # older builds without the conf: reader still works unpushed
+    spark.dataSource.register(LakeTableDataSource)
+
+
+register = register_lake_datasource  # short local alias

@@ -1894,6 +1894,68 @@ def cdc_incremental_view(spark, sf_dir):
     )
 
 
+@_register(
+    "cdc_datasource_read",
+    f"""
+    WITH wal AS (
+      SELECT event_id AS lsn,
+             CASE WHEN event_type = 'error' THEN 'delete' ELSE 'update' END AS op,
+             'org/repo-' || lpad((user_id % 12)::VARCHAR, 4, '0') AS repo,
+             'src/f' || lpad(user_id::VARCHAR, 5, '0') || '.py' AS path,
+             (['{"','".join(_LANGS_SQL)}'])[(user_id % 6 + 1)::INT] AS lang,
+             concat_ws('|', event_type, coalesce(props, '')) AS content
+      FROM events
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+      FROM wal
+    )
+    SELECT repo, path, lang, sha256(content) AS content_sha
+    FROM ranked
+    WHERE rn = 1 AND op <> 'delete' AND repo <= 'org/repo-0005'
+    """,
+)
+def cdc_datasource_read(spark, sf_dir):
+    """Replay the WAL in deletion-vector mode, then read the table back
+    through the `laketable` Python DataSource (lake/datasource.py):
+    spark.read.format("laketable") with a column projection and a
+    key-range filter that pushes down to per-file stats pruning
+    (pushFilters, Spark 4.1) while dv positional kills apply inside the
+    Arrow partition read — the registry-native read surface must value-
+    match the same DuckDB fold as the engine's own read()."""
+    from cdm_cbioportal_etl_spark.cdc import CdcReplayer
+    from cdm_cbioportal_etl_spark.cdc.generator import REPOS_SCHEMA
+    from cdm_cbioportal_etl_spark.lake.datasource import register
+
+    wal = _repos_wal(spark, sf_dir)
+    max_lsn = wal.agg(F.max("lsn")).collect()[0][0]
+    root = os.path.join(
+        CDC_WORK_DIR,
+        spark.sparkContext.applicationId,
+        "repos-ds-" + os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    table = LakeTable.create(
+        spark, root, T.StructType(list(REPOS_SCHEMA.fields)),
+        key_cols=["repo", "path"], n_buckets=16,
+        properties={"merge_mode": "dv"},
+    )
+    CdcReplayer(table).replay_range_batches(
+        wal, 0, int(max_lsn) + 1, batch_size=(int(max_lsn) + 4) // 4
+    )
+    register(spark)
+    return (
+        spark.read.format("laketable")
+        .option("path", root)
+        .option("columns", "repo,path,lang,content")
+        .load()
+        .filter(F.col("repo") <= "org/repo-0005")
+        .select(
+            "repo", "path", "lang",
+            F.sha2("content", 256).alias("content_sha"),
+        )
+    )
+
+
 # --------------------------------------------------------------------- #
 # SimHash fingerprints (dedup family) — 32-bit, engine-portable
 # --------------------------------------------------------------------- #
