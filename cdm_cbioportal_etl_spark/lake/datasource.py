@@ -33,6 +33,14 @@ Architecture (why this is NOT the slow Python path):
   guarantees every version of a key lives in a single bucket, so the
   latest-per-key fold is partition-local and needs no shuffle at all
   (the native read pays one; see `table.py` read()'s MOR branch).
+- **Point lookups prune like the native path.**  When the pushed
+  filters pin EVERY key column to an equality, the planner computes the
+  key's hash bucket driver-side with the pure-Python Spark-compatible
+  xxhash64 (`lake/xxh64.py`, bit-equality asserted against the JVM) and
+  plans only that bucket's files; per-file bloom sidecars then reject
+  files that provably lack the key — the same bucket → stats → bloom
+  stack as `LakeTable.point_lookup()`, still with zero SparkSession use
+  at planning time.
 - Deletion vectors (positional kills) and equality deletes (key+LSN
   kills) are applied inside the partition read, matching the native
   read semantics exactly (tests assert value equality against it).
@@ -76,6 +84,7 @@ from pyspark.sql.datasource import (
 )
 
 from .table import LSN_COL, DELETED_COL, LakeTable, schema_from_json
+from .xxh64 import pmod, xxhash64
 
 FORMAT_NAME = "laketable"
 CHANGE_TYPE_COL = "_change_type"
@@ -180,7 +189,9 @@ class LakeTableReader(DataSourceReader):
         if self.with_lsn:
             self.out_cols = [*self.out_cols, LSN_COL]
         self._snap = snap  # manifest metadata only (file lists + stats)
+        self.n_buckets = int(snap["n_buckets"])
         self._prune: dict[str, list] = {}
+        self._probe_cache: dict[int, tuple[int, ...]] = {}
 
     # -- planning ------------------------------------------------------ #
     def pushFilters(self, filters):  # noqa: N802 (Spark API name)
@@ -216,14 +227,68 @@ class LakeTableReader(DataSourceReader):
                     self._prune[col] = cur
             yield f  # Spark re-applies everything: pushdown = skip-only
 
+    def _point_key(self) -> list | None:
+        """The looked-up key values (key-col order) when the pushed
+        filters pin every key column to one scalar, else None."""
+        vals = []
+        for c in self.key_cols:
+            p = self._prune.get(c)
+            if not p or p[0] is None or p[0] != p[1]:
+                return None
+            vals.append(p[0])
+        return vals
+
+    def _bloom_reject(self, fobj: dict) -> bool:
+        """True when the file's bloom sidecar proves the point-lookup key
+        absent.  Missing/odd sidecars admit (sound default); probe hashes
+        are the same ``xxhash64(*keys, i)`` the writer used, computed
+        here in Python (xxh64.py) and cached per distinct k."""
+        bloom = fobj.get("bloom")
+        if not bloom:
+            return False
+        k = int(bloom["k"])
+        probes = self._probe_cache.get(k)
+        if probes is None:
+            probes = tuple(
+                xxhash64(
+                    [*self._probe_vals, i], [*self._probe_types, "integer"]
+                )
+                for i in range(k)
+            )
+            self._probe_cache[k] = probes
+        try:
+            with open(
+                os.path.join(self.root, fobj["path"] + ".bloom"), "rb"
+            ) as fh:
+                raw = fh.read()
+        except OSError:
+            return False
+        import struct as _struct
+
+        words = list(_struct.unpack(f"<{len(raw) // 8}q", raw))
+        return not LakeTable._bloom_contains(bloom, words, probes)
+
     def partitions(self):
         snap = self._snap
         prune = self._prune or None
         parts: list[ScanPartition] = []
         dv_entries = snap.get("dv", [])
         eq_entries = snap.get("eqdel", [])
+        point = self._point_key()
+        pbucket: int | None = None
+        if point is not None:
+            try:
+                types = [
+                    self.target[c].dataType.typeName() for c in self.key_cols
+                ]
+                pbucket = pmod(xxhash64(point, types), self.n_buckets)
+                self._probe_vals, self._probe_types = point, types
+            except TypeError:
+                pbucket = None  # un-hashable key type: no bucket pruning
         for b, files in snap["buckets"].items():
             bi = int(b)
+            if pbucket is not None and bi != pbucket:
+                continue  # keys never span buckets: O(1)-bucket lookup
             has_deltas = any(f.get("delta") for f in files)
             if has_deltas and self.partial:
                 # NOT NotImplementedError: the datasource API treats that
@@ -263,7 +328,8 @@ class LakeTableReader(DataSourceReader):
                     bool(f.get("dv_rows")),
                 )
                 for f in files
-                if eff is None or LakeTable._stats_admit(f, eff)
+                if (eff is None or LakeTable._stats_admit(f, eff))
+                and not (pbucket is not None and self._bloom_reject(f))
             ]
             if not admitted:
                 continue

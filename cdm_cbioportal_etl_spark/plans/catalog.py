@@ -1956,6 +1956,76 @@ def cdc_datasource_read(spark, sf_dir):
     )
 
 
+@_register(
+    "cdc_datasource_point_lookup",
+    """
+    WITH ranked AS (
+      SELECT user_id, event_type, value, props,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      FROM events),
+    fin AS (
+      SELECT user_id, event_type, value, props
+      FROM ranked WHERE rn = 1 AND event_type <> 'error')
+    SELECT user_id, event_type, value, props FROM fin
+    WHERE user_id = (SELECT min(user_id) FROM fin)
+    """,
+)
+def cdc_datasource_point_lookup(spark, sf_dir):
+    """Same final state and key as `cdc_point_lookup`, but the lookup
+    goes through spark.read.format("laketable") with an equality filter:
+    the Python planner derives the key's hash bucket driver-side (pure-
+    Python xxhash64, lake/xxh64.py) and bloom-rejects that bucket's
+    key-free files — the O(1 bucket) plan of the native point_lookup(),
+    value-gated here against the same DuckDB fold."""
+    from cdm_cbioportal_etl_spark.cdc import CdcReplayer
+    from cdm_cbioportal_etl_spark.lake.datasource import register
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_id").alias("lsn"),
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("update"))
+        .alias("op"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    max_lsn = int(ev.agg(F.max("lsn")).collect()[0][0])
+    root = os.path.join(
+        CDC_WORK_DIR,
+        spark.sparkContext.applicationId,
+        "dspl-" + os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    table = LakeTable.create(
+        spark,
+        root,
+        T.StructType(
+            [
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+                T.StructField("props", T.StringType()),
+            ]
+        ),
+        key_cols=["user_id"],
+        n_buckets=16,
+        properties={"file_blooms": 65536},
+    )
+    CdcReplayer(table).replay_range_batches(
+        ev, 0, max_lsn + 1, batch_size=(max_lsn + 4) // 4
+    )
+    key = int(table.read().agg(F.min("user_id")).collect()[0][0])
+    register(spark)
+    return (
+        spark.read.format("laketable")
+        .option("path", root)
+        .load()
+        .filter(F.col("user_id") == key)
+        .select("user_id", "event_type", "value", "props")
+    )
+
+
 # --------------------------------------------------------------------- #
 # SimHash fingerprints (dedup family) — 32-bit, engine-portable
 # --------------------------------------------------------------------- #

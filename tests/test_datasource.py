@@ -184,6 +184,77 @@ def test_filter_pushdown_prunes_files_and_keeps_results(spark, tmp_path):
     assert len(back) == 2
 
 
+def test_point_lookup_prunes_to_one_bucket_and_blooms(spark, tmp_path):
+    t = LakeTable.create(
+        spark,
+        os.path.join(str(tmp_path), "ds-point"),
+        T.StructType(
+            [
+                T.StructField("k", T.LongType()),
+                T.StructField("v", T.StringType()),
+            ]
+        ),
+        key_cols=["k"],
+        n_buckets=8,
+        properties={"file_blooms": 65536},
+    )
+    for b in range(3):  # several commits -> several files per bucket
+        src = spark.range(b * 1000, (b + 1) * 1000).select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("v"), F.col("id")).alias("v"),
+            F.col("id").alias("lsn"),
+            F.lit("upsert").alias("op"),
+        )
+        t.merge(src, batch_id=f"b{b}")
+    register(spark)
+    for key in (7, 999, 1500, 2999):
+        got = (
+            spark.read.format("laketable")
+            .option("path", t.root)
+            .load()
+            .filter(F.col("k") == key)
+        )
+        assert _vals(got) == _vals(t.point_lookup({"k": key}))
+    # planner-level: an all-key equality plans ONE bucket's files, and
+    # the bloom sidecars reject that bucket's key-free files on top
+    ds = LakeTableDataSource({"path": t.root})
+    full = len(ds.reader(None).partitions())
+    r = ds.reader(None)
+    list(r.pushFilters([EqualTo(("k",), 1500)]))
+    parts = r.partitions()
+    per_bucket = full / 8
+    assert len(parts) <= per_bucket  # <= : blooms may reject further
+    n_files = sum(len(p.files) for p in parts)
+    assert 1 <= n_files <= 3  # the key was written once across 3 commits
+    # a string-keyed table prunes too (utf-8 hash path)
+    t2 = _mk(spark, tmp_path, "ds-point-str")
+    t2.merge(_events(spark, BATCH1), batch_id="b0")
+    register(spark)
+    got = (
+        spark.read.format("laketable")
+        .option("path", t2.root)
+        .load()
+        .filter((F.col("repo") == "r1") & (F.col("path") == "a.py"))
+    )
+    assert _vals(got) == _vals(
+        t2.point_lookup({"repo": "r1", "path": "a.py"})
+    )
+    r2 = LakeTableDataSource({"path": t2.root}).reader(None)
+    list(
+        r2.pushFilters(
+            [EqualTo(("repo",), "r1"), EqualTo(("path",), "a.py")]
+        )
+    )
+    buckets_planned = {
+        os.path.dirname(f[1]) for p in r2.partitions() for f in p.files
+    }
+    assert len(buckets_planned) == 1
+    # partial key equality must NOT bucket-prune (other keys remain)
+    r3 = LakeTableDataSource({"path": t2.root}).reader(None)
+    list(r3.pushFilters([EqualTo(("repo",), "r1")]))
+    assert r3._point_key() is None
+
+
 def test_batch_cdf_mode_refused(spark, tmp_path):
     t = _mk(spark, tmp_path, "ds-refuse")
     t.merge(_events(spark, BATCH1), batch_id="b0")
