@@ -95,6 +95,11 @@ _BENCH_QUERIES = [
     "cdc_repos_replay_dv",
     "wal_log_compaction",
     "cdc_equality_delete",
+    # round 4 (late): Python DataSource registry reads — the dv replay
+    # read back through spark.read.format("laketable"), and the O(1
+    # bucket)+bloom driver-planned point lookup
+    "cdc_datasource_read",
+    "cdc_datasource_point_lookup",
 ]
 
 
