@@ -2693,6 +2693,52 @@ class LakeTable:
             return sum(snap["bucket_rows"].values())
         return self._count_rows(snap["buckets"])
 
+    def logical_row_count(self, version: int | None = None) -> int:
+        """Exact LIVE row count — metadata-only whenever the snapshot
+        permits (the Iceberg/Delta ``SELECT COUNT(*)`` shortcut: answer
+        from the manifest, scan nothing).
+
+        Eligibility is decided per snapshot, not per table property:
+
+        - **COW / DV snapshots** (no MOR delta files, no pending
+          equality-delete sidecars): logical = physical − dv-dead.  COW
+          folds winners in place and keeps no tombstones, so physical
+          rows ARE live rows; DV merges leave superseded/deleted rows in
+          place but maintain an exact per-file dead counter
+          (``dv_rows``, bumped under the same commit as the kill list —
+          a position is killed at most once because kills are computed
+          against live rows only).  Both terms are manifest arithmetic:
+          O(files) driver-side, zero Spark jobs, any table size.
+        - **MOR deltas or equality deletes pending**: the live count
+          depends on key resolution (which base rows a delta supersedes
+          / how many live rows an eq-delete key matches) — that is data,
+          not metadata, so this falls back to a resolved-read count.
+          ``compact()`` folds both back in and restores the fast path.
+
+        ``version`` time-travels the count (manifests are immutable, so
+        the arithmetic works on any retained snapshot).
+        """
+        snap = self.snapshot if version is None else self.snapshot_at(version)
+        has_deltas = any(
+            f.get("delta", False)
+            for files in snap["buckets"].values()
+            for f in files
+        )
+        if has_deltas or snap.get("eqdel"):
+            return self.read(version=version).count()
+        physical = (
+            sum(snap["bucket_rows"].values())
+            if "bucket_rows" in snap
+            and set(snap["bucket_rows"]) == set(snap["buckets"])
+            else self._count_rows(snap["buckets"])
+        )
+        dv_dead = sum(
+            int(f.get("dv_rows", 0))
+            for files in snap["buckets"].values()
+            for f in files
+        )
+        return physical - dv_dead
+
     def changes_since(self, lsn: int) -> DataFrame:
         """Rows whose current version was applied after ``lsn`` — the
         incremental-consumption read a downstream CDC stage polls with
