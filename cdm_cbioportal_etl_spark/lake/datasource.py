@@ -45,6 +45,16 @@ Architecture (why this is NOT the slow Python path):
   kills) are applied inside the partition read, matching the native
   read semantics exactly (tests assert value equality against it).
 
+Metadata tables ride the same registry (Iceberg's `table$files` shape):
+`option("metadata", "files" | "history" | "snapshots")` serves the
+manifest inventory / commit lineage / retained-version list as ordinary
+DataFrames — rows are extracted from the manifest JSON at plan time
+(no data file touched), `files`/`history` schema-identical to the
+native `LakeTable.files()`/`history()`, `snapshots` the discovery
+surface for `option("version", ...)` time travel.  All compose with
+`version`/`timestamp`/`ref`, which the native inspection methods
+(current-snapshot-only) do not.
+
 Deliberately read-only: writes go through `LakeTable.merge()` —
 an exactly-once JVM shuffle job; funneling write data through Python
 workers would be the anti-scale path, so no `writer()` is provided.
@@ -498,6 +508,173 @@ def _scalar(v) -> bool:
 
 
 # --------------------------------------------------------------------- #
+# metadata tables (Iceberg's `table$files` / `$history` / `$snapshots`)
+# --------------------------------------------------------------------- #
+# Schemas of `files` and `history` are IDENTICAL to the native
+# LakeTable.files()/history() DataFrames (tests assert frame equality);
+# `snapshots` is the datasource-only discovery surface that tells a
+# registry user which `option("version", ...)` values time travel can
+# reach — the native path gets that from refs()/snapshot_at directly.
+# Built as explicit StructTypes: planning stays SparkSession-free (the
+# DDL parser would need the JVM).
+def _struct(*fields: tuple[str, T.DataType]) -> T.StructType:
+    return T.StructType([T.StructField(n, t, True) for n, t in fields])
+
+
+_META_SCHEMAS: dict[str, T.StructType] = {
+    "files": _struct(
+        ("bucket", T.IntegerType()),
+        ("path", T.StringType()),
+        ("schema_id", T.IntegerType()),
+        ("rows", T.LongType()),
+        ("is_delta", T.BooleanType()),
+        ("has_bloom", T.BooleanType()),
+        ("dv_rows", T.LongType()),
+        ("stats", T.StringType()),
+    ),
+    "history": _struct(
+        ("seq", T.LongType()),
+        ("batch_id", T.StringType()),
+        ("operation", T.StringType()),
+        ("lsn_max", T.LongType()),
+        ("batch_rows", T.LongType()),
+        ("batch_keys", T.LongType()),
+        ("deletes", T.LongType()),
+        ("details", T.StringType()),
+    ),
+    "snapshots": _struct(
+        ("version", T.LongType()),
+        ("parent", T.LongType()),
+        ("committed_at", T.DoubleType()),
+        ("schema_id", T.IntegerType()),
+        ("n_files", T.LongType()),
+        ("physical_rows", T.LongType()),
+        ("applied_lsn", T.LongType()),
+    ),
+}
+
+
+def _meta_rows(root: str, snap: dict[str, Any], kind: str) -> list[tuple]:
+    """Rows for a metadata table, pure driver-side manifest JSON walks
+    (mirrors LakeTable.files()/history() row construction)."""
+    if kind == "files":
+        rows = []
+        for b, fobjs in sorted(
+            snap["buckets"].items(), key=lambda kv: int(kv[0])
+        ):
+            for f in fobjs:
+                rows.append(
+                    (
+                        int(b),
+                        f["path"],
+                        int(f.get("schema_id", 0)),
+                        int(f["rows"]) if f.get("rows") is not None else None,
+                        bool(f.get("delta", False)),
+                        bool(f.get("bloom")),
+                        int(f.get("dv_rows", 0)),
+                        json.dumps(f.get("stats"), sort_keys=True)
+                        if f.get("stats")
+                        else None,
+                    )
+                )
+        return rows
+    if kind == "history":
+        from .table import _op_kind
+
+        scalar_keys = (
+            "batch_id", "operation", "lsn_max", "batch_rows", "batch_keys",
+            "deletes",
+        )
+        rows = []
+        for i, rec in enumerate(snap.get("lineage", [])):
+            rest = {k: v for k, v in rec.items() if k not in scalar_keys}
+
+            def _i(k):
+                return int(rec[k]) if rec.get(k) is not None else None
+
+            rows.append(
+                (
+                    i,
+                    str(rec["batch_id"]),
+                    str(rec.get("operation") or _op_kind(str(rec["batch_id"]))),
+                    _i("lsn_max"),
+                    _i("batch_rows"),
+                    _i("batch_keys"),
+                    _i("deletes"),
+                    json.dumps(rest, sort_keys=True) if rest else None,
+                )
+            )
+        return rows
+    if kind == "snapshots":
+        rows = []
+        for v, s in _ancestry(root, int(snap["version"])):
+            ledger = s.get("ledger", {})
+            rows.append(
+                (
+                    int(v),
+                    int(s["parent"]) if s.get("parent") is not None else None,
+                    float(s["committed_at"])
+                    if s.get("committed_at") is not None
+                    else None,
+                    int(s["schema_id"]),
+                    sum(len(f) for f in s["buckets"].values()),
+                    sum(s["bucket_rows"].values())
+                    if "bucket_rows" in s
+                    and set(s["bucket_rows"]) == set(s["buckets"])
+                    else None,
+                    int(ledger["applied_lsn"])
+                    if ledger.get("applied_lsn") is not None
+                    else None,
+                )
+            )
+        rows.reverse()  # oldest retained first
+        return rows
+    raise ValueError(
+        f"laketable: unknown metadata table {kind!r} "
+        f"(have: {sorted(_META_SCHEMAS)})"
+    )
+
+
+@dataclass
+class MetadataPartition(InputPartition):
+    rows: list[tuple]
+
+
+class LakeMetadataReader(DataSourceReader):
+    """Reader over a metadata table: rows are extracted from the manifest
+    JSON at PLAN time (driver-side, no SparkSession, no data file
+    touched) and shipped in the partition — metadata volume is O(files),
+    bounded by the manifest the driver already holds."""
+
+    _CHUNK = 50_000  # files-rows per partition on very large manifests
+
+    def __init__(self, root: str, snap: dict[str, Any], kind: str):
+        self._schema = _META_SCHEMAS[kind]
+        self._rows = _meta_rows(root, snap, kind)
+
+    def partitions(self):
+        chunks = [
+            self._rows[i : i + self._CHUNK]
+            for i in range(0, len(self._rows), self._CHUNK)
+        ] or [[]]
+        return [MetadataPartition(c) for c in chunks]
+
+    def read(self, partition: MetadataPartition):
+        if not partition.rows:
+            return
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        arrow_schema = to_arrow_schema(self._schema)
+        cols = list(zip(*partition.rows))
+        arrays = [
+            pa.array(list(col), type=fld.type)
+            for col, fld in zip(cols, arrow_schema)
+        ]
+        yield pa.record_batch(arrays, schema=arrow_schema)
+
+
+# --------------------------------------------------------------------- #
 # streaming change feed
 # --------------------------------------------------------------------- #
 @dataclass
@@ -627,6 +804,15 @@ class LakeTableDataSource(DataSource):
 
     def schema(self):
         root, snap = _load_snapshot(self.options)
+        meta = self.options.get("metadata")
+        if meta:
+            kind = str(meta).lower()
+            if kind not in _META_SCHEMAS:
+                raise ValueError(
+                    f"laketable: unknown metadata table {kind!r} "
+                    f"(have: {sorted(_META_SCHEMAS)})"
+                )
+            return _META_SCHEMAS[kind]
         if _is_cdf(self.options):
             return _cdf_struct(_table_struct(snap))
         struct = _table_struct(snap)
@@ -655,6 +841,9 @@ class LakeTableDataSource(DataSource):
                 "LakeTable.table_changes())"
             )
         root, snap = _load_snapshot(self.options)
+        meta = self.options.get("metadata")
+        if meta:
+            return LakeMetadataReader(root, snap, str(meta).lower())
         return LakeTableReader(root, snap, dict(self.options))
 
     def streamReader(self, schema) -> DataSourceStreamReader:  # noqa: N802
