@@ -4466,3 +4466,71 @@ def semantic_dedup_kmeans(spark, sf_dir):
     return semantic_dedup(
         emb, n_clusters=8, threshold=0.35, refine_iters=1
     ).withColumn("cluster_id", F.col("cluster_id").cast("long"))
+
+
+@_register(
+    "cdc_metadata_count",
+    """
+    WITH wal AS (
+      SELECT event_id AS lsn,
+             CASE WHEN event_type = 'error' THEN 'delete' ELSE 'update' END AS op,
+             user_id
+      FROM events
+    ), ranked AS (
+      SELECT user_id, op,
+             row_number() OVER (PARTITION BY user_id ORDER BY lsn DESC) AS rn
+      FROM wal
+    )
+    SELECT count(*)::BIGINT AS live_rows,
+           count(*)::BIGINT AS physical_rows
+    FROM ranked WHERE rn = 1 AND op <> 'delete'
+    """,
+)
+def cdc_metadata_count(spark, sf_dir):
+    """Metadata-only COUNT(*) (lake/table.py::logical_row_count): after a
+    full engine replay, the live-row count comes from manifest
+    arithmetic alone — the method is monkey-proofed in tests to never
+    scan; here the VALUE is gated against the DuckDB latest-per-key
+    fold.  On a COW table physical == logical (no tombstones survive),
+    asserted by returning both."""
+    from cdm_cbioportal_etl_spark.cdc import CdcReplayer
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_id").alias("lsn"),
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("update"))
+        .alias("op"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    max_lsn = int(ev.agg(F.max("lsn")).collect()[0][0])
+    root = os.path.join(
+        CDC_WORK_DIR,
+        spark.sparkContext.applicationId,
+        "metacnt-" + os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    table = LakeTable.create(
+        spark,
+        root,
+        T.StructType(
+            [
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+                T.StructField("props", T.StringType()),
+            ]
+        ),
+        key_cols=["user_id"],
+        n_buckets=16,
+    )
+    CdcReplayer(table).replay_range_batches(
+        ev, 0, max_lsn + 1, batch_size=(max_lsn + 4) // 4
+    )
+    live = table.logical_row_count()
+    physical = table.row_count()
+    return spark.createDataFrame(
+        [(live, physical)], "live_rows long, physical_rows long"
+    )
