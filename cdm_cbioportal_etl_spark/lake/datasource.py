@@ -697,6 +697,11 @@ class LakeChangesStreamReader(DataSourceStreamReader):
         self.root = root
         self.ref = options.get("ref", "main")
         self.target = _table_struct(snap)
+        # the stream's output schema is FIXED at construction (Spark
+        # streaming queries cannot change schema mid-query); commits
+        # written under NEWER schema ids must fail the stream rather
+        # than silently dropping their new columns — Delta CDF's rule
+        self.schema_id = int(snap["schema_id"])
         if "startingversion" in {k.lower() for k in options}:
             sv = next(
                 v for k, v in options.items()
@@ -742,6 +747,15 @@ class LakeChangesStreamReader(DataSourceStreamReader):
                 )
             if d["mode"] == "none":
                 continue
+            if int(d["schema_id"]) > self.schema_id:
+                raise ValueError(
+                    f"laketable cdf: commit {v} was written under a newer "
+                    f"schema (id {d['schema_id']} > stream's "
+                    f"{self.schema_id}) — a streaming query's schema is "
+                    "fixed at start, so its new columns cannot be served; "
+                    "restart the stream (it resumes from the checkpoint "
+                    "with the evolved schema; older commits null-fill)"
+                )
             for p in d.get("files") or []:
                 parts.append(
                     ChangePartition(

@@ -363,3 +363,90 @@ def test_partial_image_mor_read_refused(spark, tmp_path):
     register(spark)
     with pytest.raises(Exception, match="per-column fold"):
         spark.read.format("laketable").option("path", t.root).load().collect()
+
+
+def test_stream_schema_evolution_fails_then_resumes_after_restart(
+    spark, tmp_path
+):
+    """Delta CDF's evolution rule: a live stream whose schema predates a
+    commit FAILS (never silently drops the new column); a restarted
+    stream picks up the evolved schema from the checkpoint, and the
+    pre-evolution commits' change rows null-fill the new column."""
+    t = _mk(
+        spark, tmp_path, "ds-evo-stream",
+        properties={"write_changes": "true"},
+    )
+    start_v = t.snapshot["version"]
+    t.merge(_events(spark, BATCH1), batch_id="b0")
+    register(spark)
+    sink = os.path.join(str(tmp_path), "evo-sink")
+    ckpt = os.path.join(str(tmp_path), "evo-ckpt")
+
+    def _run(out):
+        q = (
+            spark.readStream.format("laketable")
+            .option("path", t.root)
+            .option("mode", "cdf")
+            .option("startingVersion", str(start_v))
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    # ONE live query: drain b0 under the original schema, then let the
+    # evolution commit land while the query (old-schema reader) still runs
+    q = (
+        spark.readStream.format("laketable")
+        .option("path", t.root)
+        .option("mode", "cdf")
+        .option("startingVersion", str(start_v))
+        .load()
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        t.evolve_schema(
+            T.StructType(
+                list(SCHEMA.fields) + [T.StructField("lang", T.StringType())]
+            )
+        )
+        t.merge(
+            spark.createDataFrame(
+                [(10, "upsert", "r9", "z.py", "c9", "v1", "python")],
+                "lsn long, op string, repo string, path string, "
+                "commit string, content string, lang string",
+            ),
+            batch_id="b1",
+        )
+        # the live OLD-schema stream must fail loudly, never drop columns
+        with pytest.raises(Exception, match="newer schema"):
+            q.processAllAvailable()
+            q.awaitTermination(30)
+    finally:
+        try:
+            q.stop()
+        except Exception:
+            pass
+
+    # restart = new reader picks up the evolved schema (a parquet file
+    # sink cannot change schema, so the restarted query gets a fresh
+    # sink+checkpoint and replays from startingVersion — checkpoint
+    # resume itself is covered by test_stream_cdf_exactly_once_and_resume)
+    sink2 = os.path.join(str(tmp_path), "evo-sink2")
+    ckpt = os.path.join(str(tmp_path), "evo-ckpt2")
+    _run(sink2)
+    got = spark.read.parquet(sink2)
+    assert "lang" in got.columns
+    rows = {(r["repo"], r["path"]): r["lang"] for r in got.collect()}
+    # post-evolution commit carries the value; pre-evolution null-fills
+    assert rows[("r9", "z.py")] == "python"
+    assert rows[("r1", "b.py")] is None
