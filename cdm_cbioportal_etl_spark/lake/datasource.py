@@ -93,7 +93,13 @@ from pyspark.sql.datasource import (
     LessThanOrEqual,
 )
 
-from .table import LSN_COL, DELETED_COL, LakeTable, schema_from_json
+from .table import (
+    LSN_COL,
+    DELETED_COL,
+    LakeTable,
+    resolve_manifest,
+    schema_from_json,
+)
 from .xxh64 import pmod, xxhash64
 
 FORMAT_NAME = "laketable"
@@ -118,7 +124,9 @@ def _snapshot_at(root: str, version: int) -> dict[str, Any]:
     if not os.path.exists(path):
         raise ValueError(f"no snapshot version {version} at {root}")
     with open(path) as fh:
-        return json.load(fh)
+        # resolve_manifest is pure file I/O (sharded manifests keep the
+        # bucket inventory out-of-line) — planning stays session-free
+        return resolve_manifest(root, json.load(fh))
 
 
 def _ancestry(root: str, head: int) -> Iterator[tuple[int, dict[str, Any]]]:

@@ -92,6 +92,59 @@ class ConcurrentCommitError(RuntimeError):
     automatically; the LSN ledger makes the retried batch exactly-once."""
 
 
+def resolve_manifest(root: str, snap: dict[str, Any]) -> dict[str, Any]:
+    """Materialize a sharded manifest: when the snapshot JSON carries
+    ``buckets_ref`` (shard id → content-addressed shard file under
+    ``_meta/shards/``) instead of an inline ``buckets`` map, load the
+    referenced shards and install the merged bucket→files dict.  Inline
+    manifests pass through untouched.  Pure file I/O — the Python
+    DataSource planner calls this with no SparkSession."""
+    ref = snap.get("buckets_ref")
+    if ref is None or "buckets" in snap:
+        return snap
+    buckets: dict[str, list] = {}
+    for fn in ref.values():
+        with open(os.path.join(root, "_meta", "shards", fn)) as fh:
+            buckets.update(json.load(fh))
+    snap["buckets"] = buckets
+    return snap
+
+
+def _write_manifest_shards(
+    root: str, buckets: dict[str, list], n_shards: int
+) -> dict[str, str]:
+    """Split ``buckets`` into ``n_shards`` canonical-JSON shard files
+    (shard = bucket_id % n_shards), CONTENT-ADDRESSED under
+    ``_meta/shards/shard-<sha>.json``: an unchanged shard hashes to the
+    file the parent snapshot already references, so a commit writes only
+    the shards its touched buckets fall in — O(touched), not O(table).
+    Existing files are never rewritten (same name ⇔ same bytes), which
+    also makes shard writes idempotent under commit retries.  Returns
+    shard id (str) → shard file name."""
+    import hashlib
+
+    sdir = os.path.join(root, "_meta", "shards")
+    os.makedirs(sdir, exist_ok=True)
+    parts: dict[int, dict[str, list]] = {}
+    for b, files in buckets.items():
+        parts.setdefault(int(b) % n_shards, {})[b] = files
+    ref: dict[str, str] = {}
+    for shard, sub in sorted(parts.items()):
+        payload = json.dumps(sub, sort_keys=True)
+        sha = hashlib.sha256(payload.encode()).hexdigest()[:20]
+        fn = f"shard-{sha}.json"
+        path = os.path.join(sdir, fn)
+        if not os.path.exists(path):
+            tmp = os.path.join(sdir, f".{fn}.{uuid.uuid4().hex}")
+            with open(tmp, "w") as fh:
+                fh.write(payload)
+                fh.flush()
+                os.fsync(fh.fileno())
+            os.replace(tmp, path)  # racers write identical bytes
+        ref[str(shard)] = fn
+    return ref
+
+
 def _op_kind(batch_id: str) -> str:
     """Classify a lineage batch_id into the operation kind shown by
     ``history()`` (maintenance ops stamp a recognizable prefix)."""
@@ -211,7 +264,7 @@ class LakeTable:
     def refresh(self) -> None:
         version = self._read_ref(self.ref)["version"]
         with open(os.path.join(self._meta_dir, f"snap-{version:08d}.json")) as fh:
-            self._snap = json.load(fh)
+            self._snap = resolve_manifest(self.root, json.load(fh))
 
     def _commit(self, snap: dict[str, Any]) -> None:
         """Write manifest then atomically swing the VERSION pointer.
@@ -293,8 +346,26 @@ class LakeTable:
         # record which manifest this token produced (repair breadcrumb)
         with os.fdopen(tfd, "w") as fh:
             fh.write(str(version))
+        # sharded manifests (property `manifest_shards` = N > 0): the
+        # file inventory is split bucket%N into content-addressed shard
+        # files; unchanged shards hash to the parent's files, so the
+        # per-commit metadata write is O(touched shards) while the
+        # snapshot JSON itself stays O(1)-ish (refs + ledger + lineage).
+        # Shard bytes are fsync'd BEFORE this manifest (durability
+        # order), and a stale inherited `buckets_ref` never leaks into
+        # an inline commit (popped below; resolve_manifest also prefers
+        # inline `buckets` when both are present).
+        out = dict(snap)
+        out.pop("buckets_ref", None)
+        n_shards = int(
+            (snap.get("properties") or {}).get("manifest_shards", 0) or 0
+        )
+        if n_shards > 0:
+            out["buckets_ref"] = _write_manifest_shards(
+                self.root, out.pop("buckets"), n_shards
+            )
         with os.fdopen(fd, "w") as fh:
-            json.dump(snap, fh)
+            json.dump(out, fh)
             fh.flush()
             os.fsync(fh.fileno())
         if self.ref == "main":
@@ -319,7 +390,7 @@ class LakeTable:
         if not os.path.exists(path):
             raise ValueError(f"no snapshot version {version} at {self.root}")
         with open(path) as fh:
-            return json.load(fh)
+            return resolve_manifest(self.root, json.load(fh))
 
     def _next_free_version(self) -> int:
         """Next unallocated number in the table's single global version
@@ -3941,6 +4012,30 @@ class LakeTable:
                 b = int(m.group(1))
                 if b not in protected and b < newest_head:
                     os.remove(os.path.join(txn_dir, fn))
+        # manifest shards age out with the manifests that reference
+        # them: delete shard files no RETAINED manifest points at.
+        # Guard against a concurrent writer mid-commit (its shards exist
+        # before its manifest does): only reclaim shards strictly older
+        # than the newest retained manifest's commit stamp.
+        sdir = os.path.join(self._meta_dir, "shards")
+        if os.path.isdir(sdir):
+            referenced: set[str] = set()
+            newest_at = 0.0
+            for fn in os.listdir(self._meta_dir):
+                if not re.fullmatch(r"snap-\d{8}\.json", fn):
+                    continue
+                with open(os.path.join(self._meta_dir, fn)) as fh:
+                    s = json.load(fh)
+                referenced.update((s.get("buckets_ref") or {}).values())
+                newest_at = max(newest_at, float(s.get("committed_at") or 0))
+            for fn in os.listdir(sdir):
+                full = os.path.join(sdir, fn)
+                if (
+                    fn.startswith("shard-")
+                    and fn not in referenced
+                    and os.path.getmtime(full) < newest_at
+                ):
+                    os.remove(full)
         return removed
 
     def vacuum(self) -> int:
@@ -3960,7 +4055,9 @@ class LakeTable:
             if not _re.fullmatch(r"snap-\d{8}\.json", fn):
                 continue
             with open(os.path.join(self._meta_dir, fn)) as fh:
-                manifest = json.load(fh)
+                # resolve_manifest: sharded manifests reference their
+                # bucket inventory out-of-line
+                manifest = resolve_manifest(self.root, json.load(fh))
             for files in manifest.get("buckets", {}).values():
                 live.update(fobj["path"] for fobj in files)
         removed = 0

@@ -1,0 +1,137 @@
+"""Sharded manifests (Iceberg manifest-list shape, opt-in).
+
+With table property ``manifest_shards=N`` the per-snapshot file
+inventory lives in N content-addressed shard files (bucket % N);
+unchanged shards hash to the parent's files, so a commit's metadata
+write is O(touched shards) instead of O(all live files) — the property
+that keeps 10^10-event tables from rewriting a full inventory JSON on
+every merge.  Readers (native, time travel, vacuum liveness, the
+Python DataSource planner) resolve shards transparently.
+"""
+
+import json
+import os
+import shutil
+
+from pyspark.sql import types as T
+
+from cdm_cbioportal_etl_spark.lake import LakeTable, register_lake_datasource
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.LongType()),
+        T.StructField("v", T.StringType()),
+    ]
+)
+
+
+def _mk(spark, tmp_path, name, **props):
+    root = str(tmp_path / name)
+    shutil.rmtree(root, ignore_errors=True)
+    return LakeTable.create(
+        spark, root, SCHEMA, key_cols=["k"], n_buckets=8,
+        properties=props or None,
+    )
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(rows, "k long, v string, lsn long, op string")
+
+
+def _raw_snap(t, version):
+    with open(
+        os.path.join(t.root, "_meta", f"snap-{version:08d}.json")
+    ) as fh:
+        return json.load(fh)
+
+
+def test_sharded_equals_inline_same_history(spark, tmp_path):
+    hist = [
+        [(i, "a", i, "upsert") for i in range(200)],
+        [(i, "b", 300 + i, "upsert") for i in range(0, 60)]
+        + [(i, None, 600 + i, "delete") for i in range(150, 170)],
+    ]
+    a = _mk(spark, tmp_path, "inline")
+    b = _mk(spark, tmp_path, "sharded", manifest_shards=4)
+    va_first = vb_first = None
+    for h in hist:
+        a.merge(_batch(spark, h))
+        b.merge(_batch(spark, h))
+        if va_first is None:
+            va_first = a.snapshot["version"]
+            vb_first = b.snapshot["version"]
+    va = sorted(tuple(r) for r in a.read().collect())
+    vb = sorted(tuple(r) for r in b.read().collect())
+    assert va == vb
+    assert a.logical_row_count() == b.logical_row_count() == 180
+    # the sharded snapshot JSON carries refs, not the inventory
+    raw = _raw_snap(b, b.snapshot["version"])
+    assert "buckets" not in raw and len(raw["buckets_ref"]) == 4
+    # time travel resolves shards of the older snapshot
+    assert (
+        b.read(version=vb_first).count()
+        == a.read(version=va_first).count()
+        == 200
+    )
+
+
+def test_commit_writes_only_touched_shards(spark, tmp_path):
+    t = _mk(spark, tmp_path, "touch", manifest_shards=8)  # shard==bucket
+    t.merge(_batch(spark, [(i, "a", i, "upsert") for i in range(64)]))
+    base_ref = _raw_snap(t, t.snapshot["version"])["buckets_ref"]
+    # one-key batch: exactly one bucket (= one shard) can change
+    t.merge(_batch(spark, [(1, "z", 1000, "upsert")]))
+    new_ref = _raw_snap(t, t.snapshot["version"])["buckets_ref"]
+    changed = {s for s in new_ref if base_ref.get(s) != new_ref[s]}
+    assert len(changed) == 1
+    # content addressing: the 7 untouched shards reuse the SAME files
+    assert sum(base_ref[s] == new_ref[s] for s in base_ref) == 7
+
+
+def test_datasource_reads_sharded_manifests(spark, tmp_path):
+    t = _mk(spark, tmp_path, "dshard", manifest_shards=3)
+    t.merge(_batch(spark, [(i, "a", i, "upsert") for i in range(40)]))
+    register_lake_datasource(spark)
+    got = (
+        spark.read.format("laketable").option("path", t.root).load()
+    )
+    assert sorted(tuple(r) for r in got.collect()) == sorted(
+        tuple(r) for r in t.read().collect()
+    )
+    files_md = (
+        spark.read.format("laketable")
+        .option("path", t.root)
+        .option("metadata", "files")
+        .load()
+    )
+    assert files_md.count() == t.files().count()
+
+
+def test_expire_gcs_unreferenced_shards_keeps_retained(spark, tmp_path):
+    t = _mk(spark, tmp_path, "gc", manifest_shards=2)
+    for i in range(6):
+        t.merge(_batch(spark, [(k, f"v{i}", i * 100 + k, "upsert")
+                               for k in range(10)]))
+    sdir = os.path.join(t.root, "_meta", "shards")
+    before = set(os.listdir(sdir))
+    t.expire_snapshots(keep_last=2)
+    after = set(os.listdir(sdir))
+    # retained manifests stay fully readable through their shards
+    retained = sorted(
+        int(f[5:13])
+        for f in os.listdir(os.path.join(t.root, "_meta"))
+        if f.startswith("snap-")
+    )
+    referenced = set()
+    for v in retained:
+        raw = _raw_snap(t, v)
+        referenced.update(raw["buckets_ref"].values())
+        assert t.read(version=v).count() == 10
+    assert referenced <= after
+    assert after < before  # expired-only shards were reclaimed
+    # vacuum on the sharded table still sees the right liveness
+    t.vacuum()
+    assert t.read().count() == 10
+    assert sorted(
+        r["v"] for r in t.read().select("v").distinct().collect()
+    ) == ["v5"]
