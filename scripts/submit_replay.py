@@ -59,6 +59,12 @@ def main() -> None:
                          "--view refresh (and any table_changes consumer) "
                          "reads O(batch) stored rows instead of snapshot-"
                          "diffing rewritten files")
+    ap.add_argument("--manifest-shards", type=int, default=0,
+                    help="shard the manifest file inventory into N "
+                         "content-addressed files (bucket %% N): per-commit "
+                         "metadata writes become O(touched shards) — the "
+                         "setting for long-lived tables with large file "
+                         "counts (0 = inline inventory)")
     ap.add_argument("--view", default=None,
                     help="maintain an incremental per-lang COUNT view at "
                          "this path: created (one full compute) if absent, "
@@ -84,6 +90,8 @@ def main() -> None:
         props = {"merge_mode": args.mode}
         if args.cdf:
             props["write_changes"] = "true"
+        if args.manifest_shards:
+            props["manifest_shards"] = str(args.manifest_shards)
         table = LakeTable.create(
             spark, args.table, T.StructType(list(REPOS_SCHEMA.fields)),
             key_cols=["repo", "path"], n_buckets=args.buckets,
