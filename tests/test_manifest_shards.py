@@ -135,3 +135,23 @@ def test_expire_gcs_unreferenced_shards_keeps_retained(spark, tmp_path):
     assert sorted(
         r["v"] for r in t.read().select("v").distinct().collect()
     ) == ["v5"]
+
+
+def test_sharding_composes_with_branches_and_rollback(spark, tmp_path):
+    t = _mk(spark, tmp_path, "branchy", manifest_shards=4)
+    t.merge(_batch(spark, [(i, "a", i, "upsert") for i in range(30)]))
+    v1 = t.snapshot["version"]
+    t.create_branch("dev")
+    dev = t.checkout("dev")
+    dev.merge(_batch(spark, [(i, "dev", 100 + i, "upsert") for i in range(5)]))
+    # branch commit wrote shards; both refs resolve independently
+    assert {r["v"] for r in dev.read().select("v").distinct().collect()} == {
+        "a", "dev"
+    }
+    assert {r["v"] for r in t.read().select("v").distinct().collect()} == {"a"}
+    # main keeps moving, then rolls back — shard-referencing snapshots
+    # stay readable and the rollback target resolves its shards
+    t.merge(_batch(spark, [(0, "main2", 500, "upsert")]))
+    t.rollback_to(v1)
+    got = sorted(tuple(r) for r in t.read().collect())
+    assert got == sorted((i, "a") for i in range(30))
