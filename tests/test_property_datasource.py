@@ -28,7 +28,12 @@ def test_datasource_equals_native_on_mixed_histories(
     spark, tmp_path_factory, steps
 ):
     root = str(tmp_path_factory.mktemp("propds")) + "/t"
-    table = LakeTable.create(spark, root, SCHEMA, key_cols=["k"], n_buckets=2)
+    # sharded manifests on: the property then covers manifest sharding
+    # composed with every merge-mode interleaving for free
+    table = LakeTable.create(
+        spark, root, SCHEMA, key_cols=["k"], n_buckets=2,
+        properties={"manifest_shards": 2},
+    )
     lsn = -1
     pending_mor = False
     for kind, mode, payload in steps:
