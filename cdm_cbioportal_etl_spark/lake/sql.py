@@ -193,6 +193,20 @@ class LakeSession:
         )
         if dm:
             return self.table(dm.group(1)).drop_constraint(dm.group(2))
+        pm = re.fullmatch(
+            r"ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+SET\s+"
+            r"TBLPROPERTIES\s*\((.+)\)",
+            s,
+            flags=re.IGNORECASE | re.DOTALL,
+        )
+        if pm:
+            props = {}
+            for item in _split_top(pm.group(2)):
+                k, _, v = item.partition("=")
+                props[k.strip().strip("'\"")] = v.strip().strip("'\"")
+            if not props or any(not k for k in props):
+                raise ValueError(f"cannot parse TBLPROPERTIES: {pm.group(2)!r}")
+            return self.table(pm.group(1)).set_properties(props)
         m = re.fullmatch(
             r"ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+ADD\s+COLUMNS?\s*"
             r"\(?\s*(.+?)\s*\)?",

@@ -3296,6 +3296,40 @@ class LakeTable:
         )
         self._commit(snap)
 
+    # properties an existing table cannot safely change: flipping
+    # partial-image semantics re-interprets ALREADY-WRITTEN delta rows
+    # (null = unchanged vs null = null), silently corrupting reads
+    _IMMUTABLE_PROPS = frozenset({"partial_updates"})
+
+    def set_properties(self, props: dict[str, Any]) -> None:
+        """Merge ``props`` into the table properties with a metadata-only
+        commit (``ALTER TABLE ... SET TBLPROPERTIES``).  Write-path
+        settings (``manifest_shards``, ``write_changes``, ``merge_mode``,
+        ``file_blooms``, ``stats_cols`` ...) take effect from the NEXT
+        commit — e.g. turning manifest sharding on mid-life re-shards at
+        the next merge and readers resolve either layout per snapshot."""
+        bad = sorted(set(props) & self._IMMUTABLE_PROPS)
+        if bad:
+            raise ValueError(
+                f"properties {bad} are fixed at table creation "
+                "(they define how already-written data is interpreted)"
+            )
+        snap = json.loads(json.dumps(self.snapshot))
+        snap.setdefault("properties", {}).update(
+            {str(k): str(v) for k, v in props.items()}
+        )
+        snap["version"] += 1
+        snap["changes"] = {"mode": "none"}
+        snap["lineage"].append(
+            {
+                "at": round(time.time(), 3),
+                "batch_id": "set-properties",
+                "operation": "set_properties",
+                "keys": sorted(str(k) for k in props),
+            }
+        )
+        self._commit(snap)
+
     def delete_where(self, cond) -> "MergeStats":
         """``DELETE FROM t WHERE cond`` as a COW/MOR merge: resolve the
         matching keys (one pruned scan — parquet predicate pushdown; pass

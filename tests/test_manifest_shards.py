@@ -155,3 +155,35 @@ def test_sharding_composes_with_branches_and_rollback(spark, tmp_path):
     t.rollback_to(v1)
     got = sorted(tuple(r) for r in t.read().collect())
     assert got == sorted((i, "a") for i in range(30))
+
+
+def test_set_properties_enables_sharding_mid_life(spark, tmp_path):
+    """ALTER TABLE ... SET TBLPROPERTIES turns sharding on for an
+    existing inline table; the next commit re-shards, a later flip-off
+    goes back inline, and readers resolve every layout in the history."""
+    import pytest
+    from cdm_cbioportal_etl_spark.lake import LakeSession
+
+    t = _mk(spark, tmp_path, "midlife")
+    t.merge(_batch(spark, [(i, "a", i, "upsert") for i in range(20)]))
+    v_inline = t.snapshot["version"]
+    assert "buckets_ref" not in _raw_snap(t, v_inline)
+
+    ls = LakeSession(spark)
+    ls.register("t", t)
+    ls.sql("ALTER TABLE t SET TBLPROPERTIES ('manifest_shards' = '4')")
+    t.merge(_batch(spark, [(0, "b", 100, "upsert")]))
+    raw = _raw_snap(t, t.snapshot["version"])
+    assert "buckets" not in raw and len(raw["buckets_ref"]) == 4
+
+    t.set_properties({"manifest_shards": 0})
+    t.merge(_batch(spark, [(1, "c", 200, "upsert")]))
+    raw2 = _raw_snap(t, t.snapshot["version"])
+    assert "buckets" in raw2 and "buckets_ref" not in raw2
+    # all three layouts readable; state correct end-to-end
+    assert t.read(version=v_inline).count() == 20
+    got = {(r["k"], r["v"]) for r in t.read().collect()}
+    assert (0, "b") in got and (1, "c") in got and len(got) == 20
+
+    with pytest.raises(ValueError, match="fixed at table creation"):
+        t.set_properties({"partial_updates": "true"})
