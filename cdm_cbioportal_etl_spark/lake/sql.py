@@ -140,6 +140,19 @@ class LakeSession:
             return self._describe(s)
         if head == "OPTIMIZE":
             return self._optimize(s)
+        if head == "SHOW":
+            m = re.fullmatch(
+                r"SHOW\s+TBLPROPERTIES\s+([A-Za-z_][A-Za-z0-9_]*)",
+                s,
+                flags=re.IGNORECASE,
+            )
+            if not m:
+                raise ValueError(f"only SHOW TBLPROPERTIES t is supported: {s!r}")
+            props = self.table(m.group(1)).snapshot.get("properties", {})
+            return self.spark.createDataFrame(
+                sorted((str(k), str(v)) for k, v in props.items()),
+                "key string, value string",
+            )
         if head == "VACUUM":
             m = re.fullmatch(
                 r"VACUUM\s+([A-Za-z_][A-Za-z0-9_]*)", s, flags=re.IGNORECASE

@@ -187,3 +187,16 @@ def test_set_properties_enables_sharding_mid_life(spark, tmp_path):
 
     with pytest.raises(ValueError, match="fixed at table creation"):
         t.set_properties({"partial_updates": "true"})
+
+
+def test_show_tblproperties(spark, tmp_path):
+    from cdm_cbioportal_etl_spark.lake import LakeSession
+
+    t = _mk(spark, tmp_path, "showp", manifest_shards=4)
+    ls = LakeSession(spark)
+    ls.register("t", t)
+    got = {r["key"]: r["value"] for r in ls.sql("SHOW TBLPROPERTIES t").collect()}
+    assert got.get("manifest_shards") == "4"
+    ls.sql("ALTER TABLE t SET TBLPROPERTIES ('write_changes'='true')")
+    got2 = {r["key"]: r["value"] for r in ls.sql("SHOW TBLPROPERTIES t").collect()}
+    assert got2.get("write_changes") == "true"
