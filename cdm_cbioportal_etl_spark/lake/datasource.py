@@ -559,6 +559,11 @@ _META_SCHEMAS: dict[str, T.StructType] = {
         ("physical_rows", T.LongType()),
         ("applied_lsn", T.LongType()),
     ),
+    "refs": _struct(
+        ("name", T.StringType()),
+        ("type", T.StringType()),
+        ("version", T.LongType()),
+    ),
 }
 
 
@@ -612,6 +617,19 @@ def _meta_rows(root: str, snap: dict[str, Any], kind: str) -> list[tuple]:
                     json.dumps(rest, sort_keys=True) if rest else None,
                 )
             )
+        return rows
+    if kind == "refs":
+        rows = [("main", "branch", _read_ref_version(root, "main"))]
+        refs_dir = os.path.join(root, "_meta", "refs")
+        if os.path.isdir(refs_dir):
+            for fn in sorted(os.listdir(refs_dir)):
+                if not fn.endswith(".json") or fn.startswith("."):
+                    continue
+                with open(os.path.join(refs_dir, fn)) as fh:
+                    rec = json.load(fh)
+                rows.append(
+                    (fn[:-5], rec.get("type", "branch"), int(rec["version"]))
+                )
         return rows
     if kind == "snapshots":
         rows = []

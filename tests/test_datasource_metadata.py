@@ -105,3 +105,21 @@ def test_metadata_composes_with_filters(spark, table):
     )
     assert n_bloom == sum(1 for r in table.files().collect() if r["has_bloom"])
     assert n_bloom > 0
+
+
+def test_refs_metadata_matches_native(spark, table):
+    table.create_branch("dev")
+    table.create_tag("v1")
+    got = sorted(tuple(r) for r in _ds(spark, table, "refs").collect())
+    want = sorted(
+        (r["name"], r["type"], r["version"]) for r in table.refs()
+    )
+    assert got == want
+    names = {g[0] for g in got}
+    assert {"main", "dev", "v1"} <= names
+    # refs + snapshots together = full time-travel discovery: every ref
+    # head is a readable version option
+    for _, _, v in got:
+        assert (
+            _ds(spark, table, "files", version=str(v)).count() >= 0
+        )
