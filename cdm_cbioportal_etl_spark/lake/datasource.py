@@ -46,12 +46,13 @@ Architecture (why this is NOT the slow Python path):
   read semantics exactly (tests assert value equality against it).
 
 Metadata tables ride the same registry (Iceberg's `table$files` shape):
-`option("metadata", "files" | "history" | "snapshots")` serves the
-manifest inventory / commit lineage / retained-version list as ordinary
-DataFrames — rows are extracted from the manifest JSON at plan time
-(no data file touched), `files`/`history` schema-identical to the
-native `LakeTable.files()`/`history()`, `snapshots` the discovery
-surface for `option("version", ...)` time travel.  All compose with
+`option("metadata", "files" | "history" | "snapshots" | "refs")` serves
+the manifest inventory / commit lineage / retained-version list /
+branch+tag heads as ordinary DataFrames — rows are extracted from the
+manifest JSON at plan time (no data file touched), `files`/`history`
+schema-identical to the native `LakeTable.files()`/`history()`,
+`snapshots`+`refs` the discovery surface for `option("version", ...)` /
+`option("ref", ...)` time travel.  All compose with
 `version`/`timestamp`/`ref`, which the native inspection methods
 (current-snapshot-only) do not.
 
