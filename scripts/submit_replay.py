@@ -116,6 +116,10 @@ def main() -> None:
         "batches_applied": report.batches_applied,
         "batches_skipped": report.batches_skipped,
         "rows_after": table.row_count(),
+        # live rows by manifest arithmetic (== rows_after on COW; on DV
+        # the dead rows stay physical until compaction) — metadata-only,
+        # resolved-read fallback only while MOR deltas/eq-deletes pend
+        "live_rows": table.logical_row_count(),
         "applied_lsn": table.snapshot["ledger"]["applied_lsn"],
     }
     if args.view:

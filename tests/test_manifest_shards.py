@@ -200,3 +200,34 @@ def test_show_tblproperties(spark, tmp_path):
     ls.sql("ALTER TABLE t SET TBLPROPERTIES ('write_changes'='true')")
     got2 = {r["key"]: r["value"] for r in ls.sql("SHOW TBLPROPERTIES t").collect()}
     assert got2.get("write_changes") == "true"
+
+
+def test_crashed_writer_orphan_shards_are_harmless_then_gcd(spark, tmp_path):
+    """A writer that dies after writing shard files but before its
+    manifest leaves content-addressed orphans: reads never see them
+    (only referenced shards resolve), and expire_snapshots GCs them
+    once a newer commit exists (the mtime guard keeps genuinely
+    in-flight shards safe)."""
+    import time as _time
+    from cdm_cbioportal_etl_spark.lake.table import _write_manifest_shards
+
+    t = _mk(spark, tmp_path, "crash", manifest_shards=2)
+    t.merge(_batch(spark, [(i, "a", i, "upsert") for i in range(10)]))
+    # simulate the crash: shards for a never-committed inventory
+    _write_manifest_shards(
+        t.root, {"0": [{"path": "data/zzz/0/fake.parquet", "rows": 1,
+                        "schema_id": 0}]}, 2
+    )
+    sdir = os.path.join(t.root, "_meta", "shards")
+    n_with_orphan = len(os.listdir(sdir))
+    assert sorted(r["k"] for r in t.read().collect()) == list(range(10))
+    _time.sleep(0.05)
+    # a LATER commit makes the orphan strictly older than the newest
+    # manifest -> reclaimable; referenced shards survive
+    t.merge(_batch(spark, [(0, "b", 100, "upsert")]))
+    t.expire_snapshots(keep_last=1)
+    after = set(os.listdir(sdir))
+    assert len(after) < n_with_orphan
+    raw = _raw_snap(t, t.snapshot["version"])
+    assert set(raw["buckets_ref"].values()) <= after
+    assert t.read().count() == 10
