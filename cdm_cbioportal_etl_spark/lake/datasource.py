@@ -120,22 +120,32 @@ def _read_ref_version(root: str, ref: str) -> int:
         return int(json.load(fh)["version"])
 
 
-def _snapshot_at(root: str, version: int) -> dict[str, Any]:
+def _snapshot_at(
+    root: str, version: int, resolve: bool = True
+) -> dict[str, Any]:
     path = os.path.join(root, "_meta", f"snap-{version:08d}.json")
     if not os.path.exists(path):
         raise ValueError(f"no snapshot version {version} at {root}")
     with open(path) as fh:
-        # resolve_manifest is pure file I/O (sharded manifests keep the
-        # bucket inventory out-of-line) — planning stays session-free
-        return resolve_manifest(root, json.load(fh))
+        snap = json.load(fh)
+    # resolve_manifest is pure file I/O (sharded manifests keep the
+    # bucket inventory out-of-line) — planning stays session-free.
+    # resolve=False for walks that read only scalar fields (parent,
+    # committed_at, changes): resolving per-ancestor would cost
+    # O(history × live files) on sharded tables.
+    return resolve_manifest(root, snap) if resolve else snap
 
 
-def _ancestry(root: str, head: int) -> Iterator[tuple[int, dict[str, Any]]]:
-    """(version, snapshot) newest-first along the parent chain."""
+def _ancestry(
+    root: str, head: int, resolve: bool = False
+) -> Iterator[tuple[int, dict[str, Any]]]:
+    """(version, snapshot) newest-first along the parent chain.
+    Unresolved by default — pass resolve=True only when the consumer
+    reads `buckets`."""
     v: int | None = head
     while v is not None:
         try:
-            s = _snapshot_at(root, v)
+            s = _snapshot_at(root, v, resolve=resolve)
         except ValueError:
             return
         yield v, s
@@ -569,56 +579,18 @@ _META_SCHEMAS: dict[str, T.StructType] = {
 
 
 def _meta_rows(root: str, snap: dict[str, Any], kind: str) -> list[tuple]:
-    """Rows for a metadata table, pure driver-side manifest JSON walks
-    (mirrors LakeTable.files()/history() row construction)."""
+    """Rows for a metadata table, pure driver-side manifest JSON walks.
+    `files`/`history` call the SAME builders as the native
+    LakeTable.files()/history() (table.py), so the two surfaces cannot
+    diverge."""
     if kind == "files":
-        rows = []
-        for b, fobjs in sorted(
-            snap["buckets"].items(), key=lambda kv: int(kv[0])
-        ):
-            for f in fobjs:
-                rows.append(
-                    (
-                        int(b),
-                        f["path"],
-                        int(f.get("schema_id", 0)),
-                        int(f["rows"]) if f.get("rows") is not None else None,
-                        bool(f.get("delta", False)),
-                        bool(f.get("bloom")),
-                        int(f.get("dv_rows", 0)),
-                        json.dumps(f.get("stats"), sort_keys=True)
-                        if f.get("stats")
-                        else None,
-                    )
-                )
-        return rows
+        from .table import files_meta_rows
+
+        return files_meta_rows(snap)
     if kind == "history":
-        from .table import _op_kind
+        from .table import history_meta_rows
 
-        scalar_keys = (
-            "batch_id", "operation", "lsn_max", "batch_rows", "batch_keys",
-            "deletes",
-        )
-        rows = []
-        for i, rec in enumerate(snap.get("lineage", [])):
-            rest = {k: v for k, v in rec.items() if k not in scalar_keys}
-
-            def _i(k):
-                return int(rec[k]) if rec.get(k) is not None else None
-
-            rows.append(
-                (
-                    i,
-                    str(rec["batch_id"]),
-                    str(rec.get("operation") or _op_kind(str(rec["batch_id"]))),
-                    _i("lsn_max"),
-                    _i("batch_rows"),
-                    _i("batch_keys"),
-                    _i("deletes"),
-                    json.dumps(rest, sort_keys=True) if rest else None,
-                )
-            )
-        return rows
+        return history_meta_rows(snap)
     if kind == "refs":
         rows = [("main", "branch", _read_ref_version(root, "main"))]
         refs_dir = os.path.join(root, "_meta", "refs")
@@ -634,7 +606,8 @@ def _meta_rows(root: str, snap: dict[str, Any], kind: str) -> list[tuple]:
         return rows
     if kind == "snapshots":
         rows = []
-        for v, s in _ancestry(root, int(snap["version"])):
+        # resolve=True: n_files/physical_rows read the bucket inventory
+        for v, s in _ancestry(root, int(snap["version"]), resolve=True):
             ledger = s.get("ledger", {})
             rows.append(
                 (
@@ -847,6 +820,11 @@ class LakeTableDataSource(DataSource):
         root, snap = _load_snapshot(self.options)
         meta = self.options.get("metadata")
         if meta:
+            if _is_cdf(self.options):
+                raise ValueError(
+                    "laketable: options metadata and mode=cdf conflict — "
+                    "metadata tables are batch-only"
+                )
             kind = str(meta).lower()
             if kind not in _META_SCHEMAS:
                 raise ValueError(
@@ -888,6 +866,11 @@ class LakeTableDataSource(DataSource):
         return LakeTableReader(root, snap, dict(self.options))
 
     def streamReader(self, schema) -> DataSourceStreamReader:  # noqa: N802
+        if self.options.get("metadata"):
+            raise ValueError(
+                "laketable: metadata tables are batch-only — use "
+                "spark.read (not readStream)"
+            )
         if not _is_cdf(self.options):
             raise ValueError(
                 "laketable: streaming requires option mode=cdf (the "

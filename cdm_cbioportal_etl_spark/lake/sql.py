@@ -215,7 +215,15 @@ class LakeSession:
         if pm:
             props = {}
             for item in _split_top(pm.group(2)):
-                k, _, v = item.partition("=")
+                k, eq, v = item.partition("=")
+                if not eq:
+                    # 'k' without '=v' must be a parse error, not a
+                    # silent k='' (a falsy value that would DISABLE the
+                    # very feature the user was turning on)
+                    raise ValueError(
+                        f"cannot parse TBLPROPERTIES item {item.strip()!r}: "
+                        "expected 'key' = 'value'"
+                    )
                 props[k.strip().strip("'\"")] = v.strip().strip("'\"")
             if not props or any(not k for k in props):
                 raise ValueError(f"cannot parse TBLPROPERTIES: {pm.group(2)!r}")

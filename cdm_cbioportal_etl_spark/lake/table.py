@@ -141,8 +141,67 @@ def _write_manifest_shards(
                 fh.flush()
                 os.fsync(fh.fileno())
             os.replace(tmp, path)  # racers write identical bytes
+        else:
+            # freshen the mtime: the expire-time GC's in-flight guard is
+            # mtime-based, and a REUSED shard would otherwise keep the
+            # stamp of whichever old commit first wrote it
+            os.utime(path, None)
         ref[str(shard)] = fn
     return ref
+
+
+def history_meta_rows(snap: dict[str, Any]) -> list[tuple]:
+    """Rows for the `history` inspection surface — the ONE builder both
+    the native DataFrame and the datasource metadata table call, so the
+    two can never diverge."""
+    scalar_keys = (
+        "batch_id", "operation", "lsn_max", "batch_rows", "batch_keys",
+        "deletes",
+    )
+    rows = []
+    for i, rec in enumerate(snap.get("lineage", [])):
+        rest = {k: v for k, v in rec.items() if k not in scalar_keys}
+
+        def _i(k):
+            return int(rec[k]) if rec.get(k) is not None else None
+
+        rows.append(
+            (
+                i,
+                str(rec["batch_id"]),
+                # write-time stamp is authoritative; prefix inference
+                # only for legacy records predating the field
+                str(rec.get("operation") or _op_kind(str(rec["batch_id"]))),
+                _i("lsn_max"),
+                _i("batch_rows"),
+                _i("batch_keys"),
+                _i("deletes"),
+                json.dumps(rest, sort_keys=True) if rest else None,
+            )
+        )
+    return rows
+
+
+def files_meta_rows(snap: dict[str, Any]) -> list[tuple]:
+    """Rows for the `files` inspection surface (see history_meta_rows)."""
+    rows = []
+    for b, fobjs in sorted(snap["buckets"].items(), key=lambda kv: int(kv[0])):
+        for f in fobjs:
+            rows.append(
+                (
+                    int(b),
+                    f["path"],
+                    int(f.get("schema_id", 0)),
+                    int(f["rows"]) if f.get("rows") is not None else None,
+                    bool(f.get("delta", False)),
+                    bool(f.get("bloom")),
+                    int(f.get("dv_rows", 0)),
+                    json.dumps(f.get("stats"), sort_keys=True)
+                    if f.get("stats")
+                    else None,
+                )
+            )
+    return rows
 
 
 def _op_kind(batch_id: str) -> str:
@@ -302,6 +361,12 @@ class LakeTable:
                     f"ref {self.ref!r} is a tag — tags are immutable; "
                     "checkout a branch to write"
                 )
+        # parse write-path settings BEFORE allocating the manifest slot:
+        # a malformed property must fail the statement, not strand a
+        # zero-byte snap-*.json that poisons every later vacuum/expire
+        n_shards = int(
+            (snap.get("properties") or {}).get("manifest_shards", 0) or 0
+        )
         # the committed snapshot this handle derived the new one from
         # (its view before the mutation); None for the genesis commit
         base = self._snap["version"] if self._snap else None
@@ -357,17 +422,36 @@ class LakeTable:
         # inline `buckets` when both are present).
         out = dict(snap)
         out.pop("buckets_ref", None)
-        n_shards = int(
-            (snap.get("properties") or {}).get("manifest_shards", 0) or 0
-        )
+
+        def _abort_cleanup():
+            # in-process failure before the pointer swing: release the
+            # allocated manifest slot and the arbitration token so the
+            # table is NOT left with a truncated manifest (which would
+            # crash vacuum/expire) or a stuck token (which would block
+            # every later commit from this base)
+            for p in (path, token):
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass
+
         if n_shards > 0:
-            out["buckets_ref"] = _write_manifest_shards(
-                self.root, out.pop("buckets"), n_shards
-            )
-        with os.fdopen(fd, "w") as fh:
-            json.dump(out, fh)
-            fh.flush()
-            os.fsync(fh.fileno())
+            try:
+                out["buckets_ref"] = _write_manifest_shards(
+                    self.root, out.pop("buckets"), n_shards
+                )
+            except BaseException:
+                os.close(fd)
+                _abort_cleanup()
+                raise
+        try:
+            with os.fdopen(fd, "w") as fh:
+                json.dump(out, fh)
+                fh.flush()
+                os.fsync(fh.fileno())
+        except BaseException:
+            _abort_cleanup()
+            raise
         if self.ref == "main":
             tmp = os.path.join(self._meta_dir, f".VERSION.{uuid.uuid4().hex}")
             with open(tmp, "w") as fh:
@@ -416,11 +500,23 @@ class LakeTable:
         v = self.snapshot["version"] if head is None else head
         while v is not None:
             try:
-                s = self.snapshot_at(v)
+                # raw load: the walk needs only `parent` — resolving a
+                # sharded inventory per ancestor would make every
+                # ancestry walk O(history × live files)
+                s = self._snapshot_raw(v)
             except ValueError:
                 return
             yield v
             v = s.get("parent", v - 1 if v > 0 else None)
+
+    def _snapshot_raw(self, version: int) -> dict[str, Any]:
+        """Snapshot JSON WITHOUT shard resolution — for walks that read
+        only scalar fields (parent, committed_at, changes...)."""
+        path = os.path.join(self._meta_dir, f"snap-{version:08d}.json")
+        if not os.path.exists(path):
+            raise ValueError(f"no snapshot version {version} at {self.root}")
+        with open(path) as fh:
+            return json.load(fh)
 
     def version_at_timestamp(self, ts: float) -> int:
         """TIMESTAMP AS OF resolution (Delta/Iceberg semantics): the
@@ -436,7 +532,7 @@ class LakeTable:
         versions = list(self._ancestry())
         oldest = None
         for v in versions:
-            s = self.snapshot_at(v)
+            s = self._snapshot_raw(v)  # only committed_at is needed
             at = s.get("committed_at")
             if at is None or at <= ts:
                 return v  # pre-timestamp manifests count as old enough
@@ -3314,6 +3410,24 @@ class LakeTable:
                 f"properties {bad} are fixed at table creation "
                 "(they define how already-written data is interpreted)"
             )
+        # numeric write-path settings must parse NOW — a malformed value
+        # must fail this statement, not a later commit
+        for k, caster in (
+            ("manifest_shards", int),
+            ("file_blooms", int),
+            ("shard_gc_grace_sec", float),
+            ("max_lineage", int),
+            ("max_tracked_segments", int),
+        ):
+            if k in props:
+                try:
+                    if caster(props[k]) < 0:
+                        raise ValueError
+                except (TypeError, ValueError):
+                    raise ValueError(
+                        f"property {k!r} needs a non-negative "
+                        f"{caster.__name__}, got {props[k]!r}"
+                    ) from None
         snap = json.loads(json.dumps(self.snapshot))
         snap.setdefault("properties", {}).update(
             {str(k): str(v) for k, v in props.items()}
@@ -3928,70 +4042,26 @@ class LakeTable:
         details (watermarks, per-phase timings) ride in a JSON column —
         schema-stable regardless of which operations the table has seen.
         """
-        import json as _json
-
-        scalar_keys = (
-            "batch_id", "operation", "lsn_max", "batch_rows", "batch_keys",
-            "deletes",
-        )
-        rows = []
-        for i, rec in enumerate(self.snapshot.get("lineage", [])):
-            rest = {k: v for k, v in rec.items() if k not in scalar_keys}
-
-            def _i(k):
-                return int(rec[k]) if rec.get(k) is not None else None
-
-            rows.append(
-                (
-                    i,
-                    str(rec["batch_id"]),
-                    # write-time stamp is authoritative; prefix inference
-                    # only for legacy records predating the field
-                    str(rec.get("operation") or _op_kind(str(rec["batch_id"]))),
-                    _i("lsn_max"),
-                    _i("batch_rows"),
-                    _i("batch_keys"),
-                    _i("deletes"),
-                    _json.dumps(rest, sort_keys=True) if rest else None,
-                )
-            )
         schema = (
             "seq long, batch_id string, operation string, lsn_max long, "
             "batch_rows long, batch_keys long, deletes long, details string"
         )
-        return self.spark.createDataFrame(rows, schema)
+        return self.spark.createDataFrame(
+            history_meta_rows(self.snapshot), schema
+        )
 
     def files(self) -> DataFrame:
         """Data-file inventory of the current snapshot as a DataFrame:
         (bucket, path, schema_id, rows, is_delta, has_bloom, per-column
         min/max stats as a JSON string) — Iceberg's ``.files`` metadata
         table.  One row per live data file, straight from the manifest."""
-        import json as _json
-
-        rows = []
-        for b, fobjs in sorted(
-            self.snapshot["buckets"].items(), key=lambda kv: int(kv[0])
-        ):
-            for f in fobjs:
-                rows.append(
-                    (
-                        int(b),
-                        f["path"],
-                        int(f.get("schema_id", 0)),
-                        int(f["rows"]) if f.get("rows") is not None else None,
-                        bool(f.get("delta", False)),
-                        bool(f.get("bloom")),
-                        int(f.get("dv_rows", 0)),
-                        _json.dumps(f.get("stats"), sort_keys=True)
-                        if f.get("stats")
-                        else None,
-                    )
-                )
         schema = (
             "bucket int, path string, schema_id int, rows long, "
             "is_delta boolean, has_bloom boolean, dv_rows long, stats string"
         )
-        return self.spark.createDataFrame(rows, schema)
+        return self.spark.createDataFrame(
+            files_meta_rows(self.snapshot), schema
+        )
 
     def expire_snapshots(self, keep_last: int = 5) -> int:
         """Delete old snapshot manifests, keeping the most recent
@@ -4048,11 +4118,19 @@ class LakeTable:
                     os.remove(os.path.join(txn_dir, fn))
         # manifest shards age out with the manifests that reference
         # them: delete shard files no RETAINED manifest points at.
-        # Guard against a concurrent writer mid-commit (its shards exist
-        # before its manifest does): only reclaim shards strictly older
-        # than the newest retained manifest's commit stamp.
+        # Two guards against a concurrent writer mid-commit (its shards
+        # exist — freshly written OR mtime-freshened on reuse — before
+        # its manifest does): reclaim only shards strictly older than
+        # the newest retained commit stamp AND older than a grace window
+        # (property `shard_gc_grace_sec`, default 600) covering the gap
+        # between a stalled writer's shard write and its manifest write.
         sdir = os.path.join(self._meta_dir, "shards")
         if os.path.isdir(sdir):
+            grace = float(
+                (self.snapshot.get("properties") or {}).get(
+                    "shard_gc_grace_sec", 600
+                )
+            )
             referenced: set[str] = set()
             newest_at = 0.0
             for fn in os.listdir(self._meta_dir):
@@ -4062,12 +4140,13 @@ class LakeTable:
                     s = json.load(fh)
                 referenced.update((s.get("buckets_ref") or {}).values())
                 newest_at = max(newest_at, float(s.get("committed_at") or 0))
+            horizon = min(newest_at, time.time() - grace)
             for fn in os.listdir(sdir):
                 full = os.path.join(sdir, fn)
                 if (
                     fn.startswith("shard-")
                     and fn not in referenced
-                    and os.path.getmtime(full) < newest_at
+                    and os.path.getmtime(full) < horizon
                 ):
                     os.remove(full)
         return removed

@@ -108,7 +108,9 @@ def test_datasource_reads_sharded_manifests(spark, tmp_path):
 
 
 def test_expire_gcs_unreferenced_shards_keeps_retained(spark, tmp_path):
-    t = _mk(spark, tmp_path, "gc", manifest_shards=2)
+    # grace 0: the test wants immediate reclaim; production default 600s
+    # additionally protects a stalled writer's not-yet-referenced shards
+    t = _mk(spark, tmp_path, "gc", manifest_shards=2, shard_gc_grace_sec=0)
     for i in range(6):
         t.merge(_batch(spark, [(k, f"v{i}", i * 100 + k, "upsert")
                                for k in range(10)]))
@@ -211,7 +213,8 @@ def test_crashed_writer_orphan_shards_are_harmless_then_gcd(spark, tmp_path):
     import time as _time
     from cdm_cbioportal_etl_spark.lake.table import _write_manifest_shards
 
-    t = _mk(spark, tmp_path, "crash", manifest_shards=2)
+    t = _mk(spark, tmp_path, "crash", manifest_shards=2,
+            shard_gc_grace_sec=0)
     t.merge(_batch(spark, [(i, "a", i, "upsert") for i in range(10)]))
     # simulate the crash: shards for a never-committed inventory
     _write_manifest_shards(
@@ -231,3 +234,50 @@ def test_crashed_writer_orphan_shards_are_harmless_then_gcd(spark, tmp_path):
     raw = _raw_snap(t, t.snapshot["version"])
     assert set(raw["buckets_ref"].values()) <= after
     assert t.read().count() == 10
+
+
+def test_review_fixes_bad_props_grace_and_stream_guard(spark, tmp_path):
+    import pytest
+    from cdm_cbioportal_etl_spark.lake import LakeSession
+    from cdm_cbioportal_etl_spark.lake.table import _write_manifest_shards
+
+    t = _mk(spark, tmp_path, "fixes", manifest_shards=2)
+    t.merge(_batch(spark, [(1, "a", 1, "upsert")]))
+    ls = LakeSession(spark)
+    ls.register("t", t)
+
+    # (1) malformed numeric property fails the STATEMENT — no zero-byte
+    # manifest is stranded, vacuum/expire keep working
+    with pytest.raises(ValueError, match="non-negative int"):
+        ls.sql("ALTER TABLE t SET TBLPROPERTIES ('manifest_shards'='8x')")
+    t.vacuum()
+    t.expire_snapshots(keep_last=5)
+
+    # (2) TBLPROPERTIES item without '=' is a parse error, not k=''
+    with pytest.raises(ValueError, match="expected 'key' = 'value'"):
+        ls.sql("ALTER TABLE t SET TBLPROPERTIES ('write_changes')")
+
+    # (3) default grace window protects a stalled writer's shards from
+    # the expire-time GC even after newer commits land
+    _write_manifest_shards(
+        t.root, {"0": [{"path": "data/zz/0/f.parquet", "rows": 1,
+                        "schema_id": 0}]}, 2
+    )
+    sdir = os.path.join(t.root, "_meta", "shards")
+    n_before = len(os.listdir(sdir))
+    t.merge(_batch(spark, [(2, "b", 10, "upsert")]))
+    t.expire_snapshots(keep_last=1)
+    assert len(os.listdir(sdir)) == n_before  # grace keeps the orphan
+
+    # (4) metadata tables are batch-only through the registry
+    from cdm_cbioportal_etl_spark.lake import register_lake_datasource
+
+    register_lake_datasource(spark)
+    with pytest.raises(Exception, match="batch-only"):
+        (
+            spark.readStream.format("laketable")
+            .option("path", t.root)
+            .option("mode", "cdf")
+            .option("metadata", "files")
+            .load()
+        )
