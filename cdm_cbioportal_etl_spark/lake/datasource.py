@@ -100,6 +100,7 @@ from .table import (
     LakeTable,
     resolve_manifest,
     schema_from_json,
+    schema_pnames,
 )
 from .xxh64 import pmod, xxhash64
 
@@ -221,6 +222,10 @@ class LakeTableReader(DataSourceReader):
         self.n_buckets = int(snap["n_buckets"])
         self._prune: dict[str, list] = {}
         self._probe_cache: dict[int, tuple[int, ...]] = {}
+        # logical → PHYSICAL column names (column mapping): data files,
+        # stats keys, and eq-delete key files all live in physical space;
+        # identity until a RENAME/DROP COLUMN has happened
+        self._pm: dict[str, str] = schema_pnames(snap, int(snap["schema_id"]))
 
     # -- planning ------------------------------------------------------ #
     def pushFilters(self, filters):  # noqa: N802 (Spark API name)
@@ -335,6 +340,9 @@ class LakeTableReader(DataSourceReader):
                 eff = {
                     c: p for c, p in prune.items() if c in self.key_cols
                 } or None
+            if eff:
+                # stats are keyed by PHYSICAL name
+                eff = {self._pm.get(c, c): p for c, p in eff.items()}
             dvf = [
                 os.path.join(self.root, p)
                 for e in dv_entries
@@ -438,13 +446,19 @@ class LakeTableReader(DataSourceReader):
             T.StructType([f for f in istruct.fields if f.name in internal])
         )
         dead = self._dv_positions(partition) if partition.dv_files else {}
+        pm = self._pm
         pieces = []
         for abs_path, rel_path, sid, has_dv in partition.files:
             pf = pq.ParquetFile(abs_path)
             # the file's PHYSICAL columns (delta files carry _deleted,
-            # base files don't; older schema ids lack evolved columns)
+            # base files don't; older schema ids lack evolved columns;
+            # renamed columns keep their physical name)
             present = set(pf.schema_arrow.names)
-            cols = [c for c in internal if c in present]
+            cols = list(
+                dict.fromkeys(
+                    pm.get(c, c) for c in internal if pm.get(c, c) in present
+                )
+            )
             t = pf.read(columns=cols)
             if has_dv and rel_path in dead:
                 import numpy as np
@@ -455,8 +469,9 @@ class LakeTableReader(DataSourceReader):
                 t = t.filter(pa.array(mask))
             arrays = []
             for fld in arrow_schema:
-                if fld.name in t.column_names:
-                    arrays.append(t.column(fld.name).cast(fld.type))
+                src = pm.get(fld.name, fld.name)
+                if src in t.column_names:
+                    arrays.append(t.column(src).cast(fld.type))
                 else:
                     arrays.append(pa.nulls(t.num_rows, type=fld.type))
             pieces.append(pa.table(arrays, schema=arrow_schema))
@@ -488,9 +503,11 @@ class LakeTableReader(DataSourceReader):
         import pyarrow.parquet as pq
 
         kills = []
+        pkeys = [self._pm.get(c, c) for c in self.key_cols]
         for paths, lsn in eq_entries:
             for p in paths:
-                k = pq.read_table(p, columns=self.key_cols).to_pandas()
+                k = pq.read_table(p, columns=pkeys).to_pandas()
+                k.columns = list(self.key_cols)  # physical → logical
                 k["_eq_lsn"] = lsn
                 kills.append(k)
         if not kills:
@@ -697,6 +714,7 @@ class LakeChangesStreamReader(DataSourceStreamReader):
         self.root = root
         self.ref = options.get("ref", "main")
         self.target = _table_struct(snap)
+        self._pm = schema_pnames(snap, int(snap["schema_id"]))
         # the stream's output schema is FIXED at construction (Spark
         # streaming queries cannot change schema mid-query); commits
         # written under NEWER schema ids must fail the stream rather
@@ -774,13 +792,16 @@ class LakeChangesStreamReader(DataSourceStreamReader):
         t = pq.read_table(partition.path)
         arrays = []
         for fld in arrow_schema:
+            # change files live in PHYSICAL name space (system columns
+            # map to themselves)
+            src = self._pm.get(fld.name, fld.name)
             if fld.name == COMMIT_VERSION_COL:
                 arrays.append(
                     pa.array([partition.version] * t.num_rows,
                              type=fld.type)
                 )
-            elif fld.name in t.column_names:
-                arrays.append(t.column(fld.name).cast(fld.type))
+            elif src in t.column_names:
+                arrays.append(t.column(src).cast(fld.type))
             else:
                 arrays.append(pa.nulls(t.num_rows, type=fld.type))
         out = pa.table(arrays, schema=arrow_schema)

@@ -212,6 +212,24 @@ class LakeSession:
             s,
             flags=re.IGNORECASE | re.DOTALL,
         )
+        rm = re.fullmatch(
+            r"ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+RENAME\s+COLUMN\s+"
+            r"([A-Za-z_][A-Za-z0-9_]*)\s+TO\s+([A-Za-z_][A-Za-z0-9_]*)",
+            s,
+            flags=re.IGNORECASE,
+        )
+        if rm:
+            return self.table(rm.group(1)).rename_column(
+                rm.group(2), rm.group(3)
+            )
+        xm = re.fullmatch(
+            r"ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+DROP\s+COLUMN\s+"
+            r"([A-Za-z_][A-Za-z0-9_]*)",
+            s,
+            flags=re.IGNORECASE,
+        )
+        if xm:
+            return self.table(xm.group(1)).drop_column(xm.group(2))
         if pm:
             props = {}
             for item in _split_top(pm.group(2)):
@@ -236,8 +254,9 @@ class LakeSession:
         )
         if not m:
             raise ValueError(
-                "only ALTER TABLE t ADD COLUMN(S) / ADD CONSTRAINT name "
-                f"CHECK (expr) / DROP CONSTRAINT name are supported: {s!r}"
+                "only ALTER TABLE t ADD COLUMN(S) / RENAME COLUMN a TO b / "
+                "DROP COLUMN c / ADD CONSTRAINT name CHECK (expr) / "
+                f"DROP CONSTRAINT name are supported: {s!r}"
             )
         t = self.table(m.group(1))
         from pyspark.sql import types as T

@@ -230,6 +230,81 @@ def schema_from_json(fields: list[dict[str, str]]) -> T.StructType:
     return T.StructType(out)
 
 
+def schema_meta(snap: dict[str, Any], sid: int) -> list[dict[str, Any]]:
+    """Field metadata for schema ``sid``: ``{name, type, id, pname}``.
+
+    ``id`` is the Iceberg-style immutable field id — the identity RENAME
+    COLUMN preserves and DROP COLUMN retires.  ``pname`` is the PHYSICAL
+    column name data files are written under (Delta column mapping):
+    fixed at field creation, so a logical rename never touches data files,
+    stats keys, bloom sidecars, or CDF files — only the one logical→
+    physical translation applied at the read/write boundary.
+
+    Schemas written before this feature carry neither key; ids/pnames are
+    derived deterministically by first appearance of the NAME across
+    schema ids ascending (legacy evolution was add/widen only, so name ==
+    identity and pname == name — every existing file is already in
+    physical space).  Schemas written by current code store both keys
+    explicitly, and the explicit values always agree with this derivation
+    for the legacy prefix because new commits derive the prior schema's
+    meta through this same function.
+    """
+    by_name: dict[str, tuple[int, str]] = {}  # name -> (id, pname), legacy scan
+    next_id = 0
+    result: list[dict[str, Any]] | None = None
+    for s in sorted(int(k) for k in snap["schemas"]):
+        fields = snap["schemas"][str(s)]
+        metas = []
+        for f in fields:
+            if "id" in f:
+                m = {
+                    "name": f["name"],
+                    "type": f["type"],
+                    "id": int(f["id"]),
+                    "pname": f.get("pname", f["name"]),
+                }
+                next_id = max(next_id, m["id"] + 1)
+            else:
+                if f["name"] not in by_name:
+                    by_name[f["name"]] = (next_id, f["name"])
+                    next_id += 1
+                fid, pn = by_name[f["name"]]
+                m = {"name": f["name"], "type": f["type"], "id": fid, "pname": pn}
+            metas.append(m)
+        if s == sid:
+            result = metas
+        if s >= sid and result is not None:
+            break
+    if result is None:
+        raise KeyError(f"unknown schema id {sid}")
+    return result
+
+
+def schema_pnames(snap: dict[str, Any], sid: int) -> dict[str, str]:
+    """Logical name → physical name for schema ``sid``."""
+    return {m["name"]: m["pname"] for m in schema_meta(snap, sid)}
+
+
+def pschema_from_meta(metas: list[dict[str, Any]]) -> T.StructType:
+    """StructType in PHYSICAL column names (what the data files hold)."""
+    return T.StructType(
+        [
+            T.StructField(m["pname"], _ATOMIC_TYPES[m["type"]], True)
+            for m in metas
+        ]
+    )
+
+
+def _used_pnames(snap: dict[str, Any]) -> set[str]:
+    """Every physical name any schema version ever used — new fields must
+    avoid them all, or a dropped column's on-disk data could be mistaken
+    for the new field's."""
+    used: set[str] = set()
+    for s in snap["schemas"]:
+        used.update(m["pname"] for m in schema_meta(snap, int(s)))
+    return used
+
+
 @dataclass
 class MergeStats:
     batch_rows: int
@@ -264,6 +339,9 @@ class LakeTable:
         # names resolve through _meta/refs/<name>.json (Iceberg-style
         # branches and tags — the write-audit-publish surface).
         self.ref = ref
+        # (ref, version, sid) -> field metas; snapshots are immutable so
+        # the cache never invalidates
+        self._schema_meta_cache: dict[tuple, list[dict[str, Any]]] = {}
 
     # ------------------------------------------------------------------ #
     # metadata plumbing
@@ -719,7 +797,13 @@ class LakeTable:
         if cls.exists(root):
             raise ValueError(f"table already exists at {root}")
         os.makedirs(t._data_dir, exist_ok=True)
-        fields = schema_to_json(schema)
+        # fields carry the immutable id and physical name from birth
+        # (RENAME/DROP COLUMN support; pname == name until a name is
+        # dropped and reused)
+        fields = [
+            {"name": f.name, "type": _type_name(f.dataType), "id": i, "pname": f.name}
+            for i, f in enumerate(schema.fields)
+        ]
         # validate BEFORE committing: an unsupported type (decimal/array/
         # map) in a committed manifest would brick every later read
         schema_from_json(fields)
@@ -752,6 +836,189 @@ class LakeTable:
     def key_cols(self) -> list[str]:
         return list(self.snapshot["key_cols"])
 
+    # -- column-mapping helpers (field ids / physical names) ----------- #
+    def _meta_of(self, snap: dict[str, Any], sid: int) -> list[dict[str, Any]]:
+        key = (snap.get("ref", self.ref), int(snap["version"]), int(sid))
+        hit = self._schema_meta_cache.get(key)
+        if hit is None:
+            hit = schema_meta(snap, int(sid))
+            self._schema_meta_cache[key] = hit
+        return hit
+
+    def _pnames_of(
+        self, snap: dict[str, Any], sid: int | None = None
+    ) -> dict[str, str]:
+        """Logical → physical name map for ``sid`` (default: the
+        snapshot's current schema)."""
+        sid = int(snap["schema_id"]) if sid is None else int(sid)
+        return {m["name"]: m["pname"] for m in self._meta_of(snap, sid)}
+
+    def _mapped(self, snap: dict[str, Any]) -> bool:
+        """True when the snapshot's current schema has any column whose
+        physical name differs from its logical name — the ONLY case the
+        logical↔physical translation layers must run.  Every rename-free
+        table answers False and takes the exact legacy code paths."""
+        return any(
+            m["name"] != m["pname"]
+            for m in self._meta_of(snap, int(snap["schema_id"]))
+        )
+
+    def _xver_names(
+        self, snap_a: dict[str, Any], snap_b: dict[str, Any]
+    ) -> dict[str, str | None] | None:
+        """For aligning a version-A read (A-logical names) to version B's
+        schema: map each B-logical name to its A-logical name by field id
+        (None = the field did not exist at A).  Returns None when the
+        by-name alignment is already correct (no rename/drop between)."""
+        ma = self._meta_of(snap_a, int(snap_a["schema_id"]))
+        mb = self._meta_of(snap_b, int(snap_b["schema_id"]))
+        a_by_id = {m["id"]: m["name"] for m in ma}
+        out = {m["name"]: a_by_id.get(m["id"]) for m in mb}
+        if all(src == name or src is None and name not in {m["name"] for m in ma}
+               for name, src in out.items()):
+            return None
+        return out
+
+    def _annotated_schema_json(
+        self, snap: dict[str, Any], new_schema: T.StructType
+    ) -> list[dict[str, Any]]:
+        """Schema JSON for an evolved (add/widen) schema, carrying field
+        ids and physical names: existing names inherit their identity, new
+        names get a fresh id and a collision-free physical name."""
+        prev = {
+            m["name"]: m for m in self._meta_of(snap, int(snap["schema_id"]))
+        }
+        used = _used_pnames(snap)
+        next_id = 0
+        for s in snap["schemas"]:
+            for m in self._meta_of(snap, int(s)):
+                next_id = max(next_id, m["id"] + 1)
+        fields = []
+        for f in new_schema.fields:
+            tname = _type_name(f.dataType)
+            if f.name in prev:
+                m = prev[f.name]
+                fields.append(
+                    {"name": f.name, "type": tname, "id": m["id"], "pname": m["pname"]}
+                )
+            else:
+                fid = next_id
+                next_id += 1
+                pname = f.name if f.name not in used else f"{f.name}_{fid}"
+                used.add(pname)
+                fields.append(
+                    {"name": f.name, "type": tname, "id": fid, "pname": pname}
+                )
+        return fields
+
+    def _reject_constrained(self, name: str, action: str) -> None:
+        cons = self._constraints()
+        pat = re.compile(rf"(?<![A-Za-z0-9_`]){re.escape(name)}(?![A-Za-z0-9_])")
+        for cname, expr in cons.items():
+            if pat.search(expr):
+                raise SchemaEvolutionError(
+                    f"cannot {action} column {name}: referenced by CHECK "
+                    f"constraint {cname} ({expr!r}) — DROP CONSTRAINT first"
+                )
+
+    def _col_list_props_updated(
+        self, snap: dict[str, Any], old: str, new: str | None
+    ) -> None:
+        """Rewrite column-list table properties (stats_cols, zorder_by)
+        in place on ``snap`` after a rename (new=name) or drop (new=None)."""
+        props = snap.get("properties") or {}
+        for key in ("stats_cols", "zorder_by"):
+            raw = props.get(key)
+            if raw is None:
+                continue
+            cols = [c for c in str(raw).split(",") if c]
+            if old not in cols:
+                continue
+            cols = [
+                (new if c == old else c) for c in cols if not (c == old and new is None)
+            ]
+            props[key] = ",".join(cols)
+        snap["properties"] = props
+
+    def rename_column(self, old: str, new: str) -> None:
+        """ALTER TABLE ... RENAME COLUMN — metadata-only (Iceberg/Delta
+        column-mapping semantics).  The field keeps its id and physical
+        name, so no data file, stats entry, bloom sidecar, or stored CDF
+        file is touched; old snapshots time-travel under their own names.
+        Key columns may be renamed (identity is the field id, and bucket
+        hashing / bloom probes are value-level).  Columns referenced by a
+        CHECK constraint must have the constraint dropped first."""
+        cur = self.snapshot
+        metas = self._meta_of(cur, int(cur["schema_id"]))
+        names = [m["name"] for m in metas]
+        if old not in names:
+            raise SchemaEvolutionError(f"no such column: {old}")
+        if new in names:
+            raise SchemaEvolutionError(f"column already exists: {new}")
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", new):
+            raise SchemaEvolutionError(f"invalid column name: {new!r}")
+        self._reject_constrained(old, "rename")
+        snap = json.loads(json.dumps(cur))
+        sid = int(snap["schema_id"]) + 1
+        snap["schema_id"] = sid
+        snap["version"] += 1
+        snap["schemas"][str(sid)] = [
+            {
+                "name": new if m["name"] == old else m["name"],
+                "type": m["type"],
+                "id": m["id"],
+                "pname": m["pname"],
+            }
+            for m in metas
+        ]
+        snap["key_cols"] = [new if k == old else k for k in snap["key_cols"]]
+        self._col_list_props_updated(snap, old, new)
+        snap["changes"] = {"mode": "none"}  # metadata-only: no row changed
+        snap["lineage"] = list(snap.get("lineage", [])) + [
+            {
+                "batch_id": f"rename-{uuid.uuid4().hex[:8]}",
+                "operation": "rename_column",
+                "column": old,
+                "to": new,
+            }
+        ]
+        self._commit(snap)
+
+    def drop_column(self, name: str) -> None:
+        """ALTER TABLE ... DROP COLUMN — metadata-only.  The field id is
+        retired; data files keep the physical column but every read path
+        projects by id, so the values are unreachable (and a later ADD
+        COLUMN reusing the logical name gets a fresh id + physical name —
+        old data can never leak into it).  Key columns cannot be dropped."""
+        cur = self.snapshot
+        metas = self._meta_of(cur, int(cur["schema_id"]))
+        if name not in [m["name"] for m in metas]:
+            raise SchemaEvolutionError(f"no such column: {name}")
+        if name in cur["key_cols"]:
+            raise SchemaEvolutionError(f"cannot drop key column: {name}")
+        if len(metas) == 1:
+            raise SchemaEvolutionError("cannot drop the only column")
+        self._reject_constrained(name, "drop")
+        snap = json.loads(json.dumps(cur))
+        sid = int(snap["schema_id"]) + 1
+        snap["schema_id"] = sid
+        snap["version"] += 1
+        snap["schemas"][str(sid)] = [
+            {"name": m["name"], "type": m["type"], "id": m["id"], "pname": m["pname"]}
+            for m in metas
+            if m["name"] != name
+        ]
+        self._col_list_props_updated(snap, name, None)
+        snap["changes"] = {"mode": "none"}
+        snap["lineage"] = list(snap.get("lineage", [])) + [
+            {
+                "batch_id": f"dropcol-{uuid.uuid4().hex[:8]}",
+                "operation": "drop_column",
+                "column": name,
+            }
+        ]
+        self._commit(snap)
+
     def evolve_schema(self, new_schema: T.StructType) -> bool:
         """ALTER TABLE: add columns / widen types.  Returns True if changed.
 
@@ -779,12 +1046,13 @@ class LakeTable:
                 )
         if new == cur:
             return False
+        annotated = self._annotated_schema_json(self.snapshot, new_schema)
         snap = dict(self.snapshot)
         snap["version"] = snap["version"] + 1
         sid = snap["schema_id"] + 1
         snap["schema_id"] = sid
         snap = json.loads(json.dumps(snap))  # deep copy
-        snap["schemas"][str(sid)] = schema_to_json(new_schema)
+        snap["schemas"][str(sid)] = annotated
         snap["changes"] = {"mode": "none"}  # metadata-only: no row changed
         self._commit(snap)
         return True
@@ -799,12 +1067,23 @@ class LakeTable:
         with_lsn: bool,
         with_deleted: bool = False,
         extra_cols: list[str] | None = None,
+        source_names: dict[str, str | None] | None = None,
     ) -> DataFrame:
+        """Project/cast ``df`` to ``target`` (null-fill missing columns).
+
+        ``source_names`` maps each target LOGICAL column to the name it
+        carries in ``df`` (physical name for raw file scans, the
+        other snapshot's logical name for cross-version alignment); an
+        absent or ``None`` entry null-fills even when an identically-named
+        — but different-identity — column exists in ``df`` (the dropped-
+        then-readded case).  ``None`` keeps the by-name behavior every
+        rename-free table uses."""
         cols = []
         have = set(df.columns)
         for f in target.fields:
-            if f.name in have:
-                cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+            src = source_names.get(f.name) if source_names is not None else f.name
+            if src is not None and src in have:
+                cols.append(F.col(src).cast(f.dataType).alias(f.name))
             else:
                 cols.append(F.lit(None).cast(f.dataType).alias(f.name))
         if with_lsn:
@@ -885,6 +1164,11 @@ class LakeTable:
         eff_prune = prune
         if prune and has_deltas:
             eff_prune = {c: p for c, p in prune.items() if c in snap["key_cols"]}
+        # logical → physical translation (column mapping): stats keys and
+        # file columns are PHYSICAL names; identity (None) for every
+        # rename-free table
+        pmap = self._pnames_of(snap) if self._mapped(snap) else None
+        eff_prune = self._pprune(snap, eff_prune)
         target_names = [f.name for f in target.fields]
         if columns is not None:
             missing = [c for c in columns if c not in target_names]
@@ -954,8 +1238,10 @@ class LakeTable:
             # fixed cost).  DELETED_COL exists only in MOR delta files;
             # listing it in the schema null-fills it on base files (one
             # code path, coalesced to false in _align).
+            # PHYSICAL names: identical to logical until a rename/drop
+            # lands (pschema_from_meta == schema_from_json then)
             file_schema = T.StructType(
-                list(schema_from_json(snap["schemas"][str(sid)]).fields)
+                list(pschema_from_meta(self._meta_of(snap, sid)).fields)
                 + [
                     T.StructField(LSN_COL, T.LongType(), True),
                     T.StructField(DELETED_COL, T.BooleanType(), True),
@@ -974,7 +1260,11 @@ class LakeTable:
                 raw = self.spark.read.schema(file_schema).parquet(*clean)
                 parts.append(
                     self._align(
-                        raw, target, with_lsn=True, with_deleted=has_deltas
+                        raw,
+                        target,
+                        with_lsn=True,
+                        with_deleted=has_deltas,
+                        source_names=pmap,
                     ).select(*internal)
                 )
             if hot:
@@ -998,6 +1288,7 @@ class LakeTable:
                         with_lsn=True,
                         with_deleted=has_deltas,
                         extra_cols=dv_cols,
+                        source_names=pmap,
                     ).select(*internal, *dv_cols)
                 )
         if parts_dv:
@@ -1047,8 +1338,14 @@ class LakeTable:
             # the entries.
             keys = snap["key_cols"]
             eqs = []
+            # equality-delete files hold PHYSICAL key names
+            pmk = self._pnames_of(snap) if self._mapped(snap) else {}
             key_schema = T.StructType(
-                [f for f in target.fields if f.name in set(keys)]
+                [
+                    T.StructField(pmk.get(f.name, f.name), f.dataType, True)
+                    for f in target.fields
+                    if f.name in set(keys)
+                ]
             )
             for e in eq_entries:
                 eqs.append(
@@ -1056,7 +1353,7 @@ class LakeTable:
                     .parquet(*[os.path.join(self.root, p) for p in e["files"]])
                     .select(
                         *[
-                            F.col(k).alias(f"_eqk_{i}")
+                            F.col(pmk.get(k, k)).alias(f"_eqk_{i}")
                             for i, k in enumerate(keys)
                         ],
                         F.lit(int(e["lsn"])).cast("long").alias("_eq_lsn"),
@@ -1188,8 +1485,22 @@ class LakeTable:
             # sees the plan still ordered by ``_bucket`` so it adds no
             # re-sort of its own
             out = out.drop(*drop_after_sort)
-        out.write.partitionBy("_bucket").parquet(out_abs)
         stats_cols = self._stats_cols() if stats_cols is None else stats_cols
+        if self._mapped(self.snapshot):
+            # column mapping active: files are written under PHYSICAL
+            # names (a Project above the Sort — order preserved); system
+            # and ephemeral columns pass through untouched.  Stats keys
+            # follow the physical names so a later rename never orphans
+            # them.
+            pm = self._pnames_of(self.snapshot)
+            out = out.select(
+                *[
+                    F.col(c).alias(pm[c]) if c in pm else F.col(c)
+                    for c in out.columns
+                ]
+            )
+            stats_cols = [pm.get(c, c) for c in stats_cols]
+        out.write.partitionBy("_bucket").parquet(out_abs)
         mapping: dict[str, list[dict]] = {}
         for entry in sorted(os.listdir(out_abs)):
             if not entry.startswith("_bucket="):
@@ -1233,6 +1544,16 @@ class LakeTable:
         measured steady state)."""
         out_rel = os.path.join("changes", f"c-{uuid.uuid4().hex}")
         out_abs = os.path.join(self.root, out_rel)
+        if self._mapped(self.snapshot):
+            # change files live in PHYSICAL name space like data files —
+            # a later rename must not strand them
+            pm = self._pnames_of(self.snapshot)
+            changes = changes.select(
+                *[
+                    F.col(c).alias(pm[c]) if c in pm else F.col(c)
+                    for c in changes.columns
+                ]
+            )
         # change sets are batch-sized: collapse to few files so the read
         # side stays one-task-per-commit at CDC batch sizes
         n = max(1, min(32, n_keys // 500_000 + 1))
@@ -1315,17 +1636,24 @@ class LakeTable:
     # bloom admits everything (degraded = safe).
     BLOOM_K = 4
 
-    def _bloom_hash_exprs(self, k: int = BLOOM_K) -> list[F.Column]:
+    def _bloom_hash_exprs(
+        self, k: int = BLOOM_K, cols: list[str] | None = None
+    ) -> list[F.Column]:
+        # cols overrides the key columns for scans in PHYSICAL name space
+        # (freshly written files under column mapping); the hash covers
+        # the same VALUES either way, so sidecars and probes always agree
         return [
-            F.xxhash64(*self.key_cols, F.lit(i)).alias(f"_bh_{i}")
+            F.xxhash64(*(cols or self.key_cols), F.lit(i)).alias(f"_bh_{i}")
             for i in range(k)
         ]
 
-    def _bloom_pos_expr(self, m: int, k: int = BLOOM_K) -> F.Column:
+    def _bloom_pos_expr(
+        self, m: int, k: int = BLOOM_K, cols: list[str] | None = None
+    ) -> F.Column:
         return F.array(
             *[
                 F.pmod(h, F.lit(m)).cast("int")
-                for h in self._bloom_hash_exprs(k)
+                for h in self._bloom_hash_exprs(k, cols)
             ]
         )
 
@@ -1386,7 +1714,20 @@ class LakeTable:
                 self.spark.read.parquet(out_abs)
                 .select(
                     F.input_file_name().alias("_f"),
-                    F.explode(self._bloom_pos_expr(m)).alias("_p"),
+                    F.explode(
+                        self._bloom_pos_expr(
+                            m,
+                            cols=(
+                                # just-written files hold PHYSICAL names
+                                [
+                                    self._pnames_of(self.snapshot)[k]
+                                    for k in self.key_cols
+                                ]
+                                if self._mapped(self.snapshot)
+                                else None
+                            ),
+                        )
+                    ).alias("_p"),
                 )
                 .groupBy("_f", (F.col("_p") / 64).cast("int").alias("_w"))
                 .agg(
@@ -1453,6 +1794,14 @@ class LakeTable:
         return not any(
             self._bloom_contains(bloom, words, hs) for hs in probes
         )
+
+    def _pprune(self, snap: dict[str, Any], prune: dict | None) -> dict | None:
+        """Translate a logical-name prune dict to physical stats keys
+        (identity for every rename-free table)."""
+        if not prune or not self._mapped(snap):
+            return prune
+        pm = self._pnames_of(snap)
+        return {pm.get(c, c): p for c, p in prune.items()}
 
     @staticmethod
     def _stats_admit(fobj: dict, prune: dict) -> bool:
@@ -2120,11 +2469,12 @@ class LakeTable:
                     .distinct()
                     .collect()
                 ]
+            kp = self._pprune(snap, {k0: (wmin, wmax)})
             for b in touched - delta_buckets:
                 keep, admit = [], []
                 for f in snap["buckets"].get(str(b), []):
                     if not self._stats_admit(
-                        f, {k0: (wmin, wmax)}
+                        f, kp
                     ) or self._bloom_reject(f, probes):
                         keep.append(f)
                     else:
@@ -2462,7 +2812,7 @@ class LakeTable:
                         "deletes cannot see through a latest-per-key fold"
                     )
                 if not null_keys and (
-                    not self._stats_admit(f, {k0: (wmin, wmax)})
+                    not self._stats_admit(f, self._pprune(snap, {k0: (wmin, wmax)}))
                     or self._bloom_reject(f, probes)
                 ):
                     continue
@@ -2477,11 +2827,19 @@ class LakeTable:
         change_files: list[str] | None = None
         if n_admitted:
             scans = []
+            # files hold PHYSICAL column names — translate the wanted
+            # logical columns per schema group (identity when unmapped)
+            pm = self._pnames_of(snap) if self._mapped(snap) else {}
             for sid, paths in sorted(admitted.items()):
-                fschema = schema_from_json(snap["schemas"][str(sid)])
+                metas = self._meta_of(snap, sid)
                 want = set(keys) | (set(data_cols) if write_cdf else set())
+                want_p = {pm.get(c, c) for c in want}
                 read_schema = T.StructType(
-                    [f for f in fschema.fields if f.name in want]
+                    [
+                        T.StructField(m["pname"], _ATOMIC_TYPES[m["type"]], True)
+                        for m in metas
+                        if m["pname"] in want_p
+                    ]
                     + [T.StructField(LSN_COL, T.LongType(), True)]
                 )
                 raw = self.spark.read.schema(read_schema).parquet(
@@ -2489,11 +2847,16 @@ class LakeTable:
                 )
                 have = set(raw.columns)
                 sel = [
-                    F.col(k).cast(target[k].dataType).alias(k) for k in keys
+                    F.col(pm.get(k, k)).cast(target[k].dataType).alias(k)
+                    for k in keys
                 ] + [F.col(LSN_COL)]
                 if write_cdf:
                     sel += [
-                        (F.col(c) if c in have else F.lit(None))
+                        (
+                            F.col(pm.get(c, c))
+                            if pm.get(c, c) in have
+                            else F.lit(None)
+                        )
                         .cast(target[c].dataType)
                         .alias(c)
                         for c in nk_cols
@@ -2554,8 +2917,13 @@ class LakeTable:
             ]
             if eq_prior:
                 eqs = []
+                pmk = self._pnames_of(snap) if self._mapped(snap) else {}
                 key_schema = T.StructType(
-                    [f for f in target.fields if f.name in set(keys)]
+                    [
+                        T.StructField(pmk.get(f.name, f.name), f.dataType, True)
+                        for f in target.fields
+                        if f.name in set(keys)
+                    ]
                 )
                 for e in eq_prior:
                     eqs.append(
@@ -2565,7 +2933,7 @@ class LakeTable:
                         )
                         .select(
                             *[
-                                F.col(k).alias(f"_eqk_{i}")
+                                F.col(pmk.get(k, k)).alias(f"_eqk_{i}")
                                 for i, k in enumerate(keys)
                             ],
                             F.lit(int(e["lsn"])).cast("long").alias("_eq_lsn"),
@@ -2958,7 +3326,7 @@ class LakeTable:
         ).collect()[0]
         bucket = int(r["b"])
         probes = [tuple(int(r[f"_bh_{i}"]) for i in range(self.BLOOM_K))]
-        prune = {k: key_values[k] for k in self.key_cols}
+        prune = self._pprune(snap, {k: key_values[k] for k in self.key_cols})
         paths = {
             f["path"]
             for f in snap["buckets"].get(str(bucket), [])
@@ -3056,7 +3424,11 @@ class LakeTable:
         return changed, paths
 
     def _stored_changes(
-        self, from_v: int, to_v: int, target: T.StructType
+        self,
+        from_v: int,
+        to_v: int,
+        target: T.StructType,
+        to_snap: dict[str, Any] | None = None,
     ) -> DataFrame | None:
         """Write-time CDF read path: if EVERY commit in (from_v, to_v]
         carries a change descriptor that is either stored change files
@@ -3115,9 +3487,13 @@ class LakeTable:
         except (FileNotFoundError, KeyError, ValueError):
             return None
         parts: list[DataFrame] = []
-        for schema, paths in by_schema.values():
+        ts = to_snap if to_snap is not None else self.snapshot
+        pm = self._pnames_of(ts) if self._mapped(ts) else {}
+        for sid, (schema, paths) in by_schema.items():
+            # change files hold PHYSICAL names (identical to that sid's
+            # logical names on rename-free tables)
             read_schema = T.StructType(
-                list(schema.fields)
+                list(pschema_from_meta(self._meta_of(ts, sid)).fields)
                 + [
                     T.StructField(LSN_COL, T.LongType()),
                     T.StructField("_change_type", T.StringType()),
@@ -3128,7 +3504,11 @@ class LakeTable:
             parts.append(
                 df.select(
                     *[
-                        (F.col(f.name) if f.name in have else F.lit(None))
+                        (
+                            F.col(pm.get(f.name, f.name))
+                            if pm.get(f.name, f.name) in have
+                            else F.lit(None)
+                        )
                         .cast(f.dataType)
                         .alias(f.name)
                         for f in target.fields
@@ -3196,7 +3576,7 @@ class LakeTable:
         target = schema_from_json(snap_b["schemas"][str(snap_b["schema_id"])])
         keys = list(snap_b["key_cols"])
         stored = self._stored_changes(
-            snap_a["version"], snap_b["version"], target
+            snap_a["version"], snap_b["version"], target, to_snap=snap_b
         )
         if stored is not None:
             if include_preimages:
@@ -3223,6 +3603,9 @@ class LakeTable:
             ),
             target,
             with_lsn=True,
+            # the FROM side carries version-A LOGICAL names; align to the
+            # TO-side schema by field id (rename/drop between A and B)
+            source_names=self._xver_names(snap_a, snap_b),
         )
         new = self.read(
             version=snap_b["version"],
@@ -3516,7 +3899,14 @@ class LakeTable:
             return -1
         out_rel = os.path.join("eqdel", f"e-{uuid.uuid4().hex}")
         out_abs = os.path.join(self.root, out_rel)
-        staged.repartition(max(1, min(8, n // 4_000_000 + 1))).write.parquet(
+        staged_out = staged
+        if self._mapped(self.snapshot):
+            # key files live in PHYSICAL name space like data files
+            pmk = self._pnames_of(self.snapshot)
+            staged_out = staged.select(
+                *[F.col(k).alias(pmk.get(k, k)) for k in keys]
+            )
+        staged_out.repartition(max(1, min(8, n // 4_000_000 + 1))).write.parquet(
             out_abs
         )
         files = [
@@ -4023,6 +4413,7 @@ class LakeTable:
             else prune
         )
         total = sum(len(fs) for _, fs in sel)
+        eff = self._pprune(snap, eff)
         admitted = sum(
             1 for _, fs in sel for f in fs if self._stats_admit(f, eff)
         )
@@ -4091,6 +4482,7 @@ class LakeTable:
                     break
                 protected.add(v)
         removed = 0
+        expired_shard_refs: set[str] = set()
         for fn in sorted(os.listdir(self._meta_dir)):
             m = _re.fullmatch(r"snap-(\d{8})\.json", fn)
             if not m:
@@ -4100,7 +4492,15 @@ class LakeTable:
             # concurrent writer may be mid-commit there (its manifest
             # exists before its pointer swings)
             if v not in protected and v < newest_head:
-                os.remove(os.path.join(self._meta_dir, fn))
+                full = os.path.join(self._meta_dir, fn)
+                try:
+                    with open(full) as fh:
+                        expired_shard_refs.update(
+                            (json.load(fh).get("buckets_ref") or {}).values()
+                        )
+                except (OSError, ValueError):
+                    pass  # unreadable manifest still expires
+                os.remove(full)
                 removed += 1
         # commit-arbitration tokens age out with the manifests: a token
         # at base B only blocks writers whose cached snapshot is B, and
@@ -4143,11 +4543,14 @@ class LakeTable:
             horizon = min(newest_at, time.time() - grace)
             for fn in os.listdir(sdir):
                 full = os.path.join(sdir, fn)
-                if (
-                    fn.startswith("shard-")
-                    and fn not in referenced
-                    and os.path.getmtime(full) < horizon
-                ):
+                if not fn.startswith("shard-") or fn in referenced:
+                    continue
+                # a shard referenced by a manifest we JUST expired came
+                # from a COMPLETED commit — no writer can be mid-commit
+                # on it, so it reclaims immediately; only never-referenced
+                # shards (a stalled writer that wrote its shards but not
+                # yet its manifest) get the mtime grace window
+                if fn in expired_shard_refs or os.path.getmtime(full) < horizon:
                     os.remove(full)
         return removed
 

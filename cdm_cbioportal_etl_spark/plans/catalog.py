@@ -1076,6 +1076,74 @@ def cdc_repos_replay(spark, sf_dir):
     )
 
 
+# RENAME/DROP COLUMN mid-replay (Iceberg column mapping): the upstream
+# producer adopts new field names half-way through the stream; the sink
+# ALTERs instead of rewriting.  Final state must equal the plain replay
+# modulo the renames, with the dropped column gone — proving old files
+# (written under the old names) serve the new logical schema by field id.
+@_register(
+    "cdc_rename_evolution",
+    f"""
+    WITH wal AS (
+      SELECT event_id AS lsn,
+             CASE WHEN event_type = 'error' THEN 'delete' ELSE 'update' END AS op,
+             'org/repo-' || lpad((user_id % 12)::VARCHAR, 4, '0') AS repo,
+             'src/f' || lpad(user_id::VARCHAR, 5, '0') || '.py' AS path,
+             md5(event_id::VARCHAR || ':' || event_type) AS commit,
+             concat_ws('|', event_type, coalesce(props, '')) AS content
+      FROM events
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+      FROM wal
+    )
+    SELECT repo,
+           path AS file_path,
+           commit,
+           content AS body,
+           sha256(content) AS content_sha
+    FROM ranked WHERE rn = 1 AND op <> 'delete'
+    """,
+)
+def cdc_rename_evolution(spark, sf_dir):
+    """Replay half the WAL, ALTER TABLE RENAME COLUMN path→file_path
+    (a KEY column) and content→body, DROP COLUMN lang, then replay the
+    rest under the new names.  Metadata-only: no file is rewritten; the
+    first half's files are served through the field-id projection."""
+    from cdm_cbioportal_etl_spark.cdc import CdcReplayer
+    from cdm_cbioportal_etl_spark.cdc.generator import REPOS_SCHEMA
+
+    wal = _repos_wal(spark, sf_dir)
+    max_lsn = int(wal.agg(F.max("lsn")).collect()[0][0])
+    root = os.path.join(
+        CDC_WORK_DIR,
+        spark.sparkContext.applicationId,
+        "rename-" + os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    table = LakeTable.create(
+        spark, root, T.StructType(list(REPOS_SCHEMA.fields)),
+        key_cols=["repo", "path"], n_buckets=16,
+    )
+    rep = CdcReplayer(table)
+    mid = max_lsn // 2
+    rep.replay_range_batches(wal, 0, mid + 1, batch_size=(mid + 2) // 2)
+    table.rename_column("path", "file_path")
+    table.rename_column("content", "body")
+    table.drop_column("lang")
+    wal2 = (
+        wal.withColumnRenamed("path", "file_path")
+        .withColumnRenamed("content", "body")
+        .drop("lang")
+    )
+    rep.replay_range_batches(
+        wal2, mid + 1, max_lsn + 1, batch_size=(max_lsn - mid + 2) // 2
+    )
+    return table.read().select(
+        "repo", "file_path", "commit", "body",
+        F.sha2("body", 256).alias("content_sha"),
+    )
+
+
 # incremental consumption: after the full replay, a downstream consumer
 # polls changes_since(mid-watermark) — file-skipped via per-file LSN
 # stats, exact via the row filter.  Oracle = final state restricted to

@@ -258,16 +258,25 @@ def test_review_fixes_bad_props_grace_and_stream_guard(spark, tmp_path):
         ls.sql("ALTER TABLE t SET TBLPROPERTIES ('write_changes')")
 
     # (3) default grace window protects a stalled writer's shards from
-    # the expire-time GC even after newer commits land
+    # the expire-time GC even after newer commits land — while shards
+    # referenced ONLY by just-expired manifests (provably from completed
+    # commits) reclaim immediately, grace notwithstanding
+    sdir = os.path.join(t.root, "_meta", "shards")
+    pre = set(os.listdir(sdir))
     _write_manifest_shards(
         t.root, {"0": [{"path": "data/zz/0/f.parquet", "rows": 1,
                         "schema_id": 0}]}, 2
     )
-    sdir = os.path.join(t.root, "_meta", "shards")
-    n_before = len(os.listdir(sdir))
+    orphan = set(os.listdir(sdir)) - pre
+    assert orphan  # the stalled writer's not-yet-referenced shard
+    v1_refs = set(_raw_snap(t, t.snapshot["version"])["buckets_ref"].values())
     t.merge(_batch(spark, [(2, "b", 10, "upsert")]))
+    v2_refs = set(_raw_snap(t, t.snapshot["version"])["buckets_ref"].values())
     t.expire_snapshots(keep_last=1)
-    assert len(os.listdir(sdir)) == n_before  # grace keeps the orphan
+    after = set(os.listdir(sdir))
+    assert orphan <= after  # grace keeps the orphan
+    assert v2_refs <= after  # retained refs intact
+    assert not ((v1_refs - v2_refs) & after)  # expired-only: reclaimed now
 
     # (4) metadata tables are batch-only through the registry
     from cdm_cbioportal_etl_spark.lake import register_lake_datasource
