@@ -3903,6 +3903,41 @@ def multimodal_png_decode(spark, sf_dir):
     return decode_features(synth_png_media(ids))
 
 
+@_register(
+    "multimodal_jpeg_decode",
+    """
+    WITH ids AS (SELECT doc_id FROM documents),
+    img AS (
+      SELECT i.doc_id, c.c AS ch,
+             avg((i.doc_id*37 + bx.bx*19 + by.by*23 + c.c*41) % 256) AS m
+      FROM ids i,
+           generate_series(0, 1) bx(bx),
+           generate_series(0, 1) by(by),
+           generate_series(0, 2) c(c)
+      GROUP BY i.doc_id, c.c
+    )
+    SELECT doc_id AS media_id, 'image' AS kind, 16 AS dim_x, 16 AS dim_y,
+           max(CASE WHEN ch = 0 THEN m END) AS f1,
+           max(CASE WHEN ch = 1 THEN m END) AS f2,
+           max(CASE WHEN ch = 2 THEN m END) AS f3
+    FROM img GROUP BY doc_id
+    """,
+)
+def multimodal_jpeg_decode(spark, sf_dir):
+    """Real baseline-JPEG decode end-to-end through the pure-numpy codec
+    (text/jpeg.py): payloads are genuine entropy-coded JFIF files of four
+    solid 8x8 blocks per image (DC-only ⇒ round-trip error < 0.5 at q95,
+    so the LOSSY codec still decodes the closed form EXACTLY) — the SQL
+    oracle recomputes the per-channel means from the same closed form."""
+    from cdm_cbioportal_etl_spark.text.multimodal import (
+        decode_features,
+        synth_jpeg_media,
+    )
+
+    ids = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("media_id"))
+    return decode_features(synth_jpeg_media(ids))
+
+
 # --------------------------------------------------------------------- #
 # ROLLUP grouping-sets aggregate (aggregation-surface breadth: subtotal
 # hierarchies in ONE pass — region -> nation -> grand total)

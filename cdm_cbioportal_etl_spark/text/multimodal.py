@@ -367,6 +367,51 @@ def synth_png_media(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
     )
 
 
+def synth_jpeg_media(
+    ids: DataFrame, id_col: str = "media_id", quality: int = 95
+) -> DataFrame:
+    """REAL baseline JPEG payloads — every id becomes a 16x16 RGB image
+    of four 8x8 SOLID-COLOR blocks, block(by,bx) channel c =
+    (id·37 + bx·19 + by·23 + c·41) mod 256, encoded 4:4:4 at quality 95
+    by the pure-numpy encoder (text/jpeg.py).  Block-solid content makes
+    every block DC-only, and at q>=95 the round-trip error per channel is
+    provably < 0.5 → the DECODED pixels equal the closed form EXACTLY,
+    so a lossy codec still gets a byte-exact SQL oracle."""
+    from cdm_cbioportal_etl_spark.text.jpeg import encode_jpeg_baseline
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            mids = [int(m) for m in pdf[id_col].astype("int64")]
+            payloads = []
+            for mid in mids:
+                img = np.zeros((IMG_H, IMG_W, 3), dtype=np.uint8)
+                for by in range(IMG_H // 8):
+                    for bx in range(IMG_W // 8):
+                        for c in range(3):
+                            img[
+                                by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, c
+                            ] = (mid * 37 + bx * 19 + by * 23 + c * 41) % 256
+                payloads.append(encode_jpeg_baseline(img, quality))
+            yield pd.DataFrame(
+                {
+                    "media_id": mids,
+                    "kind": ["image"] * len(mids),
+                    "payload": payloads,
+                    "meta": [
+                        {"width": IMG_W, "height": IMG_H,
+                         "duration_ms": 0, "codec": "jpeg"}
+                        for _ in mids
+                    ],
+                }
+            )
+
+    return ids.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        _gen, MEDIA_SCHEMA
+    )
+
+
 DECODE_FEATURES_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
@@ -398,8 +443,13 @@ def decode_features(media: DataFrame) -> DataFrame:
                 pdf["media_id"], pdf["kind"], pdf["payload"], pdf["meta"]
             ):
                 codec = meta["codec"] if isinstance(meta, dict) else meta.codec
-                if codec in ("ppm", "png"):
-                    dec = decode_ppm if codec == "ppm" else decode_png
+                if codec in ("ppm", "png", "jpeg"):
+                    if codec == "jpeg":
+                        from cdm_cbioportal_etl_spark.text.jpeg import (
+                            decode_jpeg_baseline as dec,
+                        )
+                    else:
+                        dec = decode_ppm if codec == "ppm" else decode_png
                     img = dec(bytes(payload)).astype(np.int64)
                     h, w, _ = img.shape
                     means = img.reshape(-1, 3).sum(axis=0) / float(h * w)
@@ -415,8 +465,8 @@ def decode_features(media: DataFrame) -> DataFrame:
                     )
                 else:
                     raise NotImplementedError(
-                        f"codec {codec!r}: plug a real decoder (PIL/ffmpeg) "
-                        "in here — ppm/png/wav decode natively"
+                        f"codec {codec!r}: plug a real decoder (ffmpeg) in "
+                        "here — ppm/png/baseline-jpeg/wav decode natively"
                     )
                 out["media_id"].append(mid)
                 out["kind"].append(kind)
@@ -466,13 +516,21 @@ def extract_features(
                     feats.append(_fold(decode_ppm(bytes(payload))))
                 elif codec == "png":
                     feats.append(_fold(decode_png(bytes(payload))))
+                elif codec == "jpeg":
+                    from cdm_cbioportal_etl_spark.text.jpeg import (
+                        decode_jpeg_baseline,
+                    )
+
+                    feats.append(_fold(decode_jpeg_baseline(bytes(payload))))
                 elif codec == "wav":
                     feats.append(_fold(decode_wav_pcm16(bytes(payload))))
                 else:
                     raise NotImplementedError(
                         f"codec {codec!r}: real decode requires codec libs "
-                        "(PIL/ffmpeg) not present in this container; plug "
-                        "the decoder in here — ppm/png/wav decode natively"
+                        "(ffmpeg for compressed audio/video, libjpeg for "
+                        "progressive JPEG) not present in this container; "
+                        "plug the decoder in here — ppm/png/baseline-jpeg/"
+                        "wav decode natively"
                     )
             yield pd.DataFrame(
                 {
