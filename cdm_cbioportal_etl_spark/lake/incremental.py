@@ -121,6 +121,20 @@ class IncrementalAggView:
         to_v = source.snapshot["version"]
         if to_v <= from_v:
             return {"from_version": from_v, "to_version": to_v, "groups": 0}
+        src_names = {f.name for f in source.schema.fields}
+        gone = [
+            c for c in [*self.group_cols, *self.sum_cols] if c not in src_names
+        ]
+        if gone:
+            # a RENAME/DROP COLUMN on a referenced source column would
+            # otherwise surface as a cryptic unresolved-attribute error
+            # mid-plan (or, worse, a silently empty group) — fail with
+            # the actionable story instead
+            raise ValueError(
+                f"incremental view references source columns {gone} that "
+                "the source no longer has (renamed or dropped) — recreate "
+                "the view against the new names, or rename back"
+            )
         ch = source.table_changes(from_v, to_v, include_preimages=True)
         sign = F.when(
             F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)

@@ -25,7 +25,7 @@ from typing import Any
 
 from pyspark.sql import SparkSession, functions as F
 
-from .table import LakeTable
+from .table import LakeTable, schema_meta
 
 
 class TableReplicator:
@@ -69,6 +69,51 @@ class TableReplicator:
     def read(self):
         return self.table.read()
 
+    def _propagate_schema(self, source: LakeTable, from_v: int) -> None:
+        """Replay the source's schema evolution since the last sync onto
+        the replica BEFORE folding its change feed: renames are diffed by
+        FIELD ID between the two source snapshots (two-phase through temp
+        names so swap cycles cannot collide), drops are dropped, and
+        adds/widenings ride one evolve_schema.  The replica's columns are
+        expected to match the from-version source names (every earlier
+        sync left them that way); anything else is a corrupted replica
+        and fails loudly rather than null-filling silently."""
+        snap_a = source.snapshot_at(from_v)
+        snap_b = source.snapshot
+        if int(snap_a["schema_id"]) == int(snap_b["schema_id"]):
+            return
+        ma = schema_meta(snap_a, int(snap_a["schema_id"]))
+        mb = schema_meta(snap_b, int(snap_b["schema_id"]))
+        replica_cols = [f.name for f in self.table.schema.fields]
+        a_names = [m["name"] for m in ma]
+        if replica_cols != a_names:
+            raise ValueError(
+                f"replica columns {replica_cols} do not match the source's "
+                f"schema at last-synced version {from_v} ({a_names}) — "
+                "re-bootstrap the replica"
+            )
+        a_by_id = {m["id"]: m["name"] for m in ma}
+        b_ids = {m["id"] for m in mb}
+        renames = [
+            (a_by_id[m["id"]], m["name"])
+            for m in mb
+            if m["id"] in a_by_id and a_by_id[m["id"]] != m["name"]
+        ]
+        if renames:
+            for i, (old, _new) in enumerate(renames):
+                self.table.rename_column(old, f"__sync_tmp_{i}")
+            for i, (_old, new) in enumerate(renames):
+                self.table.rename_column(f"__sync_tmp_{i}", new)
+        for m in ma:
+            # a dropped id keeps its from-version name (renames above only
+            # touched ids alive on both sides)
+            if m["id"] not in b_ids:
+                self.table.drop_column(m["name"])
+        if [
+            (f.name, f.dataType) for f in self.table.schema.fields
+        ] != [(f.name, f.dataType) for f in source.schema.fields]:
+            self.table.evolve_schema(source.schema)
+
     def sync(self, source: LakeTable) -> dict[str, Any]:
         """Fold source changes since the last sync into the replica.
         Idempotent: re-running a completed interval deduplicates against
@@ -78,6 +123,7 @@ class TableReplicator:
         if to_v <= from_v:
             return {"from_version": from_v, "to_version": to_v, "keys": 0,
                     "skipped": True}
+        self._propagate_schema(source, from_v)
         cdf = source.table_changes(from_v, to_v)
         # one CDF row per changed key: insert/update carry the post-image,
         # delete the pre-image (keys are all a delete needs).  All events

@@ -305,6 +305,64 @@ def _used_pnames(snap: dict[str, Any]) -> set[str]:
     return used
 
 
+_EXT_MARKERS = ("data", "dv", "eqdel")
+
+
+def _external_rel(abs_path: str) -> str:
+    """Root-relative layout of an absolute file reference (a shallow
+    clone's pointer into its source): everything from the LAST
+    ``/data/`` (or ``/dv/``, ``/eqdel/``) marker on.  Write paths never
+    nest a marker inside their own components (``w-<hex>/_bucket=<n>/
+    part-*.parquet``), so the last marker is always the table-level
+    directory.  Preserving the exact relative layout when copying is
+    LOAD-BEARING for deletion vectors: dv files record their target as
+    the 4-component data rel path, matched on read via
+    ``substring_index(file_path, '/', -4)`` — a renamed copy would
+    silently un-kill its rows."""
+    best, rel = -1, None
+    for m in _EXT_MARKERS:
+        i = abs_path.rfind(f"/{m}/")
+        if i > best:
+            best, rel = i, abs_path[i + 1 :]
+    if rel is None:
+        raise ValueError(f"unrecognized external file layout: {abs_path}")
+    return rel
+
+
+def _localize_snap(snap: dict[str, Any], root: str) -> int:
+    """Copy externally-referenced (absolute-path) files into ``root``
+    and rewrite the manifest entries to root-relative paths, in place.
+    Bloom sidecars ride their parquet.  Idempotent: already-local files
+    are skipped (same rel layout ⇒ same destination).  Returns the
+    number of files copied."""
+    copied = 0
+
+    def bring(abs_p: str) -> str:
+        nonlocal copied
+        if not os.path.isabs(abs_p):
+            return abs_p  # already root-relative
+        if abs_p.startswith(root + os.sep):
+            return os.path.relpath(abs_p, root)
+        rel = _external_rel(abs_p)
+        dst = os.path.join(root, rel)
+        if not os.path.exists(dst):
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            shutil.copy2(abs_p, dst)
+            copied += 1
+            side = abs_p + ".bloom"
+            if os.path.exists(side):
+                shutil.copy2(side, dst + ".bloom")
+        return rel
+
+    for files in snap.get("buckets", {}).values():
+        for fobj in files:
+            fobj["path"] = bring(fobj["path"])
+    for field in ("dv", "eqdel"):
+        for e in snap.get(field, []):
+            e["files"] = [bring(p) for p in e["files"]]
+    return copied
+
+
 @dataclass
 class MergeStats:
     batch_rows: int
@@ -4654,6 +4712,103 @@ class LakeTable:
                         os.remove(os.path.join(dirpath, fn))
                     os.rmdir(dirpath)
         return removed
+
+    # ------------------------------------------------------------------ #
+    # cloning (Delta SHALLOW/DEEP CLONE, Iceberg snapshot-export analogue)
+    # ------------------------------------------------------------------ #
+    def clone(
+        self,
+        dest_root: str,
+        version: int | None = None,
+        mode: str = "shallow",
+    ) -> "LakeTable":
+        """Create an independent table at ``dest_root`` from this table's
+        state at ``version`` (default: current) — Delta Lake's ``CREATE
+        TABLE ... CLONE`` semantics.
+
+        ``mode="shallow"`` is METADATA-ONLY and O(files-count): the new
+        table's genesis manifest references the source's data/dv/eqdel
+        files by absolute path; zero bytes are copied (measured
+        milliseconds on any table size).  The clone then diverges freely —
+        its COW merges write into its own root, progressively replacing
+        external references — and its ``vacuum`` only ever walks its own
+        directories, so source files are structurally un-deletable from
+        the clone side.  HAZARD (same as Delta shallow clone): the
+        SOURCE's ``expire_snapshots``+``vacuum`` can reclaim files the
+        clone still references — run ``localize()`` on the clone (or use
+        ``mode="deep"``) before loosening source retention.
+
+        ``mode="deep"`` additionally copies every referenced file into the
+        clone's root (one ``shutil`` copy per file, byte-identical, rel
+        layout preserved) — fully self-contained from birth.
+
+        The clone keeps the source's LSN ledger, so replaying an
+        already-applied WAL batch into the clone stays exactly-once — the
+        property that makes clone the cheap "fork an ingest pipeline for
+        a backfill/experiment" primitive.  Write-time CDF history is NOT
+        carried over (Delta rule: a clone's change feed starts at its own
+        genesis); table properties, constraints, schema history (field
+        ids/physical names) and bucket layout all are.
+        """
+        if mode not in ("shallow", "deep"):
+            raise ValueError(f"mode must be 'shallow' or 'deep', got {mode!r}")
+        if self.exists(dest_root):
+            raise ValueError(f"table already exists at {dest_root}")
+        src_snap = (
+            self.snapshot_at(version) if version is not None else self.snapshot
+        )
+        src_version = int(src_snap["version"])
+        snap = json.loads(json.dumps(src_snap))
+        for key in ("version", "parent", "committed_at", "buckets_ref", "ref"):
+            snap.pop(key, None)
+        # absolutize every file reference against THIS table's root
+        # (already-absolute entries — cloning a clone — pass through)
+        for files in snap.get("buckets", {}).values():
+            for fobj in files:
+                fobj["path"] = os.path.join(self.root, fobj["path"])
+        for field in ("dv", "eqdel"):
+            for e in snap.get(field, []):
+                e["files"] = [os.path.join(self.root, p) for p in e["files"]]
+        # the clone's feed starts at its genesis; the source's per-commit
+        # change descriptor must not masquerade as clone-commit-0 changes
+        snap["changes"] = {"mode": "none"}
+        snap["lineage"] = [
+            {
+                "batch_id": f"clone-{uuid.uuid4().hex[:8]}",
+                "operation": "clone",
+                "source_root": self.root,
+                "source_version": src_version,
+                "mode": mode,
+            }
+        ]
+        t = LakeTable(self.spark, dest_root)
+        os.makedirs(t._data_dir, exist_ok=True)
+        if mode == "deep":
+            _localize_snap(snap, t.root)
+        t._commit(snap)
+        return t
+
+    def localize(self) -> int:
+        """Copy every externally-referenced file (absolute paths left by a
+        shallow ``clone``) into this table's root and rewrite the manifest
+        to root-relative paths — one metadata commit.  Promotes a shallow
+        clone to a self-contained table without blocking the instant-fork
+        moment; after it returns, the source table can be retired
+        entirely.  Idempotent; returns the number of files copied."""
+        snap = json.loads(json.dumps(self.snapshot))
+        copied = _localize_snap(snap, self.root)
+        if copied == 0:
+            return 0
+        snap["changes"] = {"mode": "none"}  # metadata-only: no row changed
+        snap["lineage"] = list(snap.get("lineage", [])) + [
+            {
+                "batch_id": f"localize-{uuid.uuid4().hex[:8]}",
+                "operation": "localize",
+                "files_copied": copied,
+            }
+        ]
+        self._commit(snap)
+        return copied
 
     def drop(self) -> None:
         shutil.rmtree(self.root, ignore_errors=True)

@@ -307,3 +307,71 @@ def test_datasource_eq_deletes_and_dropped_column(spark, tmp_path):
     df = spark.read.format("laketable").option("path", t.root).load()
     assert set(df.columns) == {"id", "v"}
     assert {r["id"] for r in df.collect()} == {0, 1, 2, 4}
+
+
+def test_replicator_propagates_rename_and_drop(spark, tmp_path):
+    from cdm_cbioportal_etl_spark.lake.replicate import TableReplicator
+
+    src = _mk(spark, tmp_path, "repl_src", write_changes="true")
+    src.merge(_batch(spark, [(1, "a", 10, 1, "upsert"), (2, "b", 20, 2, "upsert")]))
+    rep = TableReplicator.create(spark, str(tmp_path / "repl_dst"), src)
+    assert {r["k"] for r in rep.read().collect()} == {1, 2}
+    # source renames (incl. the key), drops, and keeps writing
+    src.rename_column("k", "id")
+    src.rename_column("v", "val")
+    src.drop_column("n")
+    src.merge(
+        spark.createDataFrame(
+            [(3, "c", 3, "upsert"), (1, "a2", 4, "upsert")],
+            "id long, val string, lsn long, op string",
+        )
+    )
+    out = rep.sync(src)
+    assert not out["skipped"]
+    assert [f.name for f in rep.table.schema.fields] == ["id", "val"]
+    got = {r["id"]: r["val"] for r in rep.read().collect()}
+    assert got == {1: "a2", 2: "b", 3: "c"}
+    # idempotent re-sync
+    again = rep.sync(src)
+    assert again["skipped"]
+
+
+def test_replicator_propagates_swap_rename(spark, tmp_path):
+    from cdm_cbioportal_etl_spark.lake.replicate import TableReplicator
+
+    src = _mk(spark, tmp_path, "swap_src", write_changes="true")
+    src.merge(_batch(spark, [(1, "a", 10, 1, "upsert")]))
+    rep = TableReplicator.create(spark, str(tmp_path / "swap_dst"), src)
+    # swap v <-> n through a temp (a rename CYCLE between syncs)
+    src.rename_column("v", "tmpx")
+    src.rename_column("n", "v")
+    src.rename_column("tmpx", "n")
+    src.merge(
+        spark.createDataFrame(
+            [(2, "bb", 22, 2, "upsert")],
+            "k long, n string, v long, lsn long, op string",
+        )
+    )
+    rep.sync(src)
+    assert [f.name for f in rep.table.schema.fields] == ["k", "n", "v"]
+    got = {r["k"]: (r["n"], r["v"]) for r in rep.read().collect()}
+    assert got == {1: ("a", 10), 2: ("bb", 22)}
+
+
+def test_incremental_view_fails_actionably_after_rename(spark, tmp_path):
+    from cdm_cbioportal_etl_spark.lake.incremental import IncrementalAggView
+
+    src = _mk(spark, tmp_path, "iv_src", write_changes="true")
+    src.merge(_batch(spark, [(1, "a", 10, 1, "upsert")]))
+    view = IncrementalAggView.create(
+        spark, str(tmp_path / "iv"), src, group_cols=["v"], sum_cols=["n"]
+    )
+    src.rename_column("v", "val")
+    src.merge(
+        spark.createDataFrame(
+            [(2, "b", 20, 2, "upsert")],
+            "k long, val string, n long, lsn long, op string",
+        )
+    )
+    with pytest.raises(ValueError, match="renamed or dropped"):
+        view.refresh(src)
