@@ -153,6 +153,8 @@ class LakeSession:
                 sorted((str(k), str(v)) for k, v in props.items()),
                 "key string, value string",
             )
+        if head == "CREATE":
+            return self._create(s)
         if head == "VACUUM":
             m = re.fullmatch(
                 r"VACUUM\s+([A-Za-z_][A-Za-z0-9_]*)", s, flags=re.IGNORECASE
@@ -165,6 +167,32 @@ class LakeSession:
     # ------------------------------------------------------------------ #
     # DDL / maintenance (the Delta-SQL operational surface)
     # ------------------------------------------------------------------ #
+    def _create(self, s: str):
+        """``CREATE TABLE new [SHALLOW|DEEP] CLONE src [VERSION AS OF n]
+        LOCATION 'path'`` — Delta's CLONE statement.  The clone is
+        registered under the new name in this session and returned."""
+        m = re.fullmatch(
+            r"CREATE\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+"
+            r"(?:(SHALLOW|DEEP)\s+)?CLONE\s+([A-Za-z_][A-Za-z0-9_]*)"
+            r"(?:\s+VERSION\s+AS\s+OF\s+(\d+))?"
+            r"\s+LOCATION\s+'([^']+)'",
+            s,
+            flags=re.IGNORECASE,
+        )
+        if not m:
+            raise ValueError(
+                "only CREATE TABLE new [SHALLOW|DEEP] CLONE src "
+                f"[VERSION AS OF n] LOCATION 'path' is supported: {s!r}"
+            )
+        new_name, mode, src_name, ver, dest = m.groups()
+        t = self.table(src_name).clone(
+            dest,
+            version=int(ver) if ver is not None else None,
+            mode=(mode or "shallow").lower(),
+        )
+        self.register(new_name, t)
+        return t
+
     def _alter(self, s: str):
         # branch / tag lifecycle (write-audit-publish surface)
         bm = re.fullmatch(

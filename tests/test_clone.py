@@ -183,6 +183,33 @@ def test_clone_rejects_existing_dest_and_bad_mode(spark, tmp_path):
         src.clone(str(tmp_path / "c13"), mode="sideways")
 
 
+def test_sql_create_table_clone(spark, tmp_path):
+    from cdm_cbioportal_etl_spark.lake import LakeSession
+
+    src = _mk(spark, tmp_path, name="sql_src")
+    src.merge(_batch(spark, [(1, "a", 10, 1, "upsert")]))
+    v1 = src.snapshot["version"]
+    src.merge(_batch(spark, [(2, "b", 20, 2, "upsert")]))
+    ls = LakeSession(spark)
+    ls.register("src", src)
+    c = ls.sql(
+        f"CREATE TABLE fork CLONE src LOCATION '{tmp_path / 'sqlc'}'"
+    )
+    assert _state(c) == _state(src)
+    # the new name is live in the session immediately
+    assert {r["k"] for r in ls.sql("SELECT k FROM fork").collect()} == {1, 2}
+    # deep + time-travel variant
+    d = ls.sql(
+        "CREATE TABLE fork2 DEEP CLONE src "
+        f"VERSION AS OF {v1} LOCATION '{tmp_path / 'sqld'}'"
+    )
+    assert _state(d) == {1: ("a", 10)}
+    shutil.rmtree(src.root)
+    assert _state(d) == {1: ("a", 10)}  # deep = self-contained
+    with pytest.raises(ValueError, match="CLONE"):
+        ls.sql("CREATE TABLE x CLONE src")  # LOCATION is required
+
+
 def test_clone_cdf_starts_at_genesis(spark, tmp_path):
     src = _mk(spark, tmp_path, name="cdf_src", write_changes="true")
     src.merge(_batch(spark, [(1, "a", 10, 1, "upsert")]))
