@@ -53,11 +53,33 @@ class WalRouter:
     """Routes a wire batch of Debezium JSON envelopes to registered
     LakeTables by ``payload.source.table``."""
 
-    def __init__(self, spark: SparkSession, tables: dict[str, LakeTable]):
+    def __init__(
+        self,
+        spark: SparkSession,
+        tables: dict[str, LakeTable],
+        catalog: "Any | None" = None,
+    ):
         if not tables:
             raise ValueError("WalRouter needs at least one table")
         self.spark = spark
         self.tables = dict(tables)
+        # optional LakeCatalog (lake/txn.py): when set, each wire batch's
+        # N per-table merges publish as ONE atomic catalog commit, so a
+        # reader joining the routed tables through the catalog never sees
+        # a half-applied fan-out
+        self.catalog = catalog
+        if catalog is not None:
+            missing = sorted(
+                set(tables) - set(catalog.snapshot["tables"])
+            )
+            if missing:
+                raise ValueError(
+                    f"routed tables {missing} are not attached to the "
+                    f"catalog at {catalog.root}"
+                )
+            # share the router's handles so merge + publish see one
+            # snapshot state per table (fewer spurious commit retries)
+            catalog._handles.update(self.tables)
 
     def apply_wire_batch(
         self,
@@ -76,15 +98,20 @@ class WalRouter:
         route = F.get_json_object(F.col("value"), "$.payload.source.table")
         stats: dict[str, MergeStats] = {}
         dlqs: list[DataFrame] = []
+        txn = self.catalog.transaction() if self.catalog is not None else None
         for name, table in self.tables.items():
             sub = raw.filter(route == name)
             decoded, rejects = decode_debezium_with_rejects(
                 sub, table.schema
             )
-            stats[name] = table.merge(
-                decoded,
+            mk = dict(
                 batch_id=(f"{batch_id}-{name}" if batch_id else None),
                 **(merge_kwargs or {}),
+            )
+            stats[name] = (
+                txn.merge(name, decoded, **mk)
+                if txn is not None
+                else table.merge(decoded, **mk)
             )
             dlqs.append(
                 rejects.withColumn(
@@ -103,6 +130,8 @@ class WalRouter:
         dlq = unrouted
         for d in dlqs:
             dlq = dlq.unionByName(d)
+        if txn is not None:
+            txn.commit(lineage={"batch_id": batch_id})
         return stats, dlq
 
 
@@ -119,10 +148,11 @@ class EnvelopeTailReader:
         dlq_dir: str | None = None,
         max_files_per_trigger: int = 8,
         merge_kwargs: dict[str, Any] | None = None,
+        catalog: "Any | None" = None,
     ):
         self.spark = spark
         self.wire_dir = wire_dir
-        self.router = WalRouter(spark, tables)
+        self.router = WalRouter(spark, tables, catalog=catalog)
         self.checkpoint_dir = checkpoint_dir
         self.dlq_dir = dlq_dir
         self.max_files_per_trigger = max_files_per_trigger

