@@ -4512,12 +4512,17 @@ class LakeTable:
             files_meta_rows(self.snapshot), schema
         )
 
-    def expire_snapshots(self, keep_last: int = 5) -> int:
+    def expire_snapshots(
+        self, keep_last: int = 5, protect: "set[int] | None" = None
+    ) -> int:
         """Delete old snapshot manifests, keeping the most recent
         ``keep_last`` (Iceberg's expire_snapshots).  Time travel to
         expired versions stops resolving; data files they referenced
         become vacuum-eligible orphans unless still referenced by a
-        retained snapshot.  Returns # manifests removed."""
+        retained snapshot.  ``protect`` pins extra versions that must
+        survive regardless of age — how a LakeCatalog (lake/txn.py)
+        keeps its retained cross-table cuts readable through table-level
+        retention.  Returns # manifests removed."""
         import re as _re
 
         if keep_last < 1:
@@ -4527,7 +4532,7 @@ class LakeTable:
         # protect every ref head; for BRANCH refs also their newest
         # keep_last ancestors (per-branch lookback, Iceberg's
         # branch-level retention).  A tag keeps exactly its snapshot.
-        protected: set[int] = set()
+        protected: set[int] = {int(v) for v in (protect or ())}
         newest_head = 0
         for r in self.refs():
             head = int(r["version"])

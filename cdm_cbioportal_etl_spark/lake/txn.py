@@ -279,13 +279,80 @@ class LakeCatalog:
         return MultiTableTransaction(self)
 
     # ------------------------------------------------------------------ #
+    # retention — the consistency story's other half
+    # ------------------------------------------------------------------ #
+    def expire(
+        self, keep_last: int = 5, table_keep_last: int = 1
+    ) -> dict[str, Any]:
+        """Coordinated retention: expire old catalog commits, then expire
+        each member table PROTECTING every version still pinned by a
+        retained catalog commit.  Without this coordination a bare
+        ``table.expire_snapshots`` can reclaim a manifest the catalog
+        still pins, silently breaking cross-table time travel; with it,
+        every retained catalog version stays a readable consistent cut.
+
+        ``keep_last`` newest catalog commits survive (along the parent
+        chain); each table keeps its pinned versions plus its own newest
+        ``table_keep_last``.  Returns per-table manifests removed."""
+        if keep_last < 1:
+            raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+        chain: list[dict[str, Any]] = []
+        v: int | None = self.version
+        while v is not None and len(chain) < keep_last:
+            s = self.snapshot_at(v)
+            chain.append(s)
+            v = s.get("parent")
+        retained = {int(s["version"]) for s in chain}
+        import re
+
+        removed = 0
+        for fn in sorted(os.listdir(self._meta)):
+            m = re.fullmatch(r"cat-(\d{8})\.json", fn)
+            if m and int(m.group(1)) not in retained:
+                os.remove(os.path.join(self._meta, fn))
+                removed += 1
+        # tokens age out with their base commits (same rule as tables):
+        # a token at base B only blocks publishers whose snapshot is B,
+        # impossible once B's commit file is gone — but never the
+        # current head's token (a publisher may be mid-CAS from it)
+        txn_dir = os.path.join(self._meta, "txn")
+        if os.path.isdir(txn_dir):
+            for fn in os.listdir(txn_dir):
+                m = re.search(r"-(\d+)\Z", fn)
+                if m and int(m.group(1)) not in retained \
+                        and int(m.group(1)) < self.version:
+                    os.remove(os.path.join(txn_dir, fn))
+        # per-table pins across every RETAINED catalog commit — a table
+        # detached from the head but pinned by a retained older commit
+        # still gets its versions protected
+        pins: dict[str, tuple[str, set[int]]] = {}
+        for s in chain:
+            for n, e in s["tables"].items():
+                root, vs = pins.setdefault(n, (e["root"], set()))
+                vs.add(int(e["version"]))
+        per_table: dict[str, int] = {}
+        for n, (root, vs) in pins.items():
+            t = self._handles.get(n)
+            if t is None or os.path.abspath(t.root) != os.path.abspath(root):
+                if not LakeTable.exists(root):
+                    continue  # table dropped outright; nothing to expire
+                t = LakeTable(self.spark, root)
+            per_table[n] = t.expire_snapshots(
+                keep_last=table_keep_last, protect=vs
+            )
+        return {"catalog_commits_removed": removed, "tables": per_table}
+
+    # ------------------------------------------------------------------ #
     # inspection
     # ------------------------------------------------------------------ #
     def history(self) -> DataFrame:
         rows = []
         v = self.version
         while v is not None:
-            s = self.snapshot_at(v)
+            try:
+                s = self.snapshot_at(v)
+            except ValueError:
+                break  # older commits expired — history stops there
             rows.append(
                 (
                     int(s["version"]),

@@ -204,3 +204,38 @@ def test_catalog_create_exists_and_reopen(spark, tmp_path, cat):
         reopened.history().collect()[0]["pins"]
     )
     assert set(pins_json) == {"a", "b"}
+
+
+def test_catalog_expire_protects_pinned_cuts(spark, cat):
+    # five published cuts, each changing both tables
+    cuts = []
+    for i in range(5):
+        t = cat.transaction()
+        t.merge("a", _b(spark, [(1, f"a{i}", i + 1, "upsert")]))
+        t.merge("b", _b(spark, [(1, f"b{i}", i + 1, "upsert")]))
+        cuts.append(t.commit())
+    stats = cat.expire(keep_last=2, table_keep_last=1)
+    assert stats["catalog_commits_removed"] > 0
+    # the two retained cuts stay readable as CONSISTENT cross-table pairs
+    for v, i in [(cuts[-1], 4), (cuts[-2], 3)]:
+        assert _state(cat.read("a", catalog_version=v)) == {1: f"a{i}"}
+        assert _state(cat.read("b", catalog_version=v)) == {1: f"b{i}"}
+    # expired cuts are gone from both the catalog and table history
+    with pytest.raises(ValueError, match="no catalog version"):
+        cat.read("a", catalog_version=cuts[0])
+    # table-level time travel to an unpinned old version is expired too
+    import os
+    snaps = [
+        f for f in os.listdir(os.path.join(cat.table("a").root, "_meta"))
+        if f.startswith("snap-")
+    ]
+    # 1 genesis-era + pinned(2) + head lookback — strictly fewer than the
+    # 6 manifests the un-expired history held
+    assert len(snaps) < 6
+    # history() walks only the retained chain without raising
+    assert cat.history().count() == 2
+    # vacuum after expire keeps every retained cut's files alive
+    cat.table("a").vacuum()
+    cat.table("b").vacuum()
+    assert _state(cat.read("a", catalog_version=cuts[-2])) == {1: "a3"}
+    assert _state(cat.read("b", catalog_version=cuts[-2])) == {1: "b3"}
