@@ -200,14 +200,81 @@ class LakeCatalog:
         return {n: int(e["version"]) for n, e in snap["tables"].items()}
 
     # ------------------------------------------------------------------ #
+    # tags + timestamp resolution (named / temporal cross-table cuts)
+    # ------------------------------------------------------------------ #
+    def tag(self, name: str, version: int | None = None) -> int:
+        """Name a catalog version (default: current) as an immutable
+        cross-table cut — Iceberg's tag, spanning EVERY member table at
+        once.  Tagged cuts survive ``expire`` regardless of age."""
+        import re
+
+        if not re.fullmatch(_NAME_RE, name):
+            raise ValueError(f"invalid tag name: {name!r}")
+        v = int(version if version is not None else self.version)
+        self.snapshot_at(v)  # must exist
+        tags = dict(self.snapshot.get("tags", {}))
+        if name in tags:
+            raise ValueError(
+                f"tag {name!r} already names catalog version {tags[name]} "
+                "— tags are immutable; untag first"
+            )
+        tags[name] = v
+        return self._publish(
+            dict(self.snapshot["tables"]), base=self.version,
+            lineage={"operation": "tag", "tag": name, "at": v}, tags=tags,
+        )
+
+    def untag(self, name: str) -> int:
+        tags = dict(self.snapshot.get("tags", {}))
+        if name not in tags:
+            raise ValueError(f"no tag {name!r} (have: {sorted(tags)})")
+        del tags[name]
+        return self._publish(
+            dict(self.snapshot["tables"]), base=self.version,
+            lineage={"operation": "untag", "tag": name}, tags=tags,
+        )
+
+    def tags(self) -> dict[str, int]:
+        return {n: int(v) for n, v in self.snapshot.get("tags", {}).items()}
+
+    def version_at(self, timestamp: float) -> int:
+        """Largest catalog version committed at or before ``timestamp``
+        (epoch seconds) — TIMESTAMP AS OF across every table at once.
+        Only resolves within the retained (un-expired) chain."""
+        v: int | None = self.version
+        newest: int | None = None
+        while v is not None:
+            try:
+                s = self.snapshot_at(v)
+            except ValueError:
+                break
+            if float(s["committed_at"]) <= float(timestamp):
+                newest = int(s["version"])
+                break
+            v = s.get("parent")
+        if newest is None:
+            raise ValueError(
+                f"no retained catalog version at or before {timestamp}"
+            )
+        return newest
+
+    # ------------------------------------------------------------------ #
     # reads — the whole point: every table at ONE catalog version
     # ------------------------------------------------------------------ #
     def read(
         self,
         name: str,
         catalog_version: int | None = None,
+        tag: str | None = None,
         **read_kwargs: Any,
     ) -> DataFrame:
+        if tag is not None:
+            if catalog_version is not None:
+                raise ValueError("pass catalog_version OR tag, not both")
+            t = self.tags()
+            if tag not in t:
+                raise ValueError(f"no tag {tag!r} (have: {sorted(t)})")
+            catalog_version = t[tag]
         snap = (
             self.snapshot
             if catalog_version is None
@@ -231,6 +298,7 @@ class LakeCatalog:
         tables: dict[str, dict[str, Any]],
         base: int | None,
         lineage: dict[str, Any],
+        tags: dict[str, int] | None = None,
     ) -> int:
         """CAS one catalog commit on top of ``base``.  Token protocol =
         LakeTable._commit: of two publishers sharing a base, exactly one
@@ -249,11 +317,15 @@ class LakeCatalog:
                 "remnant if the pointer never moves).  Refresh and retry."
             ) from None
         version = 0 if base is None else base + 1
+        if tags is None:  # tags ride the versioned state: carry forward
+            tags = dict(self.snapshot.get("tags", {})) if base is not None \
+                else {}
         snap = {
             "version": version,
             "parent": base,
             "committed_at": time.time(),
             "tables": tables,
+            "tags": tags,
             "lineage": lineage,
         }
         path = self._cat_path(version)
@@ -302,6 +374,10 @@ class LakeCatalog:
             s = self.snapshot_at(v)
             chain.append(s)
             v = s.get("parent")
+        # tagged cuts survive regardless of age (and their pins below)
+        for tv in set(self.snapshot.get("tags", {}).values()):
+            if int(tv) not in {int(s["version"]) for s in chain}:
+                chain.append(self.snapshot_at(int(tv)))
         retained = {int(s["version"]) for s in chain}
         import re
 

@@ -239,3 +239,43 @@ def test_catalog_expire_protects_pinned_cuts(spark, cat):
     cat.table("b").vacuum()
     assert _state(cat.read("a", catalog_version=cuts[-2])) == {1: "a3"}
     assert _state(cat.read("b", catalog_version=cuts[-2])) == {1: "b3"}
+
+
+def test_catalog_tags_and_timestamp_resolution(spark, cat):
+    import time
+
+    cuts = []
+    for i in range(4):
+        t = cat.transaction()
+        t.merge("a", _b(spark, [(1, f"a{i}", i + 1, "upsert")]))
+        t.merge("b", _b(spark, [(1, f"b{i}", i + 1, "upsert")]))
+        cuts.append(t.commit())
+    cat.tag("release", cuts[1])
+    # tagged reads resolve both tables to the SAME named cut
+    assert _state(cat.read("a", tag="release")) == {1: "a1"}
+    assert _state(cat.read("b", tag="release")) == {1: "b1"}
+    # tags are immutable; duplicates refused
+    with pytest.raises(ValueError, match="immutable"):
+        cat.tag("release", cuts[2])
+    # TIMESTAMP AS OF across the whole catalog
+    ts = cat.snapshot_at(cuts[2])["committed_at"]
+    assert cat.version_at(ts) == cuts[2]
+    assert cat.version_at(time.time() + 60) == cat.version
+    with pytest.raises(ValueError, match="no retained"):
+        cat.version_at(0.0)
+    # expire keeps the tagged cut readable even though it is old
+    cat.expire(keep_last=1, table_keep_last=1)
+    assert _state(cat.read("a", tag="release")) == {1: "a1"}
+    assert _state(cat.read("b", tag="release")) == {1: "b1"}
+    with pytest.raises(ValueError, match="no catalog version"):
+        cat.read("a", catalog_version=cuts[0])  # untagged old cut is gone
+    # untag then expire reclaims it
+    cat.untag("release")
+    assert cat.tags() == {}
+    cat.expire(keep_last=1)
+    with pytest.raises(ValueError, match="no catalog version"):
+        cat.read("a", catalog_version=cuts[1])
+    with pytest.raises(ValueError, match="no tag"):
+        cat.read("a", tag="release")
+    with pytest.raises(ValueError, match="not both"):
+        cat.read("a", catalog_version=1, tag="x")
