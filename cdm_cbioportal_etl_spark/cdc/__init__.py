@@ -3,6 +3,8 @@ from cdm_cbioportal_etl_spark.cdc.envelope import (
     decode_debezium_with_rejects,
     encode_debezium,
     envelope_schema,
+    connect_schema_json,
+    parse_connect_schema,
 )
 from cdm_cbioportal_etl_spark.cdc.generator import REPOS_SCHEMA, gen_change_events
 from cdm_cbioportal_etl_spark.cdc.router import EnvelopeTailReader, WalRouter
@@ -21,4 +23,6 @@ __all__ = [
     "WalRouter",
     "encode_debezium",
     "envelope_schema",
+    "connect_schema_json",
+    "parse_connect_schema",
 ]

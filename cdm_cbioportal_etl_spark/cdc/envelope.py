@@ -39,7 +39,78 @@ __all__ = [
     "decode_debezium",
     "decode_debezium_with_rejects",
     "encode_debezium",
+    "connect_schema_json",
+    "parse_connect_schema",
 ]
+
+# Kafka-Connect primitive type names <-> Spark types (the subset the
+# wire-evolution path speaks; Debezium's logical types collapse to
+# these primitives on the JSON converter)
+_SPARK_TO_CONNECT = {
+    "int": "int32",
+    "bigint": "int64",
+    "float": "float32",
+    "double": "float64",
+    "boolean": "boolean",
+    "string": "string",
+    "binary": "bytes",
+    "date": "int32",       # Connect date = days since epoch
+    "timestamp": "int64",  # Connect timestamp = epoch millis
+}
+_CONNECT_TO_SPARK = {
+    "int8": T.IntegerType(),
+    "int16": T.IntegerType(),
+    "int32": T.IntegerType(),
+    "int64": T.LongType(),
+    "float32": T.FloatType(),
+    "float64": T.DoubleType(),
+    "boolean": T.BooleanType(),
+    "string": T.StringType(),
+    "bytes": T.BinaryType(),
+}
+
+
+def connect_schema_json(data_schema: T.StructType) -> str:
+    """The Kafka-Connect inline schema blob (what Debezium emits with
+    ``schemas.enable=true``) for a row schema — the wire's authoritative
+    statement of what columns this envelope carries, and the signal the
+    auto-evolving sink (cdc/router.py) keys DDL off."""
+    import json as _json
+
+    fields = []
+    for f in data_schema.fields:
+        ct = _SPARK_TO_CONNECT.get(f.dataType.simpleString())
+        if ct is None:
+            raise ValueError(
+                f"no Connect wire type for column {f.name}: "
+                f"{f.dataType.simpleString()}"
+            )
+        fields.append({"field": f.name, "type": ct, "optional": True})
+    return _json.dumps(
+        {"type": "struct", "fields": fields, "optional": False},
+        separators=(",", ":"),
+    )
+
+
+def parse_connect_schema(blob: str) -> T.StructType:
+    """Inverse of ``connect_schema_json``: the wire blob → a Spark row
+    schema.  Unknown Connect types fail loudly — silently guessing a
+    type would corrupt the evolved table."""
+    import json as _json
+
+    d = _json.loads(blob)
+    if d.get("type") != "struct" or not isinstance(d.get("fields"), list):
+        raise ValueError(f"not a Connect struct schema: {blob[:120]!r}")
+    out = []
+    for f in d["fields"]:
+        t = _CONNECT_TO_SPARK.get(f.get("type"))
+        if t is None:
+            raise ValueError(
+                f"unsupported Connect type {f.get('type')!r} for field "
+                f"{f.get('field')!r}"
+            )
+        out.append(T.StructField(str(f["field"]), t, True))
+    return T.StructType(out)
 
 
 def envelope_schema(data_schema: T.StructType) -> T.StructType:
@@ -164,6 +235,7 @@ def encode_debezium(
     data_schema: T.StructType,
     source_db: str = "engine",
     source_table: str = "t",
+    include_schema: bool = False,
 ) -> DataFrame:
     """Canonical batch ``(lsn, op, <data columns>)`` → one-column
     DataFrame ``value`` of Debezium JSON envelopes (the wire shape the
@@ -196,6 +268,21 @@ def encode_debezium(
     )
     # Debezium emits explicit nulls ("after": null on a delete);
     # to_json drops null fields unless told otherwise
+    if include_schema:
+        # schemas.enable=true wire shape: the Connect schema blob rides
+        # every envelope.  One constant per batch — string concat, not a
+        # per-row serialization of the schema struct.
+        payload_json = F.to_json(
+            envelope["payload"], {"ignoreNullFields": "false"}
+        )
+        return batch.select(
+            F.concat(
+                F.lit('{"schema":' + connect_schema_json(data_schema)
+                      + ',"payload":'),
+                payload_json,
+                F.lit("}"),
+            ).alias("value")
+        )
     return batch.select(
         F.to_json(envelope, {"ignoreNullFields": "false"}).alias("value")
     )

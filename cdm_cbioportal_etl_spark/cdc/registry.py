@@ -55,30 +55,40 @@ class SchemaRegistry:
         data_fields = [
             f for f in batch.schema.fields if f.name not in ("lsn", "op", "_bucket")
         ]
-        table_fields = {f.name: f for f in table.schema.fields}
-        merged: list[T.StructField] = list(table.schema.fields)
-        changed = False
-        for f in data_fields:
-            cur = table_fields.get(f.name)
-            if cur is None:
-                merged.append(T.StructField(f.name, f.dataType, True))
-                changed = True
-            else:
-                t_cur = cur.dataType.simpleString()
-                t_new = f.dataType.simpleString()
-                if t_cur != t_new:
-                    if (t_cur, t_new) in _WIDENINGS:
-                        idx = [i for i, g in enumerate(merged) if g.name == f.name][0]
-                        merged[idx] = T.StructField(f.name, f.dataType, True)
-                        changed = True
-                    elif (t_new, t_cur) in _WIDENINGS:
-                        pass  # batch narrower than table: cast at merge, no DDL
-                    else:
-                        raise SchemaEvolutionError(
-                            f"incompatible batch column {f.name}: {t_cur} vs {t_new}"
-                        )
-        target = T.StructType(merged)
+        target, changed = merged_evolution(table.schema, data_fields)
         self.register(target)
         if changed:
             table.evolve_schema(target)
         return changed
+
+
+def merged_evolution(
+    table_schema: T.StructType, incoming: "list[T.StructField]"
+) -> "tuple[T.StructType, bool]":
+    """The registry's compatibility fold as a pure function: union the
+    incoming fields into the table schema, applying legal widenings,
+    rejecting everything else.  Shared by the typed batch path above and
+    the wire-schema path (cdc/router.py auto_evolve)."""
+    table_fields = {f.name: f for f in table_schema.fields}
+    merged: list[T.StructField] = list(table_schema.fields)
+    changed = False
+    for f in incoming:
+        cur = table_fields.get(f.name)
+        if cur is None:
+            merged.append(T.StructField(f.name, f.dataType, True))
+            changed = True
+        else:
+            t_cur = cur.dataType.simpleString()
+            t_new = f.dataType.simpleString()
+            if t_cur != t_new:
+                if (t_cur, t_new) in _WIDENINGS:
+                    idx = [i for i, g in enumerate(merged) if g.name == f.name][0]
+                    merged[idx] = T.StructField(f.name, f.dataType, True)
+                    changed = True
+                elif (t_new, t_cur) in _WIDENINGS:
+                    pass  # batch narrower than table: cast at merge, no DDL
+                else:
+                    raise SchemaEvolutionError(
+                        f"incompatible batch column {f.name}: {t_cur} vs {t_new}"
+                    )
+    return T.StructType(merged), changed

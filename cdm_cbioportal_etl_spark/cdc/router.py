@@ -58,11 +58,21 @@ class WalRouter:
         spark: SparkSession,
         tables: dict[str, LakeTable],
         catalog: "Any | None" = None,
+        auto_evolve: bool = False,
     ):
         if not tables:
             raise ValueError("WalRouter needs at least one table")
         self.spark = spark
         self.tables = dict(tables)
+        # auto_evolve: honor the Kafka-Connect schema blob riding each
+        # envelope (schemas.enable=true) — an upstream ALTER TABLE shows
+        # up as new/widened fields in the blob, and the sink issues the
+        # matching lake DDL BEFORE decoding the sub-batch, so events
+        # referencing the new schema can never apply ahead of the DDL
+        # they depend on (the north-star registry-before-upsert rule,
+        # BASELINE.json).  Off by default: without it, unknown wire
+        # columns are silently ignored (a sink connector's default).
+        self.auto_evolve = auto_evolve
         # optional LakeCatalog (lake/txn.py): when set, each wire batch's
         # N per-table merges publish as ONE atomic catalog commit, so a
         # reader joining the routed tables through the catalog never sees
@@ -101,6 +111,8 @@ class WalRouter:
         txn = self.catalog.transaction() if self.catalog is not None else None
         for name, table in self.tables.items():
             sub = raw.filter(route == name)
+            if self.auto_evolve:
+                self._evolve_from_wire(name, table, sub, txn)
             decoded, rejects = decode_debezium_with_rejects(
                 sub, table.schema
             )
@@ -133,6 +145,40 @@ class WalRouter:
         if txn is not None:
             txn.commit(lineage={"batch_id": batch_id})
         return stats, dlq
+
+    def _evolve_from_wire(
+        self, name: str, table: LakeTable, sub: DataFrame, txn: "Any | None"
+    ) -> None:
+        """Fold every DISTINCT wire schema blob in this sub-batch into
+        the table schema and issue one DDL commit if anything grew.
+
+        The distinct-collect is metadata-scale: the blob is one constant
+        string per upstream schema generation, so the result set is the
+        number of schema CHANGES in the batch (almost always 0 or 1),
+        never the row count.  Under a catalog transaction the DDL rides
+        the same publish as the data — schema change + rows become
+        visible in one atomic cut."""
+        from cdm_cbioportal_etl_spark.cdc.envelope import parse_connect_schema
+        from cdm_cbioportal_etl_spark.cdc.registry import merged_evolution
+
+        blobs = [
+            r[0]
+            for r in sub.select(
+                F.get_json_object(F.col("value"), "$.schema")
+            ).distinct().collect()
+            if r[0]
+        ]
+        target = table.schema
+        changed = False
+        for blob in blobs:
+            wire = parse_connect_schema(blob)
+            target, ch = merged_evolution(target, list(wire.fields))
+            changed = changed or ch
+        if changed:
+            if txn is not None:
+                txn.run(name, lambda t: t.evolve_schema(target))
+            else:
+                table.evolve_schema(target)
 
 
 class EnvelopeTailReader:
