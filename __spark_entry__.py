@@ -83,6 +83,7 @@ _R12_GREEN = frozenset({
 # Rotate them in next round.
 _DEFER = frozenset({
     "cdc_multitable_txn",
+    "cdc_wire_evolution",
 })
 
 

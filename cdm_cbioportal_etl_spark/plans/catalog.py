@@ -4699,3 +4699,77 @@ def cdc_multitable_txn(spark, sf_dir):
         )
         out = part if out is None else out.unionByName(part)
     return out
+
+
+@_register(
+    "cdc_wire_evolution",
+    f"""
+    WITH wal AS (
+      SELECT event_id AS lsn,
+             CASE WHEN event_type = 'error' THEN 'delete' ELSE 'update' END AS op,
+             'org/repo-' || lpad((user_id % 12)::VARCHAR, 4, '0') AS repo,
+             'src/f' || lpad(user_id::VARCHAR, 5, '0') || '.py' AS path,
+             md5(event_id::VARCHAR || ':' || event_type) AS commit,
+             (['{"','".join(_LANGS_SQL)}'])[(user_id % 6 + 1)::INT] AS lang,
+             concat_ws('|', event_type, coalesce(props, '')) AS content,
+             (user_id % 997)::BIGINT AS stars
+      FROM events
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+      FROM wal
+    )
+    SELECT repo, path, commit, lang, content,
+           CASE WHEN lsn > (SELECT max(lsn) FROM wal) // 2 THEN stars END AS stars
+    FROM ranked WHERE rn = 1 AND op <> 'delete'
+    """,
+)
+def cdc_wire_evolution(spark, sf_dir):
+    """Mid-stream upstream ALTER TABLE over the wire (cdc/envelope.py
+    schema blob + WalRouter auto_evolve): the first half of the repos
+    WAL arrives under the v1 schema, the second half under v2 (+stars
+    BIGINT), both as Debezium envelopes with the Kafka-Connect schema
+    blob inline.  The auto-evolving sink issues the ADD COLUMN before
+    decoding the v2 sub-batch; rows whose winning event predates the
+    ALTER read stars as NULL (read-time null-fill, no rewrite) — the
+    oracle states exactly that with a CASE on the LSN cut."""
+    from cdm_cbioportal_etl_spark.cdc import WalRouter, encode_debezium
+    from cdm_cbioportal_etl_spark.cdc.generator import REPOS_SCHEMA
+
+    wal = _repos_wal(spark, sf_dir)
+    max_lsn = int(wal.agg(F.max("lsn")).collect()[0][0])
+    cut = max_lsn // 2
+    v2 = T.StructType(
+        list(REPOS_SCHEMA.fields) + [T.StructField("stars", T.LongType())]
+    )
+    root = os.path.join(
+        CDC_WORK_DIR,
+        spark.sparkContext.applicationId,
+        "wireevo-" + os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    table = LakeTable.create(
+        spark,
+        os.path.join(root, "repos"),
+        T.StructType(list(REPOS_SCHEMA.fields)),
+        key_cols=["repo", "path"],
+        n_buckets=16,
+    )
+    router = WalRouter(spark, {"repos": table}, auto_evolve=True)
+    user_id = F.substring("path", 6, 5).cast("long")
+    wire1 = encode_debezium(
+        wal.filter(F.col("lsn") <= cut),
+        REPOS_SCHEMA, source_table="repos", include_schema=True,
+    )
+    wire2 = encode_debezium(
+        wal.filter(F.col("lsn") > cut).withColumn("stars", user_id % 997),
+        v2, source_table="repos", include_schema=True,
+    )
+    router.apply_wire_batch(wire1, batch_id="gen1")
+    assert [f.name for f in table.schema.fields] == [
+        f.name for f in REPOS_SCHEMA.fields
+    ], "v1 batch must not evolve the table"
+    router.apply_wire_batch(wire2, batch_id="gen2")
+    assert table.schema.fields[-1].name == "stars", "ALTER did not land"
+    return table.read().select(
+        "repo", "path", "commit", "lang", "content", "stars"
+    )
