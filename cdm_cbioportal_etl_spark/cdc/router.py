@@ -195,10 +195,13 @@ class EnvelopeTailReader:
         max_files_per_trigger: int = 8,
         merge_kwargs: dict[str, Any] | None = None,
         catalog: "Any | None" = None,
+        auto_evolve: bool = False,
     ):
         self.spark = spark
         self.wire_dir = wire_dir
-        self.router = WalRouter(spark, tables, catalog=catalog)
+        self.router = WalRouter(
+            spark, tables, catalog=catalog, auto_evolve=auto_evolve
+        )
         self.checkpoint_dir = checkpoint_dir
         self.dlq_dir = dlq_dir
         self.max_files_per_trigger = max_files_per_trigger
