@@ -100,6 +100,10 @@ _BENCH_QUERIES = [
     # bucket)+bloom driver-planned point lookup
     "cdc_datasource_read",
     "cdc_datasource_point_lookup",
+    # round 4 (continuation): atomic multi-table fan-out through the
+    # catalog, and mid-stream wire-schema evolution
+    "cdc_multitable_txn",
+    "cdc_wire_evolution",
 ]
 
 

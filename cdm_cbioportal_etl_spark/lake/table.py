@@ -392,6 +392,17 @@ class LakeTable:
         self._meta_dir = os.path.join(self.root, "_meta")
         self._data_dir = os.path.join(self.root, "data")
         self._snap: dict[str, Any] | None = None
+        # serializes SAME-HANDLE mutations across threads: a merge
+        # prepares its manifest against one snapshot read and commits
+        # against self._snap — if another thread advances _snap in
+        # between, the CAS token is cut from the NEW base and the stale
+        # carry-over commits without a conflict (silent lost update).
+        # Cross-HANDLE / cross-process writers are already arbitrated by
+        # the O_EXCL token; this lock only covers the shared-handle case
+        # (e.g. a threaded fan-out merging through one catalog handle).
+        import threading
+
+        self._mutate_lock = threading.RLock()
         # which named ref this handle reads from / commits to.  "main"
         # is the VERSION pointer every pre-refs table already has; other
         # names resolve through _meta/refs/<name>.json (Iceberg-style
@@ -2255,46 +2266,52 @@ class LakeTable:
                 strategy=strategy, salt_partitions=salt_partitions,
             )
 
-        reduced = _prep()
-        # optimistic-concurrency retry: if another writer wins our commit
-        # version, refresh and redo prepare+apply against the new snapshot
-        # (prepare again, not just apply — the racer may have evolved the
-        # schema or rebucketed).  The LSN ledger keeps the retried batch
-        # exactly-once: rows the racer already applied filter out.
-        retries = int(
-            self.snapshot.get("properties", {}).get("commit_retries", 3)
-        )
-        for attempt in range(retries + 1):
-            try:
-                stats = self.apply_prepared(
-                    reduced,
-                    batch_id=batch_id,
-                    source_watermarks=source_watermarks,
-                    extra_lineage=extra_lineage,
-                    batch_total=batch_total,
-                    applied_segments=applied_segments,
-                    mode=mode,
-                    partial_update=partial_update,
-                )
-                break
-            except ConcurrentCommitError:
-                if attempt == retries:
-                    raise
-                import time as _t
+        # same-handle serialization (see __init__._mutate_lock): prepare
+        # reads a snapshot and apply commits against self._snap — both
+        # must see ONE consistent view per attempt.  Other handles and
+        # processes still race through the O_EXCL token protocol below.
+        with self._mutate_lock:
+            reduced = _prep()
+            # optimistic-concurrency retry: if another writer wins our
+            # commit version, refresh and redo prepare+apply against the
+            # new snapshot (prepare again, not just apply — the racer may
+            # have evolved the schema or rebucketed).  The LSN ledger
+            # keeps the retried batch exactly-once: rows the racer
+            # already applied filter out.
+            retries = int(
+                self.snapshot.get("properties", {}).get("commit_retries", 3)
+            )
+            for attempt in range(retries + 1):
+                try:
+                    stats = self.apply_prepared(
+                        reduced,
+                        batch_id=batch_id,
+                        source_watermarks=source_watermarks,
+                        extra_lineage=extra_lineage,
+                        batch_total=batch_total,
+                        applied_segments=applied_segments,
+                        mode=mode,
+                        partial_update=partial_update,
+                    )
+                    break
+                except ConcurrentCommitError:
+                    if attempt == retries:
+                        raise
+                    import time as _t
 
-                old_v = self.snapshot["version"]
-                advanced = False
-                for _ in range(3):  # grace for a racer mid-pointer-swing
-                    self.refresh()
-                    if self.snapshot["version"] > old_v:
-                        advanced = True
-                        break
-                    _t.sleep(0.05)
-                if not advanced:
-                    # manifest exists but no one ever published it: a
-                    # crashed writer's orphan — retrying would spin
-                    raise
-                reduced = _prep()
+                    old_v = self.snapshot["version"]
+                    advanced = False
+                    for _ in range(3):  # grace: racer mid-pointer-swing
+                        self.refresh()
+                        if self.snapshot["version"] > old_v:
+                            advanced = True
+                            break
+                        _t.sleep(0.05)
+                    if not advanced:
+                        # manifest exists but no one ever published it: a
+                        # crashed writer's orphan — retrying would spin
+                        raise
+                    reduced = _prep()
         # inline maintenance policy: MOR delta appends and COW file
         # skipping both accumulate files per bucket; with the
         # ``auto_compact_files`` property set, fold any bucket past the

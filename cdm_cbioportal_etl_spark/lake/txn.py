@@ -530,7 +530,17 @@ class MultiTableTransaction:
                 attempt += 1
                 if attempt > max_retries:
                     raise
-                self.catalog.refresh()
-                if self.catalog.version == base:
+                # The token owner may legitimately be BETWEEN token
+                # creation and the pointer swing (milliseconds) — wait
+                # for the pointer to move before concluding the token is
+                # a crashed publisher's remnant.  Patience bounded: a
+                # truly dead owner never moves it, and that needs the
+                # operator repair the error message describes.
+                for _ in range(50):
+                    self.catalog.refresh()
+                    if self.catalog.version != base:
+                        break
+                    time.sleep(0.02)
+                else:
                     raise  # pointer never moved: crashed-publisher remnant
                 base = self.catalog.version

@@ -279,3 +279,70 @@ def test_catalog_tags_and_timestamp_resolution(spark, cat):
         cat.read("a", tag="release")
     with pytest.raises(ValueError, match="not both"):
         cat.read("a", catalog_version=1, tag="x")
+
+
+def test_threaded_publishers_serialize(spark, cat):
+    """4 threads x 4 transactions each, all over the same two tables:
+    every publish must survive (CAS auto-retry), catalog versions must
+    be strictly serialized (one per committed txn), and the final table
+    state must be LINEARIZABLE — equal to replaying the batches in the
+    order the commit log actually recorded, under the engine's global
+    LSN-watermark rule (a later-committed lower-LSN batch is filtered
+    as already-covered: one WAL, one total order per table).  Before
+    the same-handle mutate lock, this test caught a real lost-update: a
+    merge prepared against a snapshot another thread replaced mid-
+    flight committed WITHOUT a CAS conflict, silently dropping the
+    racer's files."""
+    import threading
+
+    n_threads, n_txns = 4, 4
+    errs: list[BaseException] = []
+    v0 = cat.version
+    rows = {
+        (tid, j): (tid, f"a-{tid}-{j}", tid * 100 + j + 1)
+        for tid in range(n_threads)
+        for j in range(n_txns)
+    }
+
+    def work(tid: int) -> None:
+        try:
+            for j in range(n_txns):
+                k, v, lsn = rows[(tid, j)]
+                t = cat.transaction()
+                t.merge("a", _b(spark, [(k, v, lsn, "upsert")]),
+                        batch_id=f"stress-{tid}-{j}")
+                t.commit(max_retries=64)
+        except BaseException as e:  # surfaced after join
+            errs.append(e)
+
+    threads = [
+        threading.Thread(target=work, args=(i,)) for i in range(n_threads)
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert errs == []
+    cat.refresh()
+    # one catalog version per committed transaction, no lost publishes
+    assert cat.version == v0 + n_threads * n_txns
+    # linearizability: fold the batches in RECORDED commit order under
+    # the watermark rule; the table must equal that fold exactly
+    # a merge whose every row the watermark filtered commits NOTHING
+    # (no snapshot, no lineage) — so the recorded log is exactly the
+    # batches that applied, and their LSNs must be strictly increasing
+    # (each commit raised the watermark past the previous one)
+    log = [
+        r["batch_id"]
+        for r in cat.table("a").history().collect()
+        if r["batch_id"].startswith("stress-")
+    ]
+    assert log, "no stress batch ever committed"
+    applied, expect = -1, {}
+    for bid in log:
+        _, tid, j = bid.split("-")
+        k, v, lsn = rows[(int(tid), int(j))]
+        assert lsn > applied, f"non-monotone commit log: {log}"
+        expect[k] = v
+        applied = lsn
+    assert _state(cat.read("a")) == expect
