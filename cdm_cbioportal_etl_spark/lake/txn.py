@@ -351,6 +351,58 @@ class LakeCatalog:
         return MultiTableTransaction(self)
 
     # ------------------------------------------------------------------ #
+    # cloning — fork the whole pipeline at one consistent cut
+    # ------------------------------------------------------------------ #
+    def clone(
+        self,
+        dest_root: str,
+        catalog_version: int | None = None,
+        tag: str | None = None,
+        mode: str = "shallow",
+    ) -> "LakeCatalog":
+        """Fork EVERY member table at one consistent catalog cut into a
+        new, independent catalog under ``dest_root`` — the multi-table
+        extension of ``LakeTable.clone``.  ``mode="shallow"`` is
+        metadata-only (milliseconds regardless of data volume: each
+        member becomes a shallow table clone pinned at the cut's
+        version); ``mode="deep"`` copies every referenced file.  The
+        fork is the cheap "spin up a dev/backfill copy of the whole
+        pipeline" primitive: member LSN ledgers carry over, so replaying
+        already-applied WAL batches into the fork stays exactly-once,
+        and the fork's catalog starts at its own genesis (one commit
+        pinning every clone).  Same shallow-clone hazard as tables:
+        ``localize()`` each member (or clone deep) before loosening the
+        SOURCE tables' retention."""
+        if tag is not None:
+            if catalog_version is not None:
+                raise ValueError("pass catalog_version OR tag, not both")
+            t = self.tags()
+            if tag not in t:
+                raise ValueError(f"no tag {tag!r} (have: {sorted(t)})")
+            catalog_version = t[tag]
+        snap = (
+            self.snapshot
+            if catalog_version is None
+            else self.snapshot_at(catalog_version)
+        )
+        if LakeCatalog.exists(os.path.join(dest_root, "catalog")):
+            raise ValueError(f"catalog already exists under {dest_root}")
+        clones: dict[str, LakeTable] = {}
+        for name, e in snap["tables"].items():
+            src = LakeTable(self.spark, e["root"])
+            clones[name] = src.clone(
+                os.path.join(dest_root, name),
+                version=int(e["version"]),
+                mode=mode,
+            )
+        new = LakeCatalog.create(
+            self.spark, os.path.join(dest_root, "catalog")
+        )
+        for name, t_ in clones.items():
+            new.attach(name, t_)
+        return new
+
+    # ------------------------------------------------------------------ #
     # retention — the consistency story's other half
     # ------------------------------------------------------------------ #
     def expire(

@@ -346,3 +346,39 @@ def test_threaded_publishers_serialize(spark, cat):
         expect[k] = v
         applied = lsn
     assert _state(cat.read("a")) == expect
+
+
+def test_catalog_clone_forks_whole_pipeline(spark, cat, tmp_path):
+    import shutil as _sh
+
+    t1 = cat.transaction()
+    t1.merge("a", _b(spark, [(1, "a1", 1, "upsert")]))
+    t1.merge("b", _b(spark, [(1, "b1", 1, "upsert")]))
+    v1 = t1.commit()
+    t2 = cat.transaction()
+    t2.merge("a", _b(spark, [(1, "a2", 2, "upsert")]))
+    t2.commit()
+    # shallow fork at the OLDER cut: both members pinned consistently
+    fork = cat.clone(str(tmp_path / "fork"), catalog_version=v1)
+    assert _state(fork.read("a")) == {1: "a1"}
+    assert _state(fork.read("b")) == {1: "b1"}
+    # fork diverges; source untouched — and vice versa
+    ft = fork.transaction()
+    ft.merge("a", _b(spark, [(9, "fork-only", 3, "upsert")]))
+    ft.commit()
+    assert _state(fork.read("a")) == {1: "a1", 9: "fork-only"}
+    assert _state(cat.read("a")) == {1: "a2"}
+    # ledger carried: redelivering lsn<=1 into the fork is a no-op
+    s = fork.transaction().merge("b", _b(spark, [(1, "b1", 1, "upsert")]))
+    assert s.batch_keys == 0
+    # deep fork survives source retirement wholesale
+    deep = cat.clone(str(tmp_path / "deep"), mode="deep")
+    for n in ("a", "b"):
+        _sh.rmtree(cat.table(n).root)
+    assert _state(deep.read("a")) == {1: "a2"}
+    assert _state(deep.read("b")) == {1: "b1"}
+    # dest collision + bad args fail loudly
+    with pytest.raises(ValueError, match="already exists"):
+        cat.clone(str(tmp_path / "deep"))
+    with pytest.raises(ValueError, match="no tag"):
+        cat.clone(str(tmp_path / "x"), tag="ghost")
