@@ -84,6 +84,7 @@ _R12_GREEN = frozenset({
 _DEFER = frozenset({
     "cdc_multitable_txn",
     "cdc_wire_evolution",
+    "cdc_clone_backfill",
 })
 
 

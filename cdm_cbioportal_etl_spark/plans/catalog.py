@@ -4773,3 +4773,48 @@ def cdc_wire_evolution(spark, sf_dir):
     return table.read().select(
         "repo", "path", "commit", "lang", "content", "stars"
     )
+
+
+@_register("cdc_clone_backfill", ORACLES["cdc_repos_replay"])
+def cdc_clone_backfill(spark, sf_dir):
+    """Fork-then-backfill (lake/table.py::clone): replay the first half
+    of the repos WAL into the source table, shallow-clone it (metadata
+    only — zero data bytes copied), then replay the REMAINDER into the
+    CLONE.  The clone's final state must equal the full replay (same
+    oracle as cdc_repos_replay) — the carried LSN ledger makes the
+    handoff seamless and redelivery-safe — while the source must still
+    sit at the cut (asserted in-query)."""
+    from cdm_cbioportal_etl_spark.cdc import CdcReplayer, expected_final_state
+
+    from cdm_cbioportal_etl_spark.cdc.generator import REPOS_SCHEMA
+
+    wal = _repos_wal(spark, sf_dir)
+    max_lsn = int(wal.agg(F.max("lsn")).collect()[0][0])
+    cut = max_lsn // 2
+    root = os.path.join(
+        CDC_WORK_DIR,
+        spark.sparkContext.applicationId,
+        "clonebf-" + os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    src = LakeTable.create(
+        spark,
+        os.path.join(root, "src"),
+        T.StructType(list(REPOS_SCHEMA.fields)),
+        key_cols=["repo", "path"],
+        n_buckets=16,
+    )
+    CdcReplayer(src).replay_range_batches(
+        wal, 0, cut + 1, batch_size=(cut + 2) // 2
+    )
+    src_rows = src.row_count()
+    fork = src.clone(os.path.join(root, "fork"))
+    # redeliver WITH overlap: <= cut no-ops through the carried ledger
+    CdcReplayer(fork).replay_range_batches(
+        wal, 0, max_lsn + 1, batch_size=(max_lsn + 4) // 4
+    )
+    assert src.row_count() == src_rows, "fork writes leaked into source"
+    return fork.read().select(
+        "repo", "path", "commit", "lang", "content",
+        F.sha2("content", 256).alias("content_sha"),
+    )
