@@ -153,7 +153,60 @@ def _ancestry(
         v = s.get("parent", v - 1 if v > 0 else None)
 
 
+def _resolve_catalog(options: dict) -> tuple[str, int]:
+    """Resolve (table root, pinned version) through a LakeCatalog
+    (lake/txn.py): ``option("catalog", <catalog root>)`` +
+    ``option("table", <name>)``, with the cut picked by
+    ``catalog_version`` / ``catalog_tag`` (default: head).  Pure-python
+    JSON reads — the datasource stays SparkSession-free — so a registry
+    reader gets the same cross-table-consistent pins as engine readers."""
+    meta = os.path.join(os.path.abspath(options["catalog"]), "_catalog")
+    name = options.get("table")
+    if not name:
+        raise ValueError("laketable: option 'table' is required with 'catalog'")
+    if not os.path.isfile(os.path.join(meta, "VERSION")):
+        raise ValueError(
+            f"laketable: no catalog at {options['catalog']} (missing "
+            "_catalog/VERSION)"
+        )
+    with open(os.path.join(meta, "VERSION")) as fh:
+        head = int(fh.read().strip())
+
+    def _cat(v: int) -> dict:
+        p = os.path.join(meta, f"cat-{int(v):08d}.json")
+        try:
+            with open(p) as fh:
+                return json.load(fh)
+        except FileNotFoundError:
+            raise ValueError(
+                f"laketable: no catalog version {v} (expired?)"
+            ) from None
+
+    if "catalog_tag" in options:
+        tags = _cat(head).get("tags", {})
+        tag = options["catalog_tag"]
+        if tag not in tags:
+            raise ValueError(
+                f"laketable: no catalog tag {tag!r} (have: {sorted(tags)})"
+            )
+        snap = _cat(int(tags[tag]))
+    elif "catalog_version" in options:
+        snap = _cat(int(options["catalog_version"]))
+    else:
+        snap = _cat(head)
+    entry = snap["tables"].get(name)
+    if entry is None:
+        raise ValueError(
+            f"laketable: table {name!r} not in catalog version "
+            f"{snap['version']} (have: {sorted(snap['tables'])})"
+        )
+    return entry["root"], int(entry["version"])
+
+
 def _load_snapshot(options: dict) -> tuple[str, dict[str, Any]]:
+    if options.get("catalog"):
+        root, version = _resolve_catalog(options)
+        return root, _snapshot_at(root, version)
     root = options.get("path")
     if not root:
         raise ValueError("laketable: option 'path' is required")

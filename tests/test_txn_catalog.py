@@ -382,3 +382,40 @@ def test_catalog_clone_forks_whole_pipeline(spark, cat, tmp_path):
         cat.clone(str(tmp_path / "deep"))
     with pytest.raises(ValueError, match="no tag"):
         cat.clone(str(tmp_path / "x"), tag="ghost")
+
+
+def test_datasource_reads_through_catalog_pins(spark, cat):
+    from cdm_cbioportal_etl_spark.lake import register_lake_datasource
+
+    register_lake_datasource(spark)
+    t1 = cat.transaction()
+    t1.merge("a", _b(spark, [(1, "a1", 1, "upsert")]))
+    v1 = t1.commit()
+    cat.tag("rel", v1)
+    t2 = cat.transaction()
+    t2.merge("a", _b(spark, [(1, "a2", 2, "upsert")]))
+    t2.commit()
+    # head handle has moved PAST the publish? no — but mid-txn state
+    # must be invisible: advance the table head WITHOUT publishing
+    t3 = cat.transaction()
+    t3.merge("a", _b(spark, [(1, "a3", 3, "upsert")]))  # unpublished
+
+    def rd(**opts):
+        r = spark.read.format("laketable").option("catalog", cat.root) \
+            .option("table", "a")
+        for k, v in opts.items():
+            r = r.option(k, v)
+        return {x["k"]: x["v"] for x in r.load().collect()}
+
+    assert rd() == {1: "a2"}  # catalog head, NOT the unpublished head
+    assert rd(catalog_version=v1) == {1: "a1"}
+    assert rd(catalog_tag="rel") == {1: "a1"}
+    t3.commit()
+    assert rd() == {1: "a3"}
+    import pytest as _pt
+
+    with _pt.raises(Exception, match="no catalog tag"):
+        rd(catalog_tag="ghost")
+    with _pt.raises(Exception, match="not in catalog"):
+        spark.read.format("laketable").option("catalog", cat.root) \
+            .option("table", "zzz").load().collect()
