@@ -423,7 +423,10 @@ class LakeCatalog:
         chain: list[dict[str, Any]] = []
         v: int | None = self.version
         while v is not None and len(chain) < keep_last:
-            s = self.snapshot_at(v)
+            try:
+                s = self.snapshot_at(v)
+            except ValueError:
+                break  # parent already reclaimed by an earlier expire
             chain.append(s)
             v = s.get("parent")
         # tagged cuts survive regardless of age (and their pins below)
