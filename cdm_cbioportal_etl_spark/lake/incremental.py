@@ -136,6 +136,36 @@ class IncrementalAggView:
                 "the view against the new names, or rename back"
             )
         ch = source.table_changes(from_v, to_v, include_preimages=True)
+        return self.apply_changes(ch, to_v)
+
+    def apply_changes(
+        self, ch: DataFrame, to_version: int | None = None
+    ) -> dict[str, Any]:
+        """Fold an already-materialized change interval into the view.
+
+        ``ch`` is rows shaped like ``table_changes(include_preimages=
+        True)`` — equivalently the ``laketable`` CDF *stream* output
+        (lake/datasource.py::LakeChangesStreamReader), which is what lets
+        a downstream session with no handle on the source LakeTable
+        maintain the view purely from the change feed
+        (streaming/views.py).  ``to_version`` is the source snapshot
+        version the interval ends at; when omitted it is taken as
+        ``max(_commit_version)`` over the batch (the stream stamps it
+        per-row).  Idempotent exactly like ``refresh``: the view merge
+        carries ``lsn = to_version``, so redelivery of an applied
+        interval dedups to a no-op.
+        """
+        from_v = self.consumed_version()
+        if to_version is None:
+            row = ch.agg(F.max("_commit_version")).collect()[0]
+            if row[0] is None:  # empty micro-batch: nothing to advance
+                return {
+                    "from_version": from_v, "to_version": from_v, "groups": 0
+                }
+            to_version = int(row[0])
+        to_v = int(to_version)
+        if to_v <= from_v:
+            return {"from_version": from_v, "to_version": to_v, "groups": 0}
         sign = F.when(
             F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
         ).otherwise(F.lit(-1))

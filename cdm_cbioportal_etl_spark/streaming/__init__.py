@@ -1,5 +1,6 @@
 from cdm_cbioportal_etl_spark.streaming.dedup import dedup_stream
 from cdm_cbioportal_etl_spark.streaming.stateful import sessionize_stream
+from cdm_cbioportal_etl_spark.streaming.views import CdfViewMaintainer
 from cdm_cbioportal_etl_spark.streaming.wal import WalTailReader
 from cdm_cbioportal_etl_spark.streaming.windows import (
     stream_windowed_agg_to_lake,
@@ -7,6 +8,7 @@ from cdm_cbioportal_etl_spark.streaming.windows import (
 )
 
 __all__ = [
+    "CdfViewMaintainer",
     "WalTailReader",
     "dedup_stream",
     "sessionize_stream",
