@@ -85,6 +85,7 @@ _DEFER = frozenset({
     "cdc_multitable_txn",
     "cdc_wire_evolution",
     "cdc_clone_backfill",
+    "cdc_stream_view",
 })
 
 

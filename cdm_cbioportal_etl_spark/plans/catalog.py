@@ -4818,3 +4818,64 @@ def cdc_clone_backfill(spark, sf_dir):
         "repo", "path", "commit", "lang", "content",
         F.sha2("content", 256).alias("content_sha"),
     )
+
+
+@_register("cdc_stream_view", ORACLES["cdc_incremental_view"])
+def cdc_stream_view(spark, sf_dir):
+    """Streaming materialized-view maintenance (streaming/views.py):
+    the same grouped COUNT/SUM as `cdc_incremental_view`, but the view
+    is kept current by a Structured Streaming query over the source's
+    CDF *stream* (readStream format=laketable mode=cdf -> foreachBatch
+    -> apply_changes) — the maintainer holds only the source PATH, not
+    the table.  Two drains with a shared checkpoint: replay half the
+    WAL, drain, replay the rest, drain again (resume picks up only the
+    new commits).  Oracle: plain GROUP BY over the final source state."""
+    from cdm_cbioportal_etl_spark.cdc import CdcReplayer
+    from cdm_cbioportal_etl_spark.lake import IncrementalAggView
+    from cdm_cbioportal_etl_spark.streaming import CdfViewMaintainer
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_id").alias("lsn"),
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("update"))
+        .alias("op"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    max_lsn = int(ev.agg(F.max("lsn")).collect()[0][0])
+    bs = (max_lsn + 4) // 4
+    root = os.path.join(
+        CDC_WORK_DIR,
+        spark.sparkContext.applicationId,
+        "sv-" + os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    table = LakeTable.create(
+        spark,
+        os.path.join(root, "src"),
+        T.StructType(
+            [
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+            ]
+        ),
+        key_cols=["user_id"],
+        n_buckets=16,
+        properties={"write_changes": "true"},
+    )
+    rep = CdcReplayer(table)
+    rep.replay_range_batches(ev, 0, bs, batch_size=bs)
+    view = IncrementalAggView.create(
+        spark, os.path.join(root, "view"), table, ["event_type"], ["value"]
+    )
+    m = CdfViewMaintainer(spark, table.root, view, os.path.join(root, "ckpt"))
+    rep.replay_range_batches(ev, bs, 2 * bs, batch_size=bs)
+    m.run_available()
+    assert view.consumed_version() == table.snapshot["version"]
+    rep.replay_range_batches(ev, 2 * bs, max_lsn + 1, batch_size=bs)
+    m.run_available()  # checkpoint resume: only the new commits stream
+    return view.read().select(
+        "event_type", "cnt", F.round(F.col("sum_value"), 4).alias("sum_value")
+    )
