@@ -273,6 +273,14 @@ class LakeTableReader(DataSourceReader):
             self.out_cols = [*self.out_cols, LSN_COL]
         self._snap = snap  # manifest metadata only (file lists + stats)
         self.n_buckets = int(snap["n_buckets"])
+        # Files pack into scan partitions up to ~this many rows (manifest
+        # row counts; no footer reads) — Spark's own maxPartitionBytes
+        # split packing, done at the Python planner.  One partition per
+        # FILE (the old shape) costs a Python worker task per small file:
+        # at 10^6-file scale that is task-scheduling debt with no read
+        # win.  0 disables packing; files never split (a parquet file is
+        # the read unit here).
+        self._pack_rows = int(options.get("target_partition_rows", 1 << 20))
         self._prune: dict[str, list] = {}
         self._probe_cache: dict[int, tuple[int, ...]] = {}
         # logical → PHYSICAL column names (column mapping): data files,
@@ -430,11 +438,43 @@ class LakeTableReader(DataSourceReader):
                                   eq_entries=eqs)
                 )
             else:
+                rows_of = {
+                    f["path"]: f.get("rows") for f in files
+                }
+                budget = self._pack_rows
+                chunk: list = []
+                chunk_rows = 0
                 for fe in admitted:
+                    # unknown row count -> assume budget-sized (packs
+                    # alone); never under-estimate a file into a chunk
+                    r = rows_of.get(fe[1]) or budget or 1
+                    if budget and chunk and chunk_rows + r > budget:
+                        parts.append(
+                            ScanPartition(
+                                chunk,
+                                dv_files=dvf
+                                if any(c[3] for c in chunk) else [],
+                                eq_entries=eqs,
+                            )
+                        )
+                        chunk, chunk_rows = [], 0
+                    chunk.append(fe)
+                    chunk_rows += r
+                    if not budget:  # packing disabled: one file each
+                        parts.append(
+                            ScanPartition(
+                                chunk,
+                                dv_files=dvf if fe[3] else [],
+                                eq_entries=eqs,
+                            )
+                        )
+                        chunk, chunk_rows = [], 0
+                if chunk:
                     parts.append(
                         ScanPartition(
-                            [fe],
-                            dv_files=dvf if fe[3] else [],
+                            chunk,
+                            dv_files=dvf
+                            if any(c[3] for c in chunk) else [],
                             eq_entries=eqs,
                         )
                     )

@@ -170,14 +170,22 @@ def test_filter_pushdown_prunes_files_and_keeps_results(spark, tmp_path):
         .filter("k >= 3990")
     )
     assert _vals(got) == _vals(t.read().filter("k >= 3990"))
-    # planner-level: stats pruning admits strictly fewer partitions
+    # planner-level: stats pruning admits strictly fewer FILES (files
+    # pack into row-budgeted partitions, so count the planned files)
     ds = LakeTableDataSource({"path": t.root})
     unfiltered = ds.reader(None)
-    n_all = len(unfiltered.partitions())
+    n_all = sum(len(p.files) for p in unfiltered.partitions())
     pruned = ds.reader(None)
     list(pruned.pushFilters([GreaterThanOrEqual(("k",), 3990)]))
-    n_pruned = len(pruned.partitions())
+    n_pruned = sum(len(p.files) for p in pruned.partitions())
     assert n_pruned < n_all
+    # packing is row-budgeted: a 1-row budget degenerates to one file
+    # per partition, and results stay exact either way
+    one_per_file = LakeTableDataSource(
+        {"path": t.root, "target_partition_rows": "1"}
+    ).reader(None)
+    assert all(len(p.files) == 1 for p in one_per_file.partitions())
+    assert len(one_per_file.partitions()) == n_all
     # a point filter returns every filter to Spark (skip-only pushdown)
     r = ds.reader(None)
     back = list(r.pushFilters([EqualTo(("k",), 7), LessThan(("v",), "x")]))
@@ -450,3 +458,28 @@ def test_stream_schema_evolution_fails_then_resumes_after_restart(
     # post-evolution commit carries the value; pre-evolution null-fills
     assert rows[("r9", "z.py")] == "python"
     assert rows[("r1", "b.py")] is None
+
+
+def test_file_packing_multi_file_partitions_stay_exact(spark, tmp_path):
+    """Several commits per bucket -> multi-file partitions under the
+    default row budget; dv kill lists still apply inside a packed chunk
+    (dv_files attach per-partition, masks key per-file)."""
+    t = _mk(spark, tmp_path, "ds-pack", properties={"merge_mode": "dv"})
+    for b in range(4):
+        rows = [
+            (b * 100 + i, "upsert", f"r{i % 3}", f"f{i}.py", f"c{b}", f"v{b}")
+            for i in range(12)
+        ]
+        t.merge(_events(spark, rows), mode="dv", batch_id=f"b{b}")
+    # delete some keys -> dv kills on earlier files
+    t.merge(
+        _events(spark, [(900, "delete", "r0", "f0.py", None, None),
+                        (901, "delete", "r1", "f4.py", None, None)]),
+        mode="dv", batch_id="kill",
+    )
+    r = LakeTableDataSource({"path": t.root}).reader(None)
+    parts = r.partitions()
+    n_files = sum(len(p.files) for p in parts)
+    assert any(len(p.files) > 1 for p in parts), "no packing happened"
+    assert len(parts) < n_files
+    _assert_matches_native(spark, t)
