@@ -813,23 +813,41 @@ class LakeChangesStreamReader(DataSourceStreamReader):
         # written under NEWER schema ids must fail the stream rather
         # than silently dropping their new columns — Delta CDF's rule
         self.schema_id = int(snap["schema_id"])
-        if "startingversion" in {k.lower() for k in options}:
-            sv = next(
-                v for k, v in options.items()
-                if k.lower() == "startingversion"
-            )
-            self.start_version = int(sv)
+        lower = {k.lower(): v for k, v in options.items()}
+        if "startingversion" in lower:
+            self.start_version = int(lower["startingversion"])
         else:
             self.start_version = int(snap["version"])
+        # admission control (Delta's maxFilesPerTrigger shape): admit at
+        # most this many COMMITS per micro-batch, so a catch-up from a
+        # deep backlog lands as bounded batches instead of one giant one.
+        # The cursor tracks the last offset seen in partitions(); on a
+        # checkpoint restart Spark's AcceptsLatestSeenOffset hook calls
+        # partitions(restored, restored) first, so the bound is always
+        # anchored at the true resume point, never at a stale
+        # startingversion.
+        mct = lower.get("maxcommitspertrigger")
+        self.max_commits = int(mct) if mct is not None else 0
+        if mct is not None and self.max_commits < 1:
+            raise ValueError(
+                "laketable cdf: maxCommitsPerTrigger must be >= 1, got "
+                f"{mct!r}"
+            )
+        self._cursor: int | None = None
 
     def initialOffset(self):  # noqa: N802
         return {"version": self.start_version}
 
     def latestOffset(self):  # noqa: N802
-        return {"version": _read_ref_version(self.root, self.ref)}
+        head = _read_ref_version(self.root, self.ref)
+        if not self.max_commits:
+            return {"version": head}
+        base = self._cursor if self._cursor is not None else self.start_version
+        return {"version": min(head, max(base, 0) + self.max_commits)}
 
     def partitions(self, start, end):  # noqa: N802
         a, b = int(start["version"]), int(end["version"])
+        self._cursor = max(a, b)
         parts: list[ChangePartition] = []
         hit = a < 0
         interval: list[tuple[int, dict]] = []
