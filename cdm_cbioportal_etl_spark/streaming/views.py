@@ -56,11 +56,17 @@ class CdfViewMaintainer:
         source_root: str,
         view: IncrementalAggView,
         checkpoint_dir: str,
+        max_commits_per_drain: int | None = None,
     ):
         self.spark = spark
         self.source_root = source_root
         self.view = view
         self.checkpoint_dir = checkpoint_dir
+        # admission control (the stream's maxCommitsPerTrigger): bound
+        # each micro-batch/drain to k source commits, so catching a view
+        # up over a deep backlog folds in bounded steps instead of one
+        # giant delta (run_available loops the bounded drains to head)
+        self.max_commits = max_commits_per_drain
         self.last_batch: dict[str, Any] | None = None
 
     # ------------------------------------------------------------------ #
@@ -80,8 +86,13 @@ class CdfViewMaintainer:
             # the stored offset — apply_changes' ledger early-out makes
             # the overlap a no-op.
             .option("startingversion", str(self.view.consumed_version()))
-            .load()
         )
+
+    def _load(self):
+        s = self._stream()
+        if self.max_commits:
+            s = s.option("maxCommitsPerTrigger", str(self.max_commits))
+        return s.load()
 
     def _apply(self, batch_df, epoch_id: int) -> None:
         self.last_batch = self.view.apply_changes(batch_df)
@@ -90,22 +101,31 @@ class CdfViewMaintainer:
     def run_available(self) -> dict[str, Any] | None:
         """Drain every change committed so far (Trigger.AvailableNow),
         then stop — the batch-refresh ergonomics with the stream's
-        checkpoint/resume semantics.  Returns the last batch's stats."""
-        q = (
-            self._stream()
-            .writeStream.foreachBatch(self._apply)
-            .option("checkpointLocation", self.checkpoint_dir)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        checkpoint/resume semantics.  With ``max_commits_per_drain``
+        each drain's captured target is bounded, so this loops bounded
+        drains until one makes no further progress (caught up).
+        Returns the last batch's stats."""
+        while True:
+            before = self.view.consumed_version()
+            q = (
+                self._load()
+                .writeStream.foreachBatch(self._apply)
+                .option("checkpointLocation", self.checkpoint_dir)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            if not self.max_commits:
+                break
+            if self.view.consumed_version() == before:
+                break  # caught up (or nothing foldable remains)
         return self.last_batch
 
     def start(self, processing_time: str = "0 seconds"):
         """Continuous tail: keep folding new commits as they land.
         Returns the StreamingQuery (caller stops it)."""
         return (
-            self._stream()
+            self._load()
             .writeStream.foreachBatch(self._apply)
             .option("checkpointLocation", self.checkpoint_dir)
             .trigger(processingTime=processing_time)

@@ -161,6 +161,10 @@ SKIP_EXEC = {
     "cdc_repos_replay_dv",
     "wal_log_compaction",
     "cdc_equality_delete",
+    # runs TWO Structured Streaming drains at construction; its read-side
+    # plan is the view table's plain read, audited via
+    # cdc_incremental_view (same view/merge machinery)
+    "cdc_stream_view",
 }
 
 

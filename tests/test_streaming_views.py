@@ -167,3 +167,21 @@ def test_crash_after_apply_before_commit_resumes_clean(spark, rig):
     m.run_available()
     assert _view_state(view) == _recompute(src)
     assert view.consumed_version() == src.snapshot["version"]
+
+
+def test_bounded_drains_catch_up_to_head(spark, rig):
+    """max_commits_per_drain bounds each drain; run_available loops the
+    bounded drains until the view is caught up with the source head."""
+    src, view, _ = rig
+    for i in range(6):
+        src.merge(
+            _ev(spark, [(100 + i, "upsert", 10 + i, "g" + str(i % 2), i)]),
+            batch_id=f"bk{i}",
+        )
+    m = CdfViewMaintainer(
+        spark, src.root, view, src.root + "-ckpt-bounded",
+        max_commits_per_drain=2,
+    )
+    m.run_available()
+    assert view.consumed_version() == src.snapshot["version"]
+    assert _view_state(view) == _recompute(src)
