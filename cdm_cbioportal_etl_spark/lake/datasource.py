@@ -1011,6 +1011,18 @@ class LakeTableDataSource(DataSource):
         root, snap = _load_snapshot(self.options)
         return LakeChangesStreamReader(root, snap, dict(self.options))
 
+    def writer(self, schema, overwrite: bool):
+        # lazy import: the write side pulls in the commit protocol; keep
+        # the read-only planner import-light
+        from .writer import LakeDeltaBatchWriter
+
+        return LakeDeltaBatchWriter(dict(self.options), schema, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool):  # noqa: N802
+        from .writer import LakeDeltaStreamWriter
+
+        return LakeDeltaStreamWriter(dict(self.options), schema, overwrite)
+
 
 def _is_cdf(options: dict) -> bool:
     return str(options.get("mode", "")).lower() in ("cdf", "changes")

@@ -1,0 +1,406 @@
+"""`laketable` DataSource WRITE side: distributed MOR delta append.
+
+Completes the registry surface: `spark.read.format("laketable")` had no
+write twin, so Spark-native pipelines had to hand their DataFrame to
+``LakeTable.merge`` on the driver.  This module implements
+``df.write.format("laketable")`` (batch) and
+``df.writeStream.format("laketable")`` (exactly-once micro-batch sink)
+over the engine's merge-on-read delta format:
+
+* **executor tasks** (``write``): each task receives Arrow record
+  batches of change events ``(lsn, op, <data columns>)``, drops rows at
+  or below the table's LSN watermark (the ledger pre-filter — the same
+  exactly-once rule ``merge`` applies), assigns each row its hash
+  bucket with the Spark-bit-equal pure-Python xxhash64
+  (lake/xxh64.py — bucket assignment MUST match ``_bucket_expr`` or
+  reads would miss rows), and writes one MOR delta parquet file per
+  touched bucket (physical column names + ``_lsn`` + ``_deleted``,
+  exactly the shape ``merge(mode="mor")`` appends).  Per-file key/LSN
+  min-max stats ride the task's commit message — the Iceberg
+  task-commit model; nothing row-shaped ever reaches the driver.
+* **driver commit**: assembles ONE snapshot commit from the collected
+  commit messages — append the delta entries to their buckets, advance
+  the ledger to max(lsn), stamp lineage — through the same O_EXCL
+  token protocol as every other commit (``LakeTable._commit`` is pure
+  metadata I/O, so the driver needs no SparkSession).  A lost commit
+  race re-bases onto the new head and retries; the data files are
+  already on disk and carry over untouched.
+
+Exactly-once: batch-mode redelivery of an applied interval dies at the
+ledger pre-filter (tasks see the committed watermark); a streaming
+epoch replayed after a crash-between-commit-and-checkpoint is likewise
+filtered row-level, so the worst case is an empty re-commit, never a
+double-apply.  Rows the fold cannot order (same key, same LSN, from
+different tasks) follow the engine's documented LSN-uniqueness
+precondition — ``merge`` resolves such ties batch-wide; the
+distributed writer cannot see across tasks, exactly like Iceberg's
+distributed appends.
+
+Unsupported table states fail at writer construction with the reason:
+``partial_updates`` tables (a NULL here means NULL, not "unchanged"),
+``write_changes`` tables (a blind append cannot produce the pre-image
+change files a live CDF stream relies on), and tables with CHECK
+constraints (enforcement needs the session-side expression engine —
+use ``merge``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass, field
+from typing import Any, Iterator
+
+from pyspark.sql.datasource import (
+    DataSourceArrowWriter,
+    DataSourceStreamArrowWriter,
+    WriterCommitMessage,
+)
+
+from .table import (
+    DELETED_COL,
+    LSN_COL,
+    ConcurrentCommitError,
+    LakeTable,
+    schema_from_json,
+    schema_pnames,
+)
+from .xxh64 import pmod, xxhash64
+
+
+@dataclass
+class DeltaAppendResult(WriterCommitMessage):
+    """One task's written delta files: (bucket -> manifest file entry)."""
+
+    entries: list = field(default_factory=list)  # [(bucket_str, fobj)]
+    rows: int = 0
+    max_lsn: int = -1
+
+
+def _meta_handle(root: str, ref: str) -> LakeTable:
+    """A SparkSession-free LakeTable handle: manifest reads and the
+    commit protocol are pure file I/O (only read()/write paths need the
+    session, and the writer never calls those)."""
+    return LakeTable(None, root, ref=ref)
+
+
+class LakeDeltaBatchWriter(DataSourceArrowWriter):
+    """`df.write.format("laketable").option("path", ...).mode("append")`."""
+
+    def __init__(self, options: dict, schema, overwrite: bool):
+        if overwrite:
+            raise ValueError(
+                "laketable writer: only append mode is supported (the "
+                "write is a MOR delta append); use LakeTable.overwrite "
+                "for full rewrites"
+            )
+        self.root = os.path.abspath(str(options.get("path") or ""))
+        if not self.root or not os.path.isdir(
+            os.path.join(self.root, "_meta")
+        ):
+            raise ValueError(
+                f"laketable writer: no table at {self.root!r} — create it "
+                "with LakeTable.create first (the writer appends, it does "
+                "not create)"
+            )
+        self.ref = str(options.get("ref", "main"))
+        t = _meta_handle(self.root, self.ref)
+        snap = t.snapshot
+        props = snap.get("properties", {})
+        if str(props.get("partial_updates", "")).lower() == "true":
+            raise ValueError(
+                "laketable writer: partial_updates tables need the "
+                "partial-image merge path (null = unchanged) — use "
+                "LakeTable.merge(partial_update=True)"
+            )
+        if str(props.get("write_changes", "false")).lower() == "true":
+            raise ValueError(
+                "laketable writer: this table stores write-time change "
+                "files; a blind delta append cannot produce pre-images "
+                "and would break the CDF stream — use LakeTable.merge"
+            )
+        if t._constraints():
+            raise ValueError(
+                "laketable writer: table declares CHECK constraints; "
+                "enforcement needs the session expression engine — use "
+                "LakeTable.merge"
+            )
+        # pinned layout: tasks and commit re-validate against the live
+        # manifest so files written under a stale layout never commit
+        self.n_buckets = int(snap["n_buckets"])
+        self.schema_id = int(snap["schema_id"])
+        self.key_cols: list[str] = list(snap["key_cols"])
+        self.target = schema_from_json(snap["schemas"][str(self.schema_id)])
+        self.pm = schema_pnames(snap, self.schema_id)
+        self.stats_cols = [
+            self.pm.get(c, c) for c in t._stats_cols()
+        ]
+        # input contract: lsn + op + exactly the table's data columns
+        names = [f.name for f in schema.fields]
+        want = {"lsn", "op", *[f.name for f in self.target.fields]}
+        got = set(names)
+        if got != want:
+            raise ValueError(
+                "laketable writer: input columns must be exactly "
+                f"{sorted(want)} (change-event shape), got {sorted(got)}"
+            )
+        # batch mode drops rows at/below the LSN watermark (merge's
+        # exactly-once contract for an ordered feed).  The STREAM writer
+        # turns this off: epochs replay out of LSN order relative to the
+        # advancing watermark, so row-level filtering would drop live
+        # data — its exactly-once is the epoch ledger + the fold's
+        # (key, lsn) idempotence instead.
+        self.ledger_prefilter = True
+
+    # -- executor side -------------------------------------------------- #
+    def _fresh_watermark(self) -> int:
+        snap = _meta_handle(self.root, self.ref).snapshot
+        if int(snap["n_buckets"]) != self.n_buckets or int(
+            snap["schema_id"]
+        ) != self.schema_id:
+            raise ValueError(
+                "laketable writer: table layout changed mid-write "
+                "(rebucket or schema evolution since planning) — re-run "
+                "the write against the new table state"
+            )
+        return int(snap["ledger"]["applied_lsn"])
+
+    def write(self, iterator: Iterator) -> DeltaAppendResult:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+        from pyspark.sql import types as T
+
+        applied = self._fresh_watermark()
+        key_types = [
+            self.target[c].dataType.typeName() for c in self.key_cols
+        ]
+        nk = [f.name for f in self.target.fields if f.name not in self.key_cols]
+        out_struct = T.StructType(
+            [
+                T.StructField(self.pm.get(f.name, f.name), f.dataType)
+                for f in self.target.fields
+            ]
+            + [
+                T.StructField(LSN_COL, T.LongType()),
+                T.StructField(DELETED_COL, T.BooleanType()),
+            ]
+        )
+        arrow_out = to_arrow_schema(out_struct)
+        per_bucket: dict[int, list] = {}
+        rows = 0
+        max_lsn = -1
+        import pyarrow.compute as pc
+
+        for rb in iterator:
+            tbl = pa.Table.from_batches([rb])
+            if self.ledger_prefilter:
+                # exactly-once under ordered-feed redelivery (merge rule)
+                tbl = tbl.filter(
+                    pc.greater(tbl.column("lsn"), pa.scalar(applied))
+                )
+            if tbl.num_rows == 0:
+                continue
+            lsns = tbl.column("lsn").to_pylist()
+            ops = tbl.column("op").to_pylist()
+            keys = [tbl.column(c).to_pylist() for c in self.key_cols]
+            data = {
+                f.name: tbl.column(f.name).to_pylist()
+                for f in self.target.fields
+            }
+            for i in range(tbl.num_rows):
+                kv = [k[i] for k in keys]
+                b = pmod(xxhash64(kv, key_types), self.n_buckets)
+                is_del = ops[i] == "delete"
+                row = [
+                    data[f.name][i]
+                    if (f.name in self.key_cols or not is_del)
+                    else None
+                    for f in self.target.fields
+                ]
+                row.append(int(lsns[i]))
+                row.append(is_del)
+                per_bucket.setdefault(b, []).append(row)
+                rows += 1
+                if lsns[i] > max_lsn:
+                    max_lsn = int(lsns[i])
+        if not per_bucket:
+            return DeltaAppendResult([], 0, -1)
+        out_rel = os.path.join("data", f"dsw-{uuid.uuid4().hex}")
+        entries: list = []
+        key_pos = [
+            i
+            for i, f in enumerate(self.target.fields)
+            if f.name in self.key_cols
+        ]
+        for b, rowlist in sorted(per_bucket.items()):
+            # within-file key order: what makes key-range stats skipping
+            # effective, same rule as _write_bucket_files
+            rowlist.sort(
+                key=lambda r: tuple(
+                    (r[p] is None, 0 if r[p] is None else r[p])
+                    for p in key_pos
+                )
+            )
+            cols = list(zip(*rowlist))
+            arrays = [
+                pa.array(list(cols[i]), type=arrow_out.field(i).type)
+                for i in range(len(arrow_out))
+            ]
+            ft = pa.table(arrays, schema=arrow_out)
+            bdir = os.path.join(self.root, out_rel, f"_bucket={b}")
+            os.makedirs(bdir, exist_ok=True)
+            fn = f"part-{uuid.uuid4().hex}.parquet"
+            fpath = os.path.join(bdir, fn)
+            pq.write_table(ft, fpath)
+            st, nrows = LakeTable._file_column_stats(fpath, list(self.stats_cols))
+            fobj: dict[str, Any] = {
+                "path": os.path.join(out_rel, f"_bucket={b}", fn),
+                "schema_id": self.schema_id,
+                "rows": nrows,
+                "delta": True,
+            }
+            if st:
+                fobj["stats"] = st
+            entries.append((str(b), fobj))
+        return DeltaAppendResult(entries, rows, max_lsn)
+
+    # -- driver side ----------------------------------------------------- #
+    def _commit_entries(
+        self, messages, batch_id: str, segment: str | None = None
+    ) -> dict[str, Any]:
+        entries: list = []
+        rows = 0
+        max_lsn = -1
+        for m in messages:
+            if m is None:
+                continue
+            entries.extend(m.entries)
+            rows += m.rows
+            max_lsn = max(max_lsn, m.max_lsn)
+        if not entries:
+            return {"rows": 0, "max_lsn": max_lsn, "buckets": 0}
+        last_err: Exception | None = None
+        for _ in range(4):  # optimistic-concurrency re-base
+            t = _meta_handle(self.root, self.ref)
+            snap = json.loads(json.dumps(t.snapshot))
+            if segment and segment in snap["ledger"].get(
+                "applied_segments", []
+            ):
+                # epoch replayed after a crash between our commit and
+                # Spark's checkpoint write: already durable — skip (the
+                # written duplicate files are unreferenced and vanish
+                # with their dsw dir on vacuum)
+                return {"rows": 0, "max_lsn": max_lsn, "buckets": 0,
+                        "skipped_epoch": segment}
+            if int(snap["n_buckets"]) != self.n_buckets or int(
+                snap["schema_id"]
+            ) != self.schema_id:
+                raise ValueError(
+                    "laketable writer: table layout changed between write "
+                    "and commit (rebucket or schema evolution) — the "
+                    "written delta files no longer fit; re-run the write"
+                )
+            touched = set()
+            bucket_rows = dict(snap.get("bucket_rows", {}))
+            for b, fobj in entries:
+                snap["buckets"].setdefault(b, []).append(fobj)
+                bucket_rows[b] = int(bucket_rows.get(b, 0)) + int(
+                    fobj["rows"]
+                )
+                touched.add(int(b))
+            snap["bucket_rows"] = bucket_rows
+            snap["changes"] = {"mode": "diff"}
+            snap["ledger"]["applied_lsn"] = max(
+                int(snap["ledger"]["applied_lsn"]), max_lsn
+            )
+            if segment:
+                # the epoch tag commits atomically with the data it
+                # covers, capped like merge's applied_segments retention
+                max_keep = int(
+                    snap.get("properties", {}).get(
+                        "max_tracked_segments", 10_000
+                    )
+                )
+                seg = snap["ledger"].get("applied_segments", [])
+                if segment not in seg:
+                    seg = list(seg) + [segment]
+                snap["ledger"]["applied_segments"] = seg[-max_keep:]
+            import time as _time
+
+            snap["lineage"].append(
+                {
+                    "at": round(_time.time(), 3),
+                    "batch_id": batch_id,
+                    "operation": "merge",
+                    "lsn_max": max_lsn,
+                    "batch_rows": rows,
+                    "touched_buckets": sorted(touched),
+                    "writer": "datasource-delta-append",
+                }
+            )
+            max_lineage = int(
+                snap.get("properties", {}).get("max_lineage", 5000)
+            )
+            if len(snap["lineage"]) > max_lineage:
+                snap["lineage"] = snap["lineage"][-max_lineage:]
+            try:
+                t._commit(snap)
+                return {
+                    "rows": rows,
+                    "max_lsn": max_lsn,
+                    "buckets": len(touched),
+                }
+            except ConcurrentCommitError as e:
+                last_err = e  # racer advanced the head: re-base and retry
+        raise last_err  # type: ignore[misc]
+
+    def commit(self, messages) -> None:
+        self._commit_entries(messages, f"dsw-{uuid.uuid4().hex[:12]}")
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is None:
+                continue
+            for _, fobj in m.entries:
+                try:
+                    os.remove(os.path.join(self.root, fobj["path"]))
+                except OSError:
+                    pass
+
+
+class LakeDeltaStreamWriter(DataSourceStreamArrowWriter):
+    """`df.writeStream.format("laketable")`: exactly-once micro-batch
+    delta appends.  Delegates to the batch writer's task/commit logic;
+    the epoch id becomes the lineage batch_id, and a replayed epoch
+    (crash between our commit and Spark's checkpoint write) re-runs
+    into the ledger pre-filter and commits nothing."""
+
+    def __init__(self, options: dict, schema, overwrite: bool):
+        self._w = LakeDeltaBatchWriter(options, schema, overwrite=False)
+        # epochs replay out of LSN order relative to the watermark —
+        # row-level filtering would drop live rows (see batch writer)
+        self._w.ledger_prefilter = False
+        # Delta's txnAppId pattern: a caller-supplied stable stream id
+        # makes epoch dedup exact even across query restarts (a restart
+        # constructs a fresh writer); without it, a replayed epoch from
+        # a NEW writer instance re-appends and the (key, lsn) fold
+        # still collapses it to the same value (value-idempotent, file
+        # bloat only)
+        self._stream_id = str(
+            options.get("streamid") or uuid.uuid4().hex[:12]
+        )
+
+    def write(self, iterator: Iterator) -> DeltaAppendResult:
+        return self._w.write(iterator)
+
+    def commit(self, messages, batchId: int) -> None:  # noqa: N803
+        self._w._commit_entries(
+            messages,
+            f"dsw-epoch-{int(batchId)}",
+            segment=f"dsw:{self._stream_id}:{int(batchId)}",
+        )
+
+    def abort(self, messages, batchId: int) -> None:  # noqa: N803
+        self._w.abort(messages)
