@@ -86,6 +86,7 @@ _DEFER = frozenset({
     "cdc_wire_evolution",
     "cdc_clone_backfill",
     "cdc_stream_view",
+    "cdc_datasource_write_replay",
 })
 
 

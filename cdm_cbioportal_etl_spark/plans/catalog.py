@@ -4879,3 +4879,38 @@ def cdc_stream_view(spark, sf_dir):
     return view.read().select(
         "event_type", "cnt", F.round(F.col("sum_value"), 4).alias("sum_value")
     )
+
+
+@_register("cdc_datasource_write_replay", ORACLES["cdc_repos_replay"])
+def cdc_datasource_write_replay(spark, sf_dir):
+    """The repos WAL ingested through the DataSource WRITE side
+    (lake/writer.py): df.write.format("laketable") appends per-bucket
+    MOR delta files from executor tasks (pure-Python xxhash64 bucket
+    assignment, stats in task commit messages, one snapshot commit on
+    the driver), then compact() folds to base files — the final state
+    must match the same latest-per-key oracle as cdc_repos_replay."""
+    from cdm_cbioportal_etl_spark.cdc.generator import REPOS_SCHEMA
+    from cdm_cbioportal_etl_spark.lake.datasource import register
+
+    wal = _repos_wal(spark, sf_dir)
+    root = os.path.join(
+        CDC_WORK_DIR,
+        spark.sparkContext.applicationId,
+        "dsw-" + os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    table = LakeTable.create(
+        spark,
+        root,
+        T.StructType(list(REPOS_SCHEMA.fields)),
+        key_cols=["repo", "path"],
+        n_buckets=16,
+    )
+    register(spark)
+    wal.write.format("laketable").option("path", root).mode("append").save()
+    table.refresh()
+    table.compact()
+    return table.read().select(
+        "repo", "path", "commit", "lang", "content",
+        F.sha2("content", 256).alias("content_sha"),
+    )

@@ -165,6 +165,9 @@ SKIP_EXEC = {
     # plan is the view table's plain read, audited via
     # cdc_incremental_view (same view/merge machinery)
     "cdc_stream_view",
+    # executes the DataSource write + compact at construction; read-side
+    # plan is the plain folded read the rows above already audit
+    "cdc_datasource_write_replay",
 }
 
 
