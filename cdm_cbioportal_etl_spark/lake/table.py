@@ -1516,6 +1516,13 @@ class LakeTable:
         # bucket assignment, the precondition for metadata-only pruning.
         return F.pmod(F.xxhash64(*self.key_cols), F.lit(self.snapshot["n_buckets"])).cast("int")
 
+    def bucket_expr(self) -> F.Column:
+        """This table's bucket assignment as a Column expression —
+        attach it as `_bucket` on a change-event DataFrame before
+        `df.write.format("laketable")` to skip the writer tasks'
+        per-row Python hash (the JVM fast path, lake/writer.py)."""
+        return self._bucket_expr()
+
     def _write_bucket_files(
         self,
         df: DataFrame,

@@ -136,14 +136,21 @@ class LakeDeltaBatchWriter(DataSourceArrowWriter):
         self.stats_cols = [
             self.pm.get(c, c) for c in t._stats_cols()
         ]
-        # input contract: lsn + op + exactly the table's data columns
+        # input contract: lsn + op + exactly the table's data columns.
+        # An OPTIONAL `_bucket` column (int, caller-computed JVM-side
+        # with table.bucket_expr() — F.pmod(F.xxhash64(*keys), n)) skips
+        # the per-row Python hash in the tasks: the JVM fast path for
+        # bulk ingests.  It must be bit-equal to the engine's bucket
+        # assignment — tests pin both paths to the same final state.
         names = [f.name for f in schema.fields]
+        self.prebucketed = "_bucket" in names
+        got = {n for n in names if n != "_bucket"}
         want = {"lsn", "op", *[f.name for f in self.target.fields]}
-        got = set(names)
         if got != want:
             raise ValueError(
                 "laketable writer: input columns must be exactly "
-                f"{sorted(want)} (change-event shape), got {sorted(got)}"
+                f"{sorted(want)} (change-event shape, plus optional "
+                f"_bucket), got {sorted(names)}"
             )
         # batch mode drops rows at/below the LSN watermark (merge's
         # exactly-once contract for an ordered feed).  The STREAM writer
@@ -209,9 +216,23 @@ class LakeDeltaBatchWriter(DataSourceArrowWriter):
                 f.name: tbl.column(f.name).to_pylist()
                 for f in self.target.fields
             }
+            pre = (
+                tbl.column("_bucket").to_pylist()
+                if self.prebucketed
+                else None
+            )
             for i in range(tbl.num_rows):
-                kv = [k[i] for k in keys]
-                b = pmod(xxhash64(kv, key_types), self.n_buckets)
+                if pre is not None:
+                    b = int(pre[i])
+                    if not 0 <= b < self.n_buckets:
+                        raise ValueError(
+                            f"laketable writer: _bucket {b} out of range "
+                            f"[0, {self.n_buckets}) — compute it with "
+                            "table.bucket_expr() against THIS table"
+                        )
+                else:
+                    kv = [k[i] for k in keys]
+                    b = pmod(xxhash64(kv, key_types), self.n_buckets)
                 is_del = ops[i] == "delete"
                 row = [
                     data[f.name][i]

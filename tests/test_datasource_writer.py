@@ -228,3 +228,36 @@ def test_writer_then_merge_interleave(spark, tmp_path):
         spark.read.format("laketable").option("path", t.root).load()
     )
     assert sorted(tuple(r) for r in ds.collect()) == _state(ref)
+
+
+def test_prebucketed_jvm_fast_path_equals_python_hash(spark, tmp_path):
+    """An input carrying `_bucket` (computed JVM-side with
+    table.bucket_expr()) must land every row in the same bucket the
+    Python hash would pick — same final state, and reads (which prune
+    by bucket) still find every key."""
+    t1 = _mk(spark, tmp_path, "pb-jvm")
+    t2 = _mk(spark, tmp_path, "pb-py")
+    ev = _events(spark, n=2000)
+    register(spark)
+    ev.withColumn("_bucket", t1.bucket_expr()).write.format(
+        "laketable"
+    ).option("path", t1.root).mode("append").save()
+    ev.write.format("laketable").option("path", t2.root).mode(
+        "append"
+    ).save()
+    assert _state(t1) == _state(t2)
+    # per-bucket file sets agree -> identical bucket assignment
+    t1.refresh(), t2.refresh()
+    rows1 = {b: sum(f["rows"] for f in fs) for b, fs in t1.snapshot["buckets"].items() if fs}
+    rows2 = {b: sum(f["rows"] for f in fs) for b, fs in t2.snapshot["buckets"].items() if fs}
+    assert rows1 == rows2
+    # out-of-range _bucket fails the task with the actionable story
+    # (fresh LSNs: rows at/below the watermark would be ledger-filtered
+    # before the bucket check ever ran)
+    bad = spark.range(5000, 5010).selectExpr(
+        "id as lsn", "'upsert' as op", "id as k", "'x' as g", "id as v"
+    ).withColumn("_bucket", F.lit(99))
+    with pytest.raises(Exception, match="out of range"):
+        bad.write.format("laketable").option("path", t1.root).mode(
+            "append"
+        ).save()
