@@ -162,7 +162,21 @@ class LakeDeltaBatchWriter(DataSourceArrowWriter):
 
     # -- executor side -------------------------------------------------- #
     def _fresh_watermark(self) -> int:
-        snap = _meta_handle(self.root, self.ref).snapshot
+        # raw snap JSON, NOT LakeTable.refresh: the task needs only the
+        # ledger + layout ids — resolving a sharded manifest's full file
+        # inventory here would cost O(live files) of JSON per task
+        if self.ref == "main":
+            with open(os.path.join(self.root, "_meta", "VERSION")) as fh:
+                version = int(fh.read().strip())
+        else:
+            with open(
+                os.path.join(self.root, "_meta", "refs", f"{self.ref}.json")
+            ) as fh:
+                version = int(json.load(fh)["version"])
+        with open(
+            os.path.join(self.root, "_meta", f"snap-{version:08d}.json")
+        ) as fh:
+            snap = json.load(fh)
         if int(snap["n_buckets"]) != self.n_buckets or int(
             snap["schema_id"]
         ) != self.schema_id:
