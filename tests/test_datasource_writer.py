@@ -261,3 +261,17 @@ def test_prebucketed_jvm_fast_path_equals_python_hash(spark, tmp_path):
         bad.write.format("laketable").option("path", t1.root).mode(
             "append"
         ).save()
+
+
+def test_writer_on_sharded_manifest_table(spark, tmp_path):
+    """Sharded-manifest tables take the same append path: the commit
+    re-shards the inventory, tasks read the raw snap JSON (no shard
+    resolution), and reads resolve transparently."""
+    t = _mk(spark, tmp_path, "sharded", manifest_shards="2")
+    ref = _mk(spark, tmp_path, "sharded-ref")
+    ev = _events(spark, n=1500)
+    register(spark)
+    ev.write.format("laketable").option("path", t.root).mode("append").save()
+    ref.merge(ev, mode="mor", batch_id="oracle")
+    assert _state(t) == _state(ref)
+    assert t.snapshot.get("buckets_ref"), "commit did not re-shard"
