@@ -70,6 +70,18 @@ def main() -> None:
                          "this path: created (one full compute) if absent, "
                          "then refreshed from the change feed after the "
                          "replay — the downstream half of the CDC chain")
+    ap.add_argument("--view-stream", action="store_true",
+                    help="with --view and --cdf: refresh through the CDF "
+                         "STREAM (CdfViewMaintainer checkpoint drain) "
+                         "instead of the pull-model table_changes refresh")
+    ap.add_argument("--ingest", default="replayer",
+                    choices=["replayer", "writer"],
+                    help="replayer = exactly-once MERGE batches (default); "
+                         "writer = the DataSource distributed MOR delta "
+                         "append (df.write.format('laketable'), JVM "
+                         "_bucket fast path) — same LSN-range batching, "
+                         "resumable via the ledger pre-filter; appended "
+                         "deltas fold at read or compact()")
     args = ap.parse_args()
 
     spark = SparkSession.builder.appName("cdc-replay").getOrCreate()
@@ -98,16 +110,50 @@ def main() -> None:
             properties=props,
         )
 
-    replayer = CdcReplayer(table)
     batch_size = (lsn_hi + args.batches - 1) // args.batches
     t0 = time.perf_counter()
-    if args.resume:
-        report = replayer.resume(wal, lsn_hi, batch_size)
-    else:
-        report = replayer.replay_range_batches(
-            wal, 0, lsn_hi, batch_size=batch_size,
-            strategy=args.strategy, salt_partitions=args.salt,
+    if args.ingest == "writer":
+        # the writer appends MOR-shape deltas regardless of the table's
+        # default merge_mode; reads fold, compact() re-bases
+        from pyspark.sql import functions as F
+
+        from cdm_cbioportal_etl_spark.lake.datasource import (
+            register_lake_datasource,
         )
+
+        register_lake_datasource(spark)
+        applied = skipped = 0
+        start = table.applied_lsn() + 1 if args.resume else 0
+        src = wal.withColumn("_bucket", table.bucket_expr())
+        for lo in range(0, lsn_hi, batch_size):
+            hi = min(lo + batch_size, lsn_hi)
+            if hi <= start:
+                skipped += 1
+                continue
+            v0 = table.snapshot["version"]
+            src.filter(
+                (F.col("lsn") >= lo) & (F.col("lsn") < hi)
+            ).write.format("laketable").option("path", table.root).mode(
+                "append"
+            ).save()
+            table.refresh()
+            applied += 1 if table.snapshot["version"] > v0 else 0
+            skipped += 1 if table.snapshot["version"] == v0 else 0
+
+        class _R:  # same report shape as the replayer
+            batches_applied = applied
+            batches_skipped = skipped
+
+        report = _R()
+    else:
+        replayer = CdcReplayer(table)
+        if args.resume:
+            report = replayer.resume(wal, lsn_hi, batch_size)
+        else:
+            report = replayer.replay_range_batches(
+                wal, 0, lsn_hi, batch_size=batch_size,
+                strategy=args.strategy, salt_partitions=args.salt,
+            )
     wall = time.perf_counter() - t0
     out = {
         "events": lsn_hi,
@@ -131,7 +177,17 @@ def main() -> None:
             view = IncrementalAggView.create(
                 spark, args.view, table, ["lang"]
             )
-        rep = view.refresh(table)
+        if args.view_stream:
+            # push model: the CDF stream drives the view through a
+            # checkpointed drain (requires --cdf on the source)
+            from cdm_cbioportal_etl_spark.streaming import CdfViewMaintainer
+
+            m = CdfViewMaintainer(
+                spark, table.root, view, args.view + "-ckpt"
+            )
+            rep = m.run_available() or {"groups": 0}
+        else:
+            rep = view.refresh(table)
         out["view"] = {
             "groups_touched": rep["groups"],
             "consumed_version": view.consumed_version(),
