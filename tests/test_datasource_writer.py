@@ -275,3 +275,35 @@ def test_writer_on_sharded_manifest_table(spark, tmp_path):
     ref.merge(ev, mode="mor", batch_id="oracle")
     assert _state(t) == _state(ref)
     assert t.snapshot.get("buckets_ref"), "commit did not re-shard"
+
+
+def test_vacuum_reclaims_skipped_epoch_orphans(spark, tmp_path):
+    """A same-streamid redelivery writes delta files whose commit then
+    skips (epoch ledger) — vacuum must reclaim those unreferenced
+    orphans without touching live state."""
+    t = _mk(spark, tmp_path, "vac")
+    ev = _events(spark, n=600)
+    wal_dir = os.path.join(str(tmp_path), "vac-wal")
+    ev.write.parquet(wal_dir)
+    register(spark)
+    stream = spark.readStream.schema(
+        "lsn long, op string, k long, g string, v long"
+    ).parquet(wal_dir)
+
+    def drain(ckpt):
+        q = (
+            stream.writeStream.format("laketable")
+            .option("path", t.root)
+            .option("streamid", "vs")
+            .option("checkpointLocation", os.path.join(str(tmp_path), ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain("c1")
+    want = _state(t)
+    drain("c2")  # same streamid, fresh checkpoint: commit skips
+    removed = t.vacuum()
+    assert removed > 0, "orphaned skipped-epoch files were not reclaimed"
+    assert _state(t) == want
