@@ -87,6 +87,7 @@ _DEFER = frozenset({
     "cdc_clone_backfill",
     "cdc_stream_view",
     "cdc_datasource_write_replay",
+    "cdc_stream_replica",
 })
 
 

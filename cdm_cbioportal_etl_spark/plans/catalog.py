@@ -4914,3 +4914,61 @@ def cdc_datasource_write_replay(spark, sf_dir):
         "repo", "path", "commit", "lang", "content",
         F.sha2("content", 256).alias("content_sha"),
     )
+
+
+@_register("cdc_stream_replica", ORACLES["cdc_replica_sync"])
+def cdc_stream_replica(spark, sf_dir):
+    """Stream-driven replication (streaming/replica.py): same final
+    state as cdc_replica_sync, but the replica is maintained by a
+    Structured Streaming query over the source's CDF stream — the
+    maintainer holds only the source PATH + a checkpoint, and two
+    drains (half the WAL, then the rest) resume through it."""
+    from cdm_cbioportal_etl_spark.cdc import CdcReplayer
+    from cdm_cbioportal_etl_spark.lake import TableReplicator
+    from cdm_cbioportal_etl_spark.streaming import CdfReplicaMaintainer
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_id").alias("lsn"),
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("update"))
+        .alias("op"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    max_lsn = int(ev.agg(F.max("lsn")).collect()[0][0])
+    bs = (max_lsn + 4) // 4
+    root = os.path.join(
+        CDC_WORK_DIR,
+        spark.sparkContext.applicationId,
+        "srpl-" + os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    table = LakeTable.create(
+        spark,
+        os.path.join(root, "src"),
+        T.StructType(
+            [
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+            ]
+        ),
+        key_cols=["user_id"],
+        n_buckets=16,
+        properties={"write_changes": "true"},
+    )
+    rep = CdcReplayer(table)
+    rep.replay_range_batches(ev, 0, 2 * bs, batch_size=bs)
+    replica = TableReplicator.create(
+        spark, os.path.join(root, "replica"), table
+    )
+    m = CdfReplicaMaintainer(
+        spark, table.root, replica, os.path.join(root, "ckpt")
+    )
+    rep.replay_range_batches(ev, 2 * bs, 3 * bs, batch_size=bs)
+    m.run_available()
+    rep.replay_range_batches(ev, 3 * bs, max_lsn + 1, batch_size=bs)
+    m.run_available()  # checkpoint resume: only the last commit streams
+    assert replica.synced_version() == table.snapshot["version"]
+    return replica.read().select("user_id", "event_type", "value")

@@ -1,5 +1,6 @@
 from cdm_cbioportal_etl_spark.streaming.dedup import dedup_stream
 from cdm_cbioportal_etl_spark.streaming.stateful import sessionize_stream
+from cdm_cbioportal_etl_spark.streaming.replica import CdfReplicaMaintainer
 from cdm_cbioportal_etl_spark.streaming.views import CdfViewMaintainer
 from cdm_cbioportal_etl_spark.streaming.wal import WalTailReader
 from cdm_cbioportal_etl_spark.streaming.windows import (
@@ -8,6 +9,7 @@ from cdm_cbioportal_etl_spark.streaming.windows import (
 )
 
 __all__ = [
+    "CdfReplicaMaintainer",
     "CdfViewMaintainer",
     "WalTailReader",
     "dedup_stream",

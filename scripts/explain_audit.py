@@ -168,6 +168,8 @@ SKIP_EXEC = {
     # executes the DataSource write + compact at construction; read-side
     # plan is the plain folded read the rows above already audit
     "cdc_datasource_write_replay",
+    # two streaming drains at construction, like cdc_stream_view
+    "cdc_stream_replica",
 }
 
 
