@@ -23,83 +23,64 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["cdc_repos_replay"](spark, "/root/testdata/sf0.001")
 
 
-# Driver-green rows recorded in CORRECTNESS_r03.json. The driver's
-# correctness file caps at 50 entries taken in queries()-dict order, so
-# round 4 rotates the window: queries NEVER driver-checked (plus round
-# 3's one hash-red row, oracle types now fixed) come first, then a
-# handful of §2 anchors, then the already-driver-green remainder.
-_R03_SEEN = frozenset({
-    "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
-    "q6_filter_agg", "anchor_min_dates", "integrity_gate_anchor",
-    "deid_day_intervals", "readable_intervals", "presence_pivot_events",
-    "first_and_max_orders", "anti_join_inactive_customers",
-    "semi_join_active_suppliers", "melt_part_attrs", "union_dedup_nations",
-    "clamp_ages", "backfill_remap_orders", "window_top3_orders",
-    "dedup_exact_docs", "token_count_docs", "lang_id_docs",
-    "fingerprint_docs", "minhash_docs", "lsh_candidate_pairs",
-    "ngram_jaccard_docs", "neardup_clusters_docs", "neardup_dedup_survivors",
-    "incremental_dedup_docs", "incremental_lsh_pairs",
-    "dup_shingle_fraction_docs", "quality_score_docs",
-    "cosine_topk_embeddings", "cdc_replay_final_state", "cdc_repos_replay",
-    "cdc_changes_since", "cdc_table_changes", "cdc_point_lookup",
-    "cdc_rebucket_replay", "cdc_incremental_view", "simhash_docs",
-    "embedding_neardup_pairs", "ann_lsh_topk", "ann_lsh_recall",
-    "summary_wide_customer", "os_survival_events", "header_combine_nation",
-    "grouped_timeline_compact", "grouped_timeline_compact_sql",
-    "timeline_deid_events", "completeness_audit_orders",
-    "q2_min_balance_supplier",
-})
-
-# Round-3's single hash-red row (DuckDB HUGEINT vs Spark BIGINT; oracle
-# now casts to BIGINT) — re-submit for a green driver row.
-_RECHECK = ("dup_shingle_fraction_docs",)
-
-# §2 anchors kept inside the window so every round's file still covers
-# the flagship replay + the relational/timeline core.
-_ANCHORS = (
-    "cdc_repos_replay", "cdc_replay_final_state", "q1_pricing_summary",
-    "timeline_deid_events", "grouped_timeline_compact_sql",
-    "summary_wide_customer", "minhash_docs",
-)
-
-
-# Queries that fell out of round 3's window but already carry a green
-# hash-match row from round 1 or 2 — lowest re-check priority, so the
-# truly never-driver-checked queries plus the recheck row and anchors
-# all fit inside the driver's 50-entry cap.
-_R12_GREEN = frozenset({
-    "q4_order_priority", "sessionize_events", "value_percentiles_by_type",
-    "tumbling_window_counts", "lsh_verify_neardup_docs",
-    "asof_purchase_last_click", "yaml_summary_pipeline",
-    "timeline_audit_events", "age_at_sequencing_samples",
-    "patient_age_redact", "except_intersect_custkeys",
-})
-
-
-# Queries registered AFTER the round-4 rotation froze: deliberately
-# placed past the 50-entry window (validated locally by
-# scripts/validate_oracle.py) so they cannot displace the recheck row or
-# the 42 never-driver-checked queries this window exists to green.
-# Rotate them in next round.
-_DEFER = frozenset({
+# Round-5 window. The driver's correctness file caps at 50 entries taken
+# in queries()-dict order. After round 4, 103 of the 116 catalog queries
+# carry a green driver hash row in some round's CORRECTNESS file; the 13
+# below are the only ones that were never driver-checked (they were
+# registered after round 4's rotation froze, or missed every earlier
+# window). They lead this round's window so every catalog query ends the
+# build with a green driver row. The flagship + §2 anchors stay inside
+# the window as regression sentinels; the tail re-checks rows whose green
+# evidence is oldest (round 1).
+_NEVER_CHECKED = (
     "cdc_multitable_txn",
     "cdc_wire_evolution",
     "cdc_clone_backfill",
     "cdc_stream_view",
     "cdc_datasource_write_replay",
     "cdc_stream_replica",
-})
+    "cdc_metadata_count",
+    "approx_distinct_terms_gate",
+    "embedding_mean_pool",
+    "multimodal_resample_features",
+    "repetition_ratio_docs",
+    "semantic_dedup_prune",
+    "semantic_dedup_kmeans",
+)
+
+# §2 anchors kept inside every round's window: the flagship replay plus
+# the relational/timeline/dedup core.
+_ANCHORS = (
+    "cdc_repos_replay",
+    "cdc_replay_final_state",
+    "q1_pricing_summary",
+    "timeline_deid_events",
+    "grouped_timeline_compact_sql",
+    "summary_wide_customer",
+    "minhash_docs",
+)
+
+# Oldest-evidence rows (green in round 1, never re-checked since) — fill
+# the remainder of the 50-row window with these, freshest-evidence last.
+_R1_VINTAGE = (
+    "q3_shipping_priority", "q5_region_revenue", "q6_filter_agg",
+    "anchor_min_dates", "integrity_gate_anchor", "deid_day_intervals",
+    "readable_intervals", "presence_pivot_events", "first_and_max_orders",
+    "anti_join_inactive_customers", "semi_join_active_suppliers",
+    "melt_part_attrs", "union_dedup_nations", "backfill_remap_orders",
+    "window_top3_orders", "dedup_exact_docs", "token_count_docs",
+    "lang_id_docs", "fingerprint_docs", "lsh_candidate_pairs",
+    "ngram_jaccard_docs", "neardup_clusters_docs", "quality_score_docs",
+    "q2_min_balance_supplier", "cdc_changes_since", "cdc_table_changes",
+    "cdc_point_lookup", "cdc_rebucket_replay", "cdc_incremental_view",
+    "neardup_dedup_survivors",
+)
 
 
 def _window_order(names):
-    fresh = [n for n in names if n not in _R03_SEEN and n not in _DEFER]
-    never = [n for n in fresh if n not in _R12_GREEN]
-    # recheck + anchors lead so later registrations can only ever push
-    # out the window's TAIL, never the rows this round must re-prove
-    head = [n for n in _RECHECK if n in names]
-    head += [n for n in _ANCHORS if n not in head]
-    head += [n for n in never if n not in head]
-    head += [n for n in fresh if n not in head]
+    head = [n for n in _NEVER_CHECKED if n in names]
+    head += [n for n in _ANCHORS if n in names and n not in head]
+    head += [n for n in _R1_VINTAGE if n in names and n not in head]
     return head + [n for n in names if n not in head]
 
 

@@ -66,7 +66,7 @@ from .table import (
     schema_from_json,
     schema_pnames,
 )
-from .xxh64 import pmod, xxhash64
+from .xxh64_vec import pmod_vec, xxhash64_arrow
 
 
 @dataclass
@@ -188,16 +188,22 @@ class LakeDeltaBatchWriter(DataSourceArrowWriter):
         return int(snap["ledger"]["applied_lsn"])
 
     def write(self, iterator: Iterator) -> DeltaAppendResult:
+        """Arrow-native task: no per-row Python anywhere.  Batches are
+        concatenated, ledger-prefiltered with a vectorized compare,
+        bucket-assigned with either the caller's ``_bucket`` column or
+        the numpy-vectorized Spark-bit-equal xxhash64 (lake/xxh64_vec.py
+        — masked-stripe loop, O(max key bytes / 32) Python iterations),
+        delete rows null their non-key columns via ``pc.if_else``, and
+        ONE global (bucket, *keys) Arrow sort yields zero-copy
+        per-bucket slices written directly as the MOR delta files."""
+        import numpy as np
         import pyarrow as pa
+        import pyarrow.compute as pc
         import pyarrow.parquet as pq
         from pyspark.sql.pandas.types import to_arrow_schema
         from pyspark.sql import types as T
 
         applied = self._fresh_watermark()
-        key_types = [
-            self.target[c].dataType.typeName() for c in self.key_cols
-        ]
-        nk = [f.name for f in self.target.fields if f.name not in self.key_cols]
         out_struct = T.StructType(
             [
                 T.StructField(self.pm.get(f.name, f.name), f.dataType)
@@ -209,89 +215,85 @@ class LakeDeltaBatchWriter(DataSourceArrowWriter):
             ]
         )
         arrow_out = to_arrow_schema(out_struct)
-        per_bucket: dict[int, list] = {}
-        rows = 0
-        max_lsn = -1
-        import pyarrow.compute as pc
-
-        for rb in iterator:
-            tbl = pa.Table.from_batches([rb])
-            if self.ledger_prefilter:
-                # exactly-once under ordered-feed redelivery (merge rule)
-                tbl = tbl.filter(
-                    pc.greater(tbl.column("lsn"), pa.scalar(applied))
-                )
-            if tbl.num_rows == 0:
-                continue
-            lsns = tbl.column("lsn").to_pylist()
-            ops = tbl.column("op").to_pylist()
-            keys = [tbl.column(c).to_pylist() for c in self.key_cols]
-            data = {
-                f.name: tbl.column(f.name).to_pylist()
-                for f in self.target.fields
-            }
-            pre = (
-                tbl.column("_bucket").to_pylist()
-                if self.prebucketed
-                else None
-            )
-            for i in range(tbl.num_rows):
-                if pre is not None:
-                    b = int(pre[i])
-                    if not 0 <= b < self.n_buckets:
-                        raise ValueError(
-                            f"laketable writer: _bucket {b} out of range "
-                            f"[0, {self.n_buckets}) — compute it with "
-                            "table.bucket_expr() against THIS table"
-                        )
-                else:
-                    kv = [k[i] for k in keys]
-                    b = pmod(xxhash64(kv, key_types), self.n_buckets)
-                is_del = ops[i] == "delete"
-                row = [
-                    data[f.name][i]
-                    if (f.name in self.key_cols or not is_del)
-                    else None
-                    for f in self.target.fields
-                ]
-                row.append(int(lsns[i]))
-                row.append(is_del)
-                per_bucket.setdefault(b, []).append(row)
-                rows += 1
-                if lsns[i] > max_lsn:
-                    max_lsn = int(lsns[i])
-        if not per_bucket:
+        parts = [pa.Table.from_batches([rb]) for rb in iterator]
+        if not parts:
             return DeltaAppendResult([], 0, -1)
+        tbl = parts[0] if len(parts) == 1 else pa.concat_tables(parts)
+        if self.ledger_prefilter:
+            # exactly-once under ordered-feed redelivery (merge rule)
+            tbl = tbl.filter(
+                pc.greater(tbl.column("lsn"), pa.scalar(applied))
+            )
+        if tbl.num_rows == 0:
+            return DeltaAppendResult([], 0, -1)
+        tbl = tbl.combine_chunks()
+        n = tbl.num_rows
+        lsn_np = tbl.column("lsn").to_numpy(zero_copy_only=False)
+        max_lsn = int(lsn_np.max())
+        if self.prebucketed:
+            b_np = (
+                tbl.column("_bucket")
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            bad = (b_np < 0) | (b_np >= self.n_buckets)
+            if bad.any():
+                raise ValueError(
+                    f"laketable writer: _bucket {int(b_np[bad][0])} out "
+                    f"of range [0, {self.n_buckets}) — compute it with "
+                    "table.bucket_expr() against THIS table"
+                )
+        else:
+            key_types = [
+                self.target[c].dataType.typeName() for c in self.key_cols
+            ]
+            keys = [
+                tbl.column(c).combine_chunks() for c in self.key_cols
+            ]
+            b_np = pmod_vec(
+                xxhash64_arrow(keys, key_types), self.n_buckets
+            )
+        is_del = pc.equal(tbl.column("op"), pa.scalar("delete"))
+        cols = []
+        for f in self.target.fields:
+            c = tbl.column(f.name)
+            if f.name not in self.key_cols:
+                # delete events carry keys only; null the payload
+                c = pc.if_else(is_del, pa.scalar(None, type=c.type), c)
+            cols.append(c)
+        cols.append(tbl.column("lsn"))
+        cols.append(is_del)
+        out = pa.table(cols, names=list(arrow_out.names)).cast(arrow_out)
+        out = out.append_column(
+            "__b", pa.chunked_array([pa.array(b_np, type=pa.int64())])
+        )
+        # ONE sort: bucket-major, then within-file key order (nulls
+        # first) — what makes key-range stats skipping effective, same
+        # rule as _write_bucket_files
+        sort_keys = [("__b", "ascending")] + [
+            (self.pm.get(k, k), "ascending") for k in self.key_cols
+        ]
+        out = out.take(
+            pc.sort_indices(
+                out, sort_keys=sort_keys, null_placement="at_start"
+            )
+        )
+        b_sorted = out.column("__b").to_numpy(zero_copy_only=False)
+        buckets, starts = np.unique(b_sorted, return_index=True)
+        bounds = np.append(starts, n)
+        out = out.drop_columns(["__b"])
         out_rel = os.path.join("data", f"dsw-{uuid.uuid4().hex}")
         entries: list = []
-        key_pos = [
-            i
-            for i, f in enumerate(self.target.fields)
-            if f.name in self.key_cols
-        ]
-        for b, rowlist in sorted(per_bucket.items()):
-            # within-file key order: what makes key-range stats skipping
-            # effective, same rule as _write_bucket_files
-            rowlist.sort(
-                key=lambda r: tuple(
-                    (r[p] is None, 0 if r[p] is None else r[p])
-                    for p in key_pos
-                )
-            )
-            cols = list(zip(*rowlist))
-            arrays = [
-                pa.array(list(cols[i]), type=arrow_out.field(i).type)
-                for i in range(len(arrow_out))
-            ]
-            ft = pa.table(arrays, schema=arrow_out)
-            bdir = os.path.join(self.root, out_rel, f"_bucket={b}")
+        for k, b in enumerate(buckets):
+            ft = out.slice(int(bounds[k]), int(bounds[k + 1] - bounds[k]))
+            bdir = os.path.join(self.root, out_rel, f"_bucket={int(b)}")
             os.makedirs(bdir, exist_ok=True)
             fn = f"part-{uuid.uuid4().hex}.parquet"
             fpath = os.path.join(bdir, fn)
             pq.write_table(ft, fpath)
             st, nrows = LakeTable._file_column_stats(fpath, list(self.stats_cols))
             fobj: dict[str, Any] = {
-                "path": os.path.join(out_rel, f"_bucket={b}", fn),
+                "path": os.path.join(out_rel, f"_bucket={int(b)}", fn),
                 "schema_id": self.schema_id,
                 "rows": nrows,
                 "delta": True,
@@ -299,7 +301,7 @@ class LakeDeltaBatchWriter(DataSourceArrowWriter):
             if st:
                 fobj["stats"] = st
             entries.append((str(b), fobj))
-        return DeltaAppendResult(entries, rows, max_lsn)
+        return DeltaAppendResult(entries, int(n), max_lsn)
 
     # -- driver side ----------------------------------------------------- #
     def _commit_entries(

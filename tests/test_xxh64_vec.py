@@ -1,0 +1,201 @@
+"""Vectorized xxhash64 (lake/xxh64_vec.py) vs the scalar port.
+
+The scalar port is asserted bit-equal to the JVM's ``F.xxhash64`` in
+tests/test_xxh64.py; this test closes the triangle by asserting the
+numpy-vectorized implementation (the DataSource writer's bucket
+assignment) is bit-equal to the scalar port over randomized draws on
+every type path — including the byte-path edge shapes (empty, 4/8-byte
+word tails, 31/32/33-byte stripe boundaries, multi-stripe), per-row
+seed chaining across columns, and null skipping.  If either half ever
+drifts, writer-assigned buckets would not match ``_bucket_expr`` and
+reads would silently miss rows.
+"""
+
+import math
+import random
+import struct
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from cdm_cbioportal_etl_spark.lake.xxh64 import pmod, xxhash64
+from cdm_cbioportal_etl_spark.lake.xxh64_vec import (
+    pack_bytes_matrix,
+    pmod_vec,
+    xxhash64_arrow,
+)
+
+random.seed(0xBEEF)
+
+
+def _strings(n=200):
+    fixed = ["", "a", "ab", "abc", "abcd", "x" * 7, "x" * 8, "x" * 9,
+             "y" * 31, "y" * 32, "y" * 33, "z" * 63, "z" * 64, "z" * 65,
+             "w" * 100, "héllo wörld", "日本語テキスト" * 9,
+             "\x00\x01\x02", "src/f00042.py"]
+    rnd = ["".join(chr(random.randint(32, 0x10FF))
+                   for _ in range(random.randint(0, 96)))
+           for _ in range(n - len(fixed))]
+    return fixed + rnd
+
+
+def _check(arrow_arr, type_name, values):
+    got = xxhash64_arrow([arrow_arr], [type_name])
+    want = np.array(
+        [xxhash64([v], [type_name]) for v in values], dtype=np.int64
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_string_paths():
+    vals = _strings()
+    _check(pa.array(vals, type=pa.string()), "string", vals)
+
+
+def test_large_string():
+    vals = _strings(60)
+    _check(pa.array(vals, type=pa.large_string()), "string", vals)
+
+
+def test_binary():
+    vals = [b"", b"\x00", b"abc", bytes(range(256)),
+            bytes(random.getrandbits(8) for _ in range(33)),
+            bytes(random.getrandbits(8) for _ in range(31))]
+    _check(pa.array(vals, type=pa.binary()), "binary", vals)
+
+
+def test_long():
+    vals = [0, 1, -1, 2**63 - 1, -(2**63), 42] + [
+        random.randint(-(2**63), 2**63 - 1) for _ in range(60)
+    ]
+    _check(pa.array(vals, type=pa.int64()), "long", vals)
+
+
+def test_integer_short_byte_date():
+    for tn, at, lo, hi in [
+        ("integer", pa.int32(), -(2**31), 2**31 - 1),
+        ("short", pa.int16(), -32768, 32767),
+        ("byte", pa.int8(), -128, 127),
+    ]:
+        vals = [0, -1, lo, hi] + [
+            random.randint(lo, hi) for _ in range(40)
+        ]
+        _check(pa.array(vals, type=at), tn, vals)
+    days = [0, 1, -1, 19000] + [random.randint(-30000, 30000)
+                                for _ in range(20)]
+    got = xxhash64_arrow(
+        [pa.array(days, type=pa.date32())], ["date"]
+    )
+    want = np.array([xxhash64([d], ["date"]) for d in days], np.int64)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_boolean():
+    vals = [True, False, True, True, False]
+    _check(pa.array(vals, type=pa.bool_()), "boolean", vals)
+
+
+def test_float_double():
+    dvals = [0.0, -0.0, 1.5, -2.25, math.pi, 1e308, -1e-308,
+             float("inf"), float("-inf")] + [
+        struct.unpack("<d", struct.pack(
+            "<q", random.randint(-(2**63), 2**63 - 1)))[0]
+        for _ in range(30)
+    ]
+    dvals = [v for v in dvals if not (isinstance(v, float) and v != v)]
+    _check(pa.array(dvals, type=pa.float64()), "double", dvals)
+    fvals = [0.0, -0.0, 1.5, -2.25, float("inf")] + [
+        struct.unpack("<f", struct.pack(
+            "<i", random.randint(-(2**31), 2**31 - 1)))[0]
+        for _ in range(30)
+    ]
+    fvals = [v for v in fvals if not (isinstance(v, float) and v != v)]
+    _check(pa.array(fvals, type=pa.float32()), "float", fvals)
+
+
+def test_timestamp_micros():
+    micros = [0, 1, -1, 1_700_000_000_000_000] + [
+        random.randint(-(2**50), 2**50) for _ in range(20)
+    ]
+    got = xxhash64_arrow(
+        [pa.array(micros, type=pa.timestamp("us"))], ["timestamp"]
+    )
+    want = np.array(
+        [xxhash64([m], ["timestamp"]) for m in micros], np.int64
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_multi_column_chain_with_nulls():
+    n = 300
+    repos = [
+        None if random.random() < 0.1
+        else f"org{random.randint(0, 50)}/repo{random.randint(0, 99)}"
+        for _ in range(n)
+    ]
+    paths = [
+        None if random.random() < 0.1
+        else f"src/dir{random.randint(0, 9)}/f{random.randint(0, 9999):05d}.py"
+        for _ in range(n)
+    ]
+    nums = [
+        None if random.random() < 0.1
+        else random.randint(-(2**62), 2**62)
+        for _ in range(n)
+    ]
+    arrays = [
+        pa.array(repos, type=pa.string()),
+        pa.array(nums, type=pa.int64()),
+        pa.array(paths, type=pa.string()),
+    ]
+    types = ["string", "long", "string"]
+    got = xxhash64_arrow(arrays, types)
+    want = np.array(
+        [xxhash64([r, m, p], types)
+         for r, m, p in zip(repos, nums, paths)],
+        dtype=np.int64,
+    )
+    np.testing.assert_array_equal(got, want)
+    # bucket assignment parity (the actually load-bearing output)
+    for nb in (1, 7, 32, 64):
+        np.testing.assert_array_equal(
+            pmod_vec(got, nb),
+            np.array([pmod(int(w), nb) for w in want], np.int64),
+        )
+
+
+def test_all_null_rows_keep_seed():
+    arrays = [pa.array([None, "x"], type=pa.string()),
+              pa.array([None, None], type=pa.int64())]
+    got = xxhash64_arrow(arrays, ["string", "long"])
+    want = np.array(
+        [xxhash64([None, None], ["string", "long"]),
+         xxhash64(["x", None], ["string", "long"])], np.int64)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_sliced_arrow_array_offsets():
+    vals = _strings(80)
+    arr = pa.array(vals, type=pa.string()).slice(13, 41)
+    sub = vals[13:54]
+    _check(arr, "string", sub)
+
+
+def test_pack_bytes_matrix_shapes():
+    data = np.frombuffer(b"abcdefghij", dtype=np.uint8)
+    starts = np.array([0, 3, 3, 9], dtype=np.int64)
+    lens = np.array([3, 0, 6, 1], dtype=np.int64)
+    m = pack_bytes_matrix(data, starts, lens)
+    assert m.shape == (4, 8)
+    assert bytes(m[0, :3]) == b"abc"
+    assert m[1].sum() == 0
+    assert bytes(m[2, :6]) == b"defghi"
+    assert bytes(m[3, :1]) == b"j"
+
+
+def test_unsupported_type_raises():
+    with pytest.raises(TypeError):
+        xxhash64_arrow(
+            [pa.array([[1, 2]], type=pa.list_(pa.int64()))], ["array"]
+        )
