@@ -70,7 +70,9 @@ _BENCH_QUERIES = [
     "pack_sequences_bins",
     "summary_wide_customer",
     "os_survival_events",
-    "grouped_timeline_compact",
+    # grouped_timeline_compact (the applyInPandas harness twin) is
+    # pytest-covered but no longer benched: 7.8s of sweep wall for a
+    # non-production path whose JVM twin below is the registered one
     "grouped_timeline_compact_sql",
     "yaml_summary_pipeline",
     "yaml_timeline_pipeline",
@@ -296,11 +298,16 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     try:
+        # headline FIRST: round-4's artifact measured the flagship in a
+        # JVM aged by a 240s query sweep (codegen-cache pressure + GC
+        # history), understating it ~1.6x vs a fresh-JVM run.  The
+        # sweep runs after, so its walls still amortize the same warm
+        # session but can no longer skew the headline.
+        cdc = bench_cdc_throughput(spark, n_events)
         queries = (
             {} if os.environ.get("SPARK_GRAFT_BENCH_SKIP_QUERIES")
             else bench_queries(spark, sf_dir)
         )
-        cdc = bench_cdc_throughput(spark, n_events)
         full = {
             "metric": "cdc_replay_events_per_sec",
             "value": cdc["events_per_sec"],
