@@ -279,8 +279,15 @@ class LakeTableReader(DataSourceReader):
         # FILE (the old shape) costs a Python worker task per small file:
         # at 10^6-file scale that is task-scheduling debt with no read
         # win.  0 disables packing; files never split (a parquet file is
-        # the read unit here).
+        # the read unit here).  NOTE: this default (2^20 rows) changed
+        # scan parallelism for existing laketable readers when it landed
+        # (round 4) — see README "DataSource read".
         self._pack_rows = int(options.get("target_partition_rows", 1 << 20))
+        # a file with no usable manifest row count cannot be budgeted;
+        # charge a small constant instead of the full budget so a
+        # stats-less manifest still packs several files per partition
+        # rather than fragmenting into singletons
+        self._pack_unknown_rows = max(1, self._pack_rows // 16)
         self._prune: dict[str, list] = {}
         self._probe_cache: dict[int, tuple[int, ...]] = {}
         # logical → PHYSICAL column names (column mapping): data files,
@@ -445,9 +452,11 @@ class LakeTableReader(DataSourceReader):
                 chunk: list = []
                 chunk_rows = 0
                 for fe in admitted:
-                    # unknown row count -> assume budget-sized (packs
-                    # alone); never under-estimate a file into a chunk
-                    r = rows_of.get(fe[1]) or budget or 1
+                    # unknown/zero row count -> charge a small constant
+                    # (budget/16), not the whole budget: a stats-less
+                    # manifest should still pack several files per
+                    # partition instead of fragmenting into singletons
+                    r = rows_of.get(fe[1]) or self._pack_unknown_rows
                     if budget and chunk and chunk_rows + r > budget:
                         parts.append(
                             ScanPartition(

@@ -419,15 +419,25 @@ class LakeDeltaStreamWriter(DataSourceStreamArrowWriter):
         # epochs replay out of LSN order relative to the watermark —
         # row-level filtering would drop live rows (see batch writer)
         self._w.ledger_prefilter = False
-        # Delta's txnAppId pattern: a caller-supplied stable stream id
-        # makes epoch dedup exact even across query restarts (a restart
-        # constructs a fresh writer); without it, a replayed epoch from
-        # a NEW writer instance re-appends and the (key, lsn) fold
-        # still collapses it to the same value (value-idempotent, file
-        # bloat only)
-        self._stream_id = str(
-            options.get("streamid") or uuid.uuid4().hex[:12]
-        )
+        # Delta's txnAppId pattern: a stable stream id makes epoch dedup
+        # exact even across query restarts (a restart constructs a fresh
+        # writer).  Default derives from the query's checkpoint location
+        # — stable across restarts of the SAME query, distinct between
+        # queries — so a replayed epoch after a restart dies at the
+        # applied_segments ledger instead of re-appending duplicate
+        # delta files (value-idempotent either way; this avoids the
+        # file/bucket_rows bloat until compact).  A fresh uuid is only
+        # the last resort when Spark passes no checkpoint dir.
+        sid = options.get("streamid")
+        if not sid:
+            ckpt = options.get("checkpointlocation")
+            if ckpt:
+                import hashlib
+
+                sid = hashlib.sha1(
+                    os.path.abspath(str(ckpt)).encode()
+                ).hexdigest()[:12]
+        self._stream_id = str(sid or uuid.uuid4().hex[:12])
 
     def write(self, iterator: Iterator) -> DeltaAppendResult:
         return self._w.write(iterator)

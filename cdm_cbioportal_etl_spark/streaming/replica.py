@@ -117,22 +117,30 @@ class CdfReplicaMaintainer:
         self.replica._propagate_schema(src, self.replica.synced_version())
 
     def run_available(self) -> int:
-        """Drain every change committed so far; with a drain bound,
-        loop until caught up.  Returns the replica's synced version."""
+        """Drain every change committed so far; with a drain bound, loop
+        until the STREAM makes no further offset progress
+        (ckpt.offsets_cursor — the replica's synced version alone would
+        under-drain when an admitted window's commits all yield empty
+        batches).  Returns the replica's synced version."""
+        from .ckpt import offsets_cursor
+
         while True:
-            before = self.replica.synced_version()
+            before = offsets_cursor(self.checkpoint_dir)
+            # trigger(once), not availableNow: the Python DataSource
+            # stream wrapper lacks SupportsTriggerAvailableNow, so
+            # availableNow degraded to single-batch WITH a warning; Once
+            # is the same single batch declared honestly, and the cursor
+            # loop drains to head (see views.py for the full note)
             q = (
                 self._load()
                 .writeStream.foreachBatch(self._apply)
                 .option("checkpointLocation", self.checkpoint_dir)
-                .trigger(availableNow=True)
+                .trigger(once=True)
                 .start()
             )
             q.awaitTermination()
-            if not self.max_commits:
-                break
-            if self.replica.synced_version() == before:
-                break
+            if offsets_cursor(self.checkpoint_dir) == before:
+                break  # no new micro-batch planned: caught up
         return self.replica.synced_version()
 
     def start(self, processing_time: str = "0 seconds"):

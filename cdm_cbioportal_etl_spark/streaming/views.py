@@ -99,26 +99,38 @@ class CdfViewMaintainer:
 
     # ------------------------------------------------------------------ #
     def run_available(self) -> dict[str, Any] | None:
-        """Drain every change committed so far (Trigger.AvailableNow),
-        then stop — the batch-refresh ergonomics with the stream's
-        checkpoint/resume semantics.  With ``max_commits_per_drain``
-        each drain's captured target is bounded, so this loops bounded
-        drains until one makes no further progress (caught up).
-        Returns the last batch's stats."""
+        """Drain every change committed so far, then stop — the
+        batch-refresh ergonomics with the stream's checkpoint/resume
+        semantics.  Each pass runs ONE micro-batch (Trigger.Once,
+        bounded by ``max_commits_per_drain`` when set) and the loop
+        repeats until the STREAM makes no further offset progress
+        (ckpt.offsets_cursor) — sink state alone would under-drain when
+        an admitted window folds to nothing.  Returns the last batch's
+        stats FROM THIS CALL (None if no batch ran)."""
+        from .ckpt import offsets_cursor
+
+        self.last_batch = None  # stats must describe THIS call only
         while True:
-            before = self.view.consumed_version()
+            before = offsets_cursor(self.checkpoint_dir)
+            # trigger(once): Spark's Python DataSource stream wrapper
+            # (PythonMicroBatchStream) does not implement
+            # SupportsTriggerAvailableNow, so availableNow would fall
+            # back to single-batch execution WITH a per-drain warning
+            # and an "uncommitted batch" caveat.  Once IS single-batch,
+            # declared honestly (warning-free); the cursor loop below
+            # supplies the drain-to-head semantics, including
+            # re-finishing an uncommitted batch left by a crash
+            # (tests/test_streaming_views.py pins that case).
             q = (
                 self._load()
                 .writeStream.foreachBatch(self._apply)
                 .option("checkpointLocation", self.checkpoint_dir)
-                .trigger(availableNow=True)
+                .trigger(once=True)
                 .start()
             )
             q.awaitTermination()
-            if not self.max_commits:
-                break
-            if self.view.consumed_version() == before:
-                break  # caught up (or nothing foldable remains)
+            if offsets_cursor(self.checkpoint_dir) == before:
+                break  # no new micro-batch planned: caught up
         return self.last_batch
 
     def start(self, processing_time: str = "0 seconds"):

@@ -83,6 +83,16 @@ def main() -> None:
                          "resumable via the ledger pre-filter; appended "
                          "deltas fold at read or compact()")
     args = ap.parse_args()
+    if args.ingest == "writer" and (args.cdf or args.view_stream):
+        # fail HERE, not as a ValueError deep in the writer constructor
+        # after table creation: the DataSource delta-append writer
+        # rejects write_changes tables (a blind append cannot produce
+        # the pre-image change files a live CDF stream relies on)
+        ap.error(
+            "--ingest writer is incompatible with --cdf/--view-stream: "
+            "the DataSource writer cannot capture write-time change "
+            "files; use --ingest replayer for CDF-fed pipelines"
+        )
 
     spark = SparkSession.builder.appName("cdc-replay").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

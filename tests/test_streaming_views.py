@@ -169,6 +169,36 @@ def test_crash_after_apply_before_commit_resumes_clean(spark, rig):
     assert view.consumed_version() == src.snapshot["version"]
 
 
+def test_uncommitted_batch_plus_new_data_drains_fully(spark, rig):
+    """The Trigger.Once cursor loop closes the AvailableNow-fallback
+    caveat ("may not process new data if there is an uncommitted
+    batch"): a crash leaves an uncommitted batch in the checkpoint, NEW
+    source commits land afterwards, and a single run_available call must
+    both re-finish the uncommitted batch and drain the new commits."""
+    src, view, m = rig
+    src.merge(_ev(spark, [(10, "upsert", 3, "a", 30)]), batch_id="b1")
+
+    applied = {"n": 0}
+    orig = m._apply
+
+    def crashing(batch_df, epoch_id):
+        orig(batch_df, epoch_id)
+        applied["n"] += 1
+        raise RuntimeError("crash AFTER apply, BEFORE checkpoint commit")
+
+    m._apply = crashing
+    with pytest.raises(Exception):
+        m.run_available()
+    assert applied["n"] == 1
+    # new data lands while the checkpoint still holds an uncommitted
+    # batch — the exact state the single-batch fallback could strand
+    src.merge(_ev(spark, [(20, "upsert", 4, "c", 40)]), batch_id="b2")
+    m._apply = orig
+    m.run_available()
+    assert _view_state(view) == _recompute(src)
+    assert view.consumed_version() == src.snapshot["version"]
+
+
 def test_bounded_drains_catch_up_to_head(spark, rig):
     """max_commits_per_drain bounds each drain; run_available loops the
     bounded drains until the view is caught up with the source head."""
