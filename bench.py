@@ -275,8 +275,12 @@ def main() -> None:
         extra_conf={
             "spark.local.dir": "/dev/shm/spark-local",
             "spark.sql.shuffle.partitions": str(int(cpus) * 4),
-            "spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024),
-            "spark.sql.files.openCostInBytes": str(8 * 1024 * 1024),
+            "spark.sql.files.maxPartitionBytes": os.environ.get(
+                "SPARK_GRAFT_MPB", str(8 * 1024 * 1024)
+            ),
+            "spark.sql.files.openCostInBytes": os.environ.get(
+                "SPARK_GRAFT_OPEN_COST", str(8 * 1024 * 1024)
+            ),
             # status REST API for the bytes/event ledger (engine default
             # keeps the UI off; the bench wants the counters)
             "spark.ui.enabled": "true",
