@@ -250,6 +250,14 @@ def main() -> None:
             else:
                 os.remove(p)
 
+    # a previous run killed mid-flight (SIGTERM skips finally) leaves its
+    # per-shard mounts behind; a fresh run would then STACK tmpfs over
+    # them and umount only its own layer.  Unmount stale layers first.
+    for s in range(args.shards):
+        d = os.path.join(args.workdir, f"m{s}")
+        while os.path.ismount(d):
+            if subprocess.run(["umount", d], capture_output=True).returncode:
+                break
     shutil.rmtree(args.workdir, ignore_errors=True)
     os.makedirs(args.workdir, exist_ok=True)
     mounted = []
