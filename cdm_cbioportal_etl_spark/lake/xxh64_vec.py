@@ -199,6 +199,10 @@ def _column_hash(arr, type_name: str, seed: np.ndarray) -> np.ndarray:
     import pyarrow as pa
     import pyarrow.compute as pc
 
+    if pa.types.is_dictionary(arr.type):
+        # Arrow batches may arrive dictionary-encoded for low-cardinality
+        # columns; the buffer-level paths below need the flat encoding
+        arr = arr.dictionary_decode()
     t = type_name
     if t == "string":
         # Arrow-native padding: ascii_rpad is BYTE-wise on UTF-8 (width

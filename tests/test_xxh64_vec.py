@@ -194,6 +194,21 @@ def test_pack_bytes_matrix_shapes():
     assert bytes(m[3, :1]) == b"j"
 
 
+def test_dictionary_encoded_arrays_decode():
+    vals = ["org/repo-1", "org/repo-2", None, "org/repo-1", ""]
+    plain = pa.array(vals, type=pa.string())
+    dict_arr = plain.dictionary_encode()
+    got = xxhash64_arrow([dict_arr], ["string"])
+    want = xxhash64_arrow([plain], ["string"])
+    np.testing.assert_array_equal(got, want)
+    ints = pa.array([5, 5, 7, None], type=pa.int64()).dictionary_encode()
+    got_i = xxhash64_arrow([ints], ["long"])
+    want_i = xxhash64_arrow(
+        [pa.array([5, 5, 7, None], type=pa.int64())], ["long"]
+    )
+    np.testing.assert_array_equal(got_i, want_i)
+
+
 def test_unsupported_type_raises():
     with pytest.raises(TypeError):
         xxhash64_arrow(
