@@ -284,10 +284,12 @@ class LakeTableReader(DataSourceReader):
         # (round 4) — see README "DataSource read".
         self._pack_rows = int(options.get("target_partition_rows", 1 << 20))
         # a file with no usable manifest row count cannot be budgeted;
-        # charge a small constant instead of the full budget so a
-        # stats-less manifest still packs several files per partition
-        # rather than fragmenting into singletons
-        self._pack_unknown_rows = max(1, self._pack_rows // 16)
+        # charge budget/4 — a stats-less manifest still packs up to 4
+        # files per partition (vs fragmenting into singletons), while
+        # bounding the worst-case overshoot of target_partition_rows to
+        # 4x when every unknown file turns out huge (budget/16 allowed
+        # a 16x blowup in one Python worker task)
+        self._pack_unknown_rows = max(1, self._pack_rows // 4)
         self._prune: dict[str, list] = {}
         self._probe_cache: dict[int, tuple[int, ...]] = {}
         # logical → PHYSICAL column names (column mapping): data files,
@@ -452,10 +454,9 @@ class LakeTableReader(DataSourceReader):
                 chunk: list = []
                 chunk_rows = 0
                 for fe in admitted:
-                    # unknown/zero row count -> charge a small constant
-                    # (budget/16), not the whole budget: a stats-less
-                    # manifest should still pack several files per
-                    # partition instead of fragmenting into singletons
+                    # unknown/zero row count -> charge budget/4 (see
+                    # _pack_unknown_rows): packs stats-less manifests
+                    # while bounding per-task overshoot to 4x
                     r = rows_of.get(fe[1]) or self._pack_unknown_rows
                     if budget and chunk and chunk_rows + r > budget:
                         parts.append(

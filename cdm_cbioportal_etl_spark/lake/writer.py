@@ -421,23 +421,46 @@ class LakeDeltaStreamWriter(DataSourceStreamArrowWriter):
         self._w.ledger_prefilter = False
         # Delta's txnAppId pattern: a stable stream id makes epoch dedup
         # exact even across query restarts (a restart constructs a fresh
-        # writer).  Default derives from the query's checkpoint location
-        # — stable across restarts of the SAME query, distinct between
-        # queries — so a replayed epoch after a restart dies at the
-        # applied_segments ledger instead of re-appending duplicate
-        # delta files (value-idempotent either way; this avoids the
-        # file/bucket_rows bloat until compact).  A fresh uuid is only
-        # the last resort when Spark passes no checkpoint dir.
-        sid = options.get("streamid")
-        if not sid:
-            ckpt = options.get("checkpointlocation")
-            if ckpt:
-                import hashlib
+        # writer).  Default derives from the checkpoint's QUERY ID
+        # (<ckpt>/metadata, written by Structured Streaming at query
+        # start) — stable across restarts of the SAME checkpoint, but
+        # REGENERATED when the user deletes/resets the checkpoint.  The
+        # latter property is load-bearing: an id derived from the
+        # checkpoint PATH alone caused silent data loss after a reset
+        # (batch ids restart at 0 and collide with stale
+        # dsw:<sid>:0..k ledger tags, discarding genuinely new epochs —
+        # pinned by test_datasource_writer.py).  Resolution is LAZY (at
+        # first commit) because the metadata file may not exist yet at
+        # writer construction; a fresh uuid is the last resort when no
+        # checkpoint metadata is readable.
+        self._sid: str | None = (
+            str(options.get("streamid")) if options.get("streamid") else None
+        )
+        self._ckpt = options.get("checkpointlocation")
 
-                sid = hashlib.sha1(
-                    os.path.abspath(str(ckpt)).encode()
-                ).hexdigest()[:12]
-        self._stream_id = str(sid or uuid.uuid4().hex[:12])
+    def _stream_id(self) -> str:
+        if self._sid is None:
+            sid = None
+            if self._ckpt:
+                p = str(self._ckpt)
+                if p.startswith("file:"):
+                    from urllib.parse import urlparse
+                    from urllib.request import url2pathname
+
+                    p = url2pathname(urlparse(p).path)
+                try:
+                    with open(os.path.join(p, "metadata")) as fh:
+                        qid = json.load(fh).get("id")
+                    if qid:
+                        import hashlib
+
+                        sid = hashlib.sha1(
+                            str(qid).encode()
+                        ).hexdigest()[:12]
+                except (OSError, ValueError):
+                    pass
+            self._sid = sid or uuid.uuid4().hex[:12]
+        return self._sid
 
     def write(self, iterator: Iterator) -> DeltaAppendResult:
         return self._w.write(iterator)
@@ -446,7 +469,7 @@ class LakeDeltaStreamWriter(DataSourceStreamArrowWriter):
         self._w._commit_entries(
             messages,
             f"dsw-epoch-{int(batchId)}",
-            segment=f"dsw:{self._stream_id}:{int(batchId)}",
+            segment=f"dsw:{self._stream_id()}:{int(batchId)}",
         )
 
     def abort(self, messages, batchId: int) -> None:  # noqa: N803

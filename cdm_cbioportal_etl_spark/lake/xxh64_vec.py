@@ -168,6 +168,45 @@ def pack_bytes_matrix(data: np.ndarray, starts: np.ndarray,
 _INT_KINDS = frozenset(("byte", "short", "integer", "date"))
 _LONG_KINDS = frozenset(("long", "timestamp", "timestamp_ntz"))
 
+# budget for the dense (n_rows, pad) padded byte matrix: past this, rows
+# are length-sorted and hashed in chunks so ONE oversized key value
+# cannot inflate memory/work to O(n_rows x max_key_len) — an executor
+# OOM on skewed keys otherwise (the scalar port handled such rows fine)
+_MATRIX_CAP = 1 << 28  # 256 MB
+
+
+def _hash_bytes_chunked(
+    data: np.ndarray, starts: np.ndarray, lens: np.ndarray,
+    seed: np.ndarray,
+) -> np.ndarray:
+    """Length-grouped fallback for skewed key sizes: sort rows by byte
+    length, then greedily emit chunks where ``chunk_rows * chunk_pad``
+    stays under ``_MATRIX_CAP`` (chunk_pad = the chunk's LONGEST row,
+    8-aligned).  Each chunk hashes through the same vectorized stripe
+    kernel; results scatter back by row index.  Cost is O(total bytes)
+    plus one argsort — only taken when the dense single-matrix path
+    would exceed the cap."""
+    n = len(lens)
+    out = np.empty(n, dtype=_U)
+    order = np.argsort(lens, kind="stable")
+    slens = lens[order]
+    p = np.maximum(8, ((slens + 7) // 8) * 8)  # per-row 8-aligned pad
+    # max rows a chunk ENDING at sorted-pos k can hold: CAP // p[k]
+    # (p is the chunk's pad since rows are length-sorted).  The minimal
+    # legal chunk START for end k is f[k] = k + 1 - CAP // p[k]; f is
+    # non-decreasing, so each chunk end is one searchsorted away.
+    cap_rows = np.maximum(1, _MATRIX_CAP // p)
+    f = np.arange(1, n + 1, dtype=np.int64) - cap_rows
+    i = 0
+    while i < n:
+        k = int(np.searchsorted(f, i, side="right")) - 1
+        k = max(k, i)  # a single over-cap row still forms its own chunk
+        idx = order[i: k + 1]
+        u8 = pack_bytes_matrix(data, starts[idx], lens[idx])
+        out[idx] = hash_bytes_vec(u8, lens[idx], seed[idx])
+        i = k + 1
+    return out
+
 
 def _arrow_string_parts(arr):
     """(data_u8, starts, lens) views of an Arrow string/binary array's
@@ -219,6 +258,11 @@ def _column_hash(arr, type_name: str, seed: np.ndarray) -> np.ndarray:
         n = len(filled)
         max_len = int(lens.max()) if n else 0
         pad = max(8, ((max_len + 7) // 8) * 8)
+        if n * pad > _MATRIX_CAP:
+            # one oversized key value must not inflate the dense matrix
+            # to O(n x max_len) — hash length-grouped row chunks instead
+            data, starts, lens2 = _arrow_string_parts(filled)
+            return _hash_bytes_chunked(data, starts, lens2, seed)
         padded = pc.ascii_rpad(filled, width=pad, padding="\x00")
         odt = (
             np.int64
@@ -232,7 +276,13 @@ def _column_hash(arr, type_name: str, seed: np.ndarray) -> np.ndarray:
         u8 = data[off0: off0 + n * pad].reshape(n, pad)
         return hash_bytes_vec(u8, lens, seed)
     if t == "binary":
-        data, starts, lens = _arrow_string_parts(arr)
+        filled = pc.fill_null(arr, b"")
+        data, starts, lens = _arrow_string_parts(filled)
+        n = len(lens)
+        max_len = int(lens.max()) if n else 0
+        pad = max(8, ((max_len + 7) // 8) * 8)
+        if n * pad > _MATRIX_CAP:
+            return _hash_bytes_chunked(data, starts, lens, seed)
         u8 = pack_bytes_matrix(data, starts, lens)
         return hash_bytes_vec(u8, lens, seed)
     filled = pc.fill_null(arr, 0) if t != "boolean" else pc.fill_null(

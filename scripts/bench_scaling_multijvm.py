@@ -252,12 +252,19 @@ def main() -> None:
 
     # a previous run killed mid-flight (SIGTERM skips finally) leaves its
     # per-shard mounts behind; a fresh run would then STACK tmpfs over
-    # them and umount only its own layer.  Unmount stale layers first.
-    for s in range(args.shards):
-        d = os.path.join(args.workdir, f"m{s}")
-        while os.path.ismount(d):
-            if subprocess.run(["umount", d], capture_output=True).returncode:
-                break
+    # them and umount only its own layer.  Unmount every stale m*
+    # layer found in the workdir (NOT range(shards): the dead run may
+    # have used more shards than this one).
+    if os.path.isdir(args.workdir):
+        for entry in sorted(os.listdir(args.workdir)):
+            d = os.path.join(args.workdir, entry)
+            if not entry.startswith("m"):
+                continue
+            while os.path.ismount(d):
+                if subprocess.run(
+                    ["umount", d], capture_output=True
+                ).returncode:
+                    break
     shutil.rmtree(args.workdir, ignore_errors=True)
     os.makedirs(args.workdir, exist_ok=True)
     mounted = []

@@ -62,7 +62,7 @@ def main() -> None:
     wal.count()  # footer cache warm
     # untimed warmup write: python worker spin-up + JIT, so the first
     # timed path isn't charged for cold start
-    wu = _fresh_table = LakeTable.create(
+    wu = LakeTable.create(
         spark, os.path.join(root, "warmup"),
         T.StructType(list(REPOS_SCHEMA.fields)),
         key_cols=["repo", "path"], n_buckets=32,

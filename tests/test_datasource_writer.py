@@ -307,3 +307,77 @@ def test_vacuum_reclaims_skipped_epoch_orphans(spark, tmp_path):
     removed = t.vacuum()
     assert removed > 0, "orphaned skipped-epoch files were not reclaimed"
     assert _state(t) == want
+
+
+def test_derived_streamid_stable_across_restart_and_fresh_after_reset(
+    spark, tmp_path
+):
+    """The DEFAULT (derived) stream id must be (a) identical across two
+    query restarts on the SAME checkpoint — replayed epochs dedup
+    exactly — and (b) REGENERATED after the checkpoint is deleted, so
+    new data whose batch ids restart at 0 is NOT discarded against
+    stale dsw:<sid>:0..k ledger tags.  (b) is a round-5 regression
+    repro: a path-derived sid silently dropped post-reset data."""
+    import shutil
+
+    t = _mk(spark, tmp_path, "sid-t")
+    wal_dir = os.path.join(str(tmp_path), "sid-wal")
+    ck = os.path.join(str(tmp_path), "sid-ck")
+    register(spark)
+
+    def drain():
+        stream = (
+            spark.readStream.schema(
+                "lsn long, op string, k long, g string, v long"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(wal_dir)
+        )
+        q = (
+            stream.writeStream.format("laketable")
+            .option("path", t.root)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        assert q.exception() is None
+
+    def seg_sids():
+        t.refresh()
+        return {
+            s.split(":")[1]
+            for s in t.snapshot["ledger"].get("applied_segments", [])
+            if s.startswith("dsw:")
+        }
+
+    ev1 = spark.range(0, 5).selectExpr(
+        "id + 1 as lsn", "'upsert' as op", "id as k",
+        "'a' as g", "id as v"
+    )
+    ev1.coalesce(1).write.mode("overwrite").parquet(wal_dir)
+    drain()
+    sids_a = seg_sids()
+    assert len(sids_a) == 1  # one derived id
+
+    # restart on the SAME checkpoint with one more file: the fresh
+    # writer instance must derive the SAME id
+    spark.range(5, 10).selectExpr(
+        "id + 1 as lsn", "'upsert' as op", "id as k",
+        "'a' as g", "id as v"
+    ).coalesce(1).write.mode("append").parquet(wal_dir)
+    drain()
+    assert seg_sids() == sids_a
+    assert len(_state(t)) == 10
+
+    # checkpoint RESET + genuinely new data (new keys, higher LSNs):
+    # batch ids restart at 0 — every row must still land
+    shutil.rmtree(ck)
+    spark.range(10, 15).selectExpr(
+        "id + 100 as lsn", "'upsert' as op", "id as k",
+        "'b' as g", "id as v"
+    ).coalesce(1).write.mode("overwrite").parquet(wal_dir)
+    drain()
+    assert len(_state(t)) == 15, "post-reset epochs were dropped"
+    sids_after = seg_sids()
+    assert len(sids_after) == 2  # a NEW id after the reset

@@ -248,6 +248,39 @@ def test_direct_jvm_equality_multistripe(spark):
     np.testing.assert_array_equal(got, jvm)
 
 
+def test_skewed_key_lengths_take_chunked_path(monkeypatch):
+    """One oversized key value must not inflate the padded matrix to
+    O(n_rows x max_key_len): past _MATRIX_CAP the rows are
+    length-sorted and hashed in capped chunks — force a tiny cap and
+    assert bit-equality with the scalar port on a skewed batch
+    (strings with a null, and binary), including a single row larger
+    than the whole cap."""
+    import cdm_cbioportal_etl_spark.lake.xxh64_vec as V
+
+    monkeypatch.setattr(V, "_MATRIX_CAP", 1 << 12)
+    rng = random.Random(7)
+    vals = ["x" * rng.choice([0, 3, 20, 100, 700]) for _ in range(400)]
+    vals[123] = "Z" * 5000  # alone exceeds the 4 KB cap
+    vals[7] = None
+    arr = pa.array(vals, type=pa.string())
+    got = V.xxhash64_arrow([arr], ["string"])
+    want = np.array(
+        [xxhash64([v], ["string"]) for v in vals], np.int64
+    )
+    np.testing.assert_array_equal(got, want)
+    bvals = [
+        bytes([rng.getrandbits(8)]) * rng.choice([0, 5, 40, 900])
+        for _ in range(200)
+    ]
+    bvals[50] = b"\x01" * 6000
+    barr = pa.array(bvals, type=pa.binary())
+    gotb = V.xxhash64_arrow([barr], ["binary"])
+    wantb = np.array(
+        [xxhash64([v], ["binary"]) for v in bvals], np.int64
+    )
+    np.testing.assert_array_equal(gotb, wantb)
+
+
 def test_unsupported_type_raises():
     with pytest.raises(TypeError):
         xxhash64_arrow(
